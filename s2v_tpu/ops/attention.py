@@ -1,0 +1,106 @@
+"""Joint attention over the ``[text | ref | video]`` token sequence.
+
+Parity target: reference ``CogVideoXAttnProcessor2_0``
+(attention_processor.py:2014-2097): fused-sequence QKV, per-head LayerNorm on
+q/k (eps 1e-6, affine), segment-wise RoPE, one scaled-dot-product attention
+over the full sequence, output projection.
+
+Two execution paths:
+  * ``backend="xla"`` — ``jax.nn.dot_product_attention`` (XLA fuses this
+    well on TPU and it is the reference-parity baseline).
+  * ``backend="pallas"`` — the fused flash-attention kernel in
+    ``s2v_tpu.ops.pallas.flash_attention`` (TPU only).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from s2v_tpu.ops.norms import layer_norm
+from s2v_tpu.ops.rope import apply_rotary_emb
+
+
+def qkv_projections(params, x: jnp.ndarray, num_heads: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Project ``[B, S, D]`` to per-head q/k/v ``[B, S, H, d]``.
+
+    ``params`` carries a fused kernel ``qkv.kernel [D, 3D]`` (built at load
+    time from to_q/to_k/to_v for one big MXU matmul) or separate kernels.
+    """
+    b, s, d = x.shape
+    if "qkv" in params:
+        qkv = x @ params["qkv"]["kernel"] + params["qkv"]["bias"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q = x @ params["to_q"]["kernel"] + params["to_q"]["bias"]
+        k = x @ params["to_k"]["kernel"] + params["to_k"]["bias"]
+        v = x @ params["to_v"]["kernel"] + params["to_v"]["bias"]
+    head_dim = d // num_heads
+    shape = (b, s, num_heads, head_dim)
+    return q.reshape(shape), k.reshape(shape), v.reshape(shape)
+
+
+def joint_attention(
+    params,
+    x: jnp.ndarray,
+    num_heads: int,
+    rope_cos: Optional[jnp.ndarray] = None,
+    rope_sin: Optional[jnp.ndarray] = None,
+    qk_norm_eps: float = 1e-6,
+    backend: str = "xla",
+) -> jnp.ndarray:
+    """Full-sequence self attention with segment-aware RoPE.
+
+    ``x``: ``[B, S, D]`` with S = text + ref + video tokens already
+    concatenated.  ``rope_cos/sin``: ``[S, D_head/2]`` segmented tables from
+    :func:`s2v_tpu.ops.rope.build_segmented_rope` (identity on the text span),
+    or None to skip RoPE entirely (sincos/2b models).
+    """
+    b, s, d = x.shape
+    q, k, v = qkv_projections(params, x, num_heads)  # [B, S, H, hd]
+
+    # q/k LayerNorm over head_dim (reference Attention qk_norm="layer_norm",
+    # eps=1e-6, elementwise affine).
+    q = layer_norm(q, params["norm_q"]["weight"], params["norm_q"]["bias"], qk_norm_eps)
+    k = layer_norm(k, params["norm_k"]["weight"], params["norm_k"]["bias"], qk_norm_eps)
+
+    if rope_cos is not None:
+        # tables broadcast over heads: [S, hd/2] -> [S, 1, hd/2]
+        q = apply_rotary_emb(q, rope_cos[:, None, :], rope_sin[:, None, :])
+        k = apply_rotary_emb(k, rope_cos[:, None, :], rope_sin[:, None, :])
+
+    if backend == "pallas":
+        from s2v_tpu.ops.pallas.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v)  # [B, S, H, hd]
+    else:
+        out = jax.nn.dot_product_attention(q, k, v)  # [B, S, H, hd]
+
+    out = out.reshape(b, s, d)
+    out = out @ params["to_out"]["kernel"] + params["to_out"]["bias"]
+    return out
+
+
+def init_attention_params(key, dim: int, num_heads: int, dtype=jnp.float32, fused: bool = True):
+    head_dim = dim // num_heads
+    ks = jax.random.split(key, 4)
+    scale = 1.0 / jnp.sqrt(dim)
+
+    def lin(k, shape):
+        return jax.random.uniform(k, shape, dtype, -scale, scale)
+
+    params = {
+        "norm_q": {"weight": jnp.ones((head_dim,), dtype), "bias": jnp.zeros((head_dim,), dtype)},
+        "norm_k": {"weight": jnp.ones((head_dim,), dtype), "bias": jnp.zeros((head_dim,), dtype)},
+        "to_out": {"kernel": lin(ks[3], (dim, dim)), "bias": jnp.zeros((dim,), dtype)},
+    }
+    if fused:
+        params["qkv"] = {"kernel": lin(ks[0], (dim, 3 * dim)), "bias": jnp.zeros((3 * dim,), dtype)}
+    else:
+        params["to_q"] = {"kernel": lin(ks[0], (dim, dim)), "bias": jnp.zeros((dim,), dtype)}
+        params["to_k"] = {"kernel": lin(ks[1], (dim, dim)), "bias": jnp.zeros((dim,), dtype)}
+        params["to_v"] = {"kernel": lin(ks[2], (dim, dim)), "bias": jnp.zeros((dim,), dtype)}
+    return params

@@ -1,0 +1,147 @@
+"""CogVideoX DDIM scheduler as stateless functions.
+
+Parity target: reference ``CogVideoXDDIMScheduler``
+(scheduling_ddim_cogvideox.py:126-453): scaled-linear betas computed in
+float64, SD3-style SNR shift, optional zero-terminal-SNR rescale,
+epsilon/sample/v prediction, and the deterministic
+``x_{t-1} = a_t x_t + b_t x0_hat`` update (:364-394).
+
+TPU-first shape: all schedule tables are precomputed host-side (numpy) once;
+the per-step update is a pure jittable function indexed by the loop counter,
+so the whole 50-step denoise lives in one ``lax.fori_loop`` without host
+round-trips.  ``scale_model_input`` is the identity (reference :243-258) and
+``init_noise_sigma`` is 1, so neither needs code.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from s2v_tpu.config import SchedulerConfig
+
+
+def _rescale_zero_terminal_snr(alphas_cumprod: np.ndarray) -> np.ndarray:
+    """Zero-terminal-SNR rescale on alpha-bar (arXiv 2305.08891 alg. 1)."""
+    a_sqrt = np.sqrt(alphas_cumprod)
+    a0, aT = a_sqrt[0], a_sqrt[-1]
+    a_sqrt = a_sqrt - aT
+    a_sqrt = a_sqrt * a0 / (a0 - aT)
+    return a_sqrt**2
+
+
+def compute_alphas_cumprod(cfg: SchedulerConfig) -> np.ndarray:
+    """fp32 alpha-bar table of length ``num_train_timesteps``."""
+    n = cfg.num_train_timesteps
+    if cfg.beta_schedule == "scaled_linear":
+        betas = np.linspace(cfg.beta_start**0.5, cfg.beta_end**0.5, n, dtype=np.float64) ** 2
+    elif cfg.beta_schedule == "linear":
+        betas = np.linspace(cfg.beta_start, cfg.beta_end, n, dtype=np.float64)
+    else:
+        raise NotImplementedError(cfg.beta_schedule)
+    alphas_cumprod = np.cumprod(1.0 - betas)
+    # SD3-style SNR shift (reference :213-214)
+    s = cfg.snr_shift_scale
+    alphas_cumprod = alphas_cumprod / (s + (1.0 - s) * alphas_cumprod)
+    if cfg.rescale_betas_zero_snr:
+        alphas_cumprod = _rescale_zero_terminal_snr(alphas_cumprod)
+    return alphas_cumprod.astype(np.float32)
+
+
+def get_timesteps(cfg: SchedulerConfig, num_inference_steps: int) -> np.ndarray:
+    """Descending int64 timestep sequence (reference set_timesteps :260-303)."""
+    n = cfg.num_train_timesteps
+    if num_inference_steps > n:
+        raise ValueError(f"num_inference_steps {num_inference_steps} > {n}")
+    if cfg.timestep_spacing == "linspace":
+        ts = np.linspace(0, n - 1, num_inference_steps).round()[::-1].astype(np.int64)
+    elif cfg.timestep_spacing == "leading":
+        step_ratio = n // num_inference_steps
+        ts = (np.arange(num_inference_steps) * step_ratio).round()[::-1].astype(np.int64)
+        ts = ts + cfg.steps_offset
+    elif cfg.timestep_spacing == "trailing":
+        step_ratio = n / num_inference_steps
+        ts = np.round(np.arange(n, 0, -step_ratio)).astype(np.int64) - 1
+    else:
+        raise ValueError(cfg.timestep_spacing)
+    return ts.copy()
+
+
+def _pred_x0(
+    prediction_type: str,
+    model_output: jnp.ndarray,
+    sample: jnp.ndarray,
+    alpha_prod_t: jnp.ndarray,
+) -> jnp.ndarray:
+    beta_prod_t = 1.0 - alpha_prod_t
+    if prediction_type == "epsilon":
+        return (sample - beta_prod_t**0.5 * model_output) / alpha_prod_t**0.5
+    if prediction_type == "sample":
+        return model_output
+    if prediction_type == "v_prediction":
+        return alpha_prod_t**0.5 * sample - beta_prod_t**0.5 * model_output
+    raise ValueError(prediction_type)
+
+
+def alpha_pair_for_step(
+    alphas_cumprod: np.ndarray,
+    timesteps: np.ndarray,
+    num_train_timesteps: int,
+    num_inference_steps: int,
+    set_alpha_to_one: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-inference-step (alpha_prod_t, alpha_prod_t_prev) tables.
+
+    Precomputing the gather host-side keeps the jitted step branch-free
+    (the reference gathers on device each step, :366-368).
+    """
+    prev = timesteps - num_train_timesteps // num_inference_steps
+    a_t = alphas_cumprod[timesteps]
+    final = 1.0 if set_alpha_to_one else float(alphas_cumprod[0])
+    a_prev = np.where(prev >= 0, alphas_cumprod[np.clip(prev, 0, None)], final)
+    return a_t.astype(np.float32), a_prev.astype(np.float32)
+
+
+def ddim_step(
+    model_output: jnp.ndarray,
+    sample: jnp.ndarray,
+    alpha_prod_t: jnp.ndarray,
+    alpha_prod_t_prev: jnp.ndarray,
+    prediction_type: str = "v_prediction",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Deterministic DDIM update (reference :364-394); returns
+    (prev_sample, pred_original_sample).  Math in fp32."""
+    dt = sample.dtype
+    mo = model_output.astype(jnp.float32)
+    x = sample.astype(jnp.float32)
+    x0 = _pred_x0(prediction_type, mo, x, alpha_prod_t)
+    a_t = ((1.0 - alpha_prod_t_prev) / (1.0 - alpha_prod_t)) ** 0.5
+    b_t = alpha_prod_t_prev**0.5 - alpha_prod_t**0.5 * a_t
+    prev = a_t * x + b_t * x0
+    return prev.astype(dt), x0.astype(dt)
+
+
+def add_noise(
+    original: jnp.ndarray,
+    noise: jnp.ndarray,
+    alphas_cumprod: jnp.ndarray,
+    timesteps: jnp.ndarray,
+) -> jnp.ndarray:
+    a = alphas_cumprod[timesteps].astype(original.dtype)
+    while a.ndim < original.ndim:
+        a = a[..., None]
+    return a**0.5 * original + (1.0 - a) ** 0.5 * noise
+
+
+def get_velocity(
+    sample: jnp.ndarray,
+    noise: jnp.ndarray,
+    alphas_cumprod: jnp.ndarray,
+    timesteps: jnp.ndarray,
+) -> jnp.ndarray:
+    a = alphas_cumprod[timesteps].astype(sample.dtype)
+    while a.ndim < sample.ndim:
+        a = a[..., None]
+    return a**0.5 * noise - (1.0 - a) ** 0.5 * sample

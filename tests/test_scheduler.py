@@ -1,0 +1,151 @@
+"""Scheduler parity vs independent torch/numpy implementations of the
+reference math (scheduling_ddim_cogvideox.py:199-402,
+scheduling_dpm_cogvideox.py:306-440)."""
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+
+from s2v_tpu.config import SchedulerConfig
+from s2v_tpu.schedulers.ddim import (
+    alpha_pair_for_step,
+    compute_alphas_cumprod,
+    ddim_step,
+    get_timesteps,
+)
+from s2v_tpu.schedulers.dpm import dpm_multipliers, dpm_step
+
+
+def torch_alphas_cumprod(snr_shift=3.0, zero_snr=False, n=1000):
+    betas = torch.linspace(0.00085**0.5, 0.0120**0.5, n, dtype=torch.float64) ** 2
+    alphas_cumprod = torch.cumprod(1.0 - betas, dim=0)
+    alphas_cumprod = alphas_cumprod / (snr_shift + (1 - snr_shift) * alphas_cumprod)
+    if zero_snr:
+        a = alphas_cumprod.sqrt()
+        a0, aT = a[0].clone(), a[-1].clone()
+        a = (a - aT) * a0 / (a0 - aT)
+        alphas_cumprod = a**2
+    return alphas_cumprod
+
+
+def test_alphas_cumprod_reference_defaults():
+    cfg = SchedulerConfig.reference_defaults()
+    ours = compute_alphas_cumprod(cfg)
+    theirs = torch_alphas_cumprod(3.0, False).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+
+
+def test_alphas_cumprod_5b_defaults():
+    cfg = SchedulerConfig()  # snr_shift 1.0, zero-snr True
+    ours = compute_alphas_cumprod(cfg)
+    theirs = torch_alphas_cumprod(1.0, True).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-9)
+
+
+def test_timestep_spacings():
+    cfg = SchedulerConfig(timestep_spacing="trailing")
+    ts = get_timesteps(cfg, 50)
+    # trailing: round(arange(1000, 0, -20)) - 1 -> 999, 979, ..., 19
+    assert ts[0] == 999 and ts[-1] == 19 and len(ts) == 50
+    cfg = SchedulerConfig(timestep_spacing="leading")
+    ts = get_timesteps(cfg, 50)
+    assert ts[0] == 980 and ts[-1] == 0
+    cfg = SchedulerConfig(timestep_spacing="linspace")
+    ts = get_timesteps(cfg, 50)
+    assert ts[0] == 999 and ts[-1] == 0
+
+
+def _torch_ddim_step(model_output, sample, a_t, a_prev, prediction_type):
+    a_t, a_prev = torch.tensor(a_t), torch.tensor(a_prev)
+    beta_t = 1 - a_t
+    if prediction_type == "epsilon":
+        x0 = (sample - beta_t**0.5 * model_output) / a_t**0.5
+    elif prediction_type == "v_prediction":
+        x0 = a_t**0.5 * sample - beta_t**0.5 * model_output
+    coef_a = ((1 - a_prev) / (1 - a_t)) ** 0.5
+    coef_b = a_prev**0.5 - a_t**0.5 * coef_a
+    return coef_a * sample + coef_b * x0, x0
+
+
+def test_ddim_step_matches_reference():
+    cfg = SchedulerConfig()
+    ac = compute_alphas_cumprod(cfg)
+    ts = get_timesteps(cfg, 50)
+    a_t, a_prev = alpha_pair_for_step(ac, ts, cfg.num_train_timesteps, 50)
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 2, 4, 4, 3).astype(np.float32)
+    eps = rng.randn(*x.shape).astype(np.float32)
+    for i in [0, 10, 49]:
+        for pred in ["epsilon", "v_prediction"]:
+            prev, x0 = ddim_step(jnp.asarray(eps), jnp.asarray(x), a_t[i], a_prev[i], pred)
+            t_prev, t_x0 = _torch_ddim_step(torch.from_numpy(eps), torch.from_numpy(x), a_t[i], a_prev[i], pred)
+            np.testing.assert_allclose(np.asarray(prev), t_prev.numpy(), rtol=2e-5, atol=2e-6)
+            np.testing.assert_allclose(np.asarray(x0), t_x0.numpy(), rtol=2e-5, atol=2e-6)
+
+
+def test_ddim_last_step_uses_final_alpha():
+    cfg = SchedulerConfig()
+    ac = compute_alphas_cumprod(cfg)
+    ts = get_timesteps(cfg, 50)
+    _, a_prev = alpha_pair_for_step(ac, ts, cfg.num_train_timesteps, 50)
+    assert a_prev[-1] == 1.0  # prev_timestep = 19 - 20 = -1 -> final_alpha_cumprod
+
+
+def _torch_dpm_reference(model_output, old_x0, a_t, a_prev, a_back, sample, noise, pred_type):
+    """Faithful re-derivation of reference CogVideoXDPMScheduler.step math."""
+    a_t = torch.tensor(np.float64(a_t))
+    a_prev = torch.tensor(np.float64(a_prev))
+    beta_t = 1 - a_t
+    if pred_type == "v_prediction":
+        x0 = a_t**0.5 * sample - beta_t**0.5 * model_output
+    else:
+        x0 = (sample - beta_t**0.5 * model_output) / a_t**0.5
+    lamb = ((a_t / (1 - a_t)) ** 0.5).log()
+    lamb_next = ((a_prev / (1 - a_prev)) ** 0.5).log()
+    h = lamb_next - lamb
+    mult1 = ((1 - a_prev) / (1 - a_t)) ** 0.5 * (-h).exp()
+    mult2 = (-2 * h).expm1() * a_prev**0.5
+    mult_noise = (1 - a_prev) ** 0.5 * (1 - (-2 * h).exp()) ** 0.5
+    prev = mult1 * sample - mult2 * x0 + mult_noise * noise
+    if old_x0 is None:
+        return prev.float(), x0.float()
+    a_back_t = torch.tensor(np.float64(a_back))
+    lamb_prev = ((a_back_t / (1 - a_back_t)) ** 0.5).log()
+    r = (lamb - lamb_prev) / h
+    mult3 = 1 + 1 / (2 * r)
+    mult4 = 1 / (2 * r)
+    denoised_d = mult3 * x0 - mult4 * old_x0
+    prev = mult1 * sample - mult2 * denoised_d + mult_noise * noise
+    return prev.float(), x0.float()
+
+
+def test_dpm_step_matches_reference():
+    cfg = SchedulerConfig()
+    ac = compute_alphas_cumprod(cfg)
+    ts = get_timesteps(cfg, 50)
+    mults = dpm_multipliers(ac, ts, cfg.num_train_timesteps, 50)
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 8).astype(np.float32)
+    mo = rng.randn(1, 8).astype(np.float32)
+    old = rng.randn(1, 8).astype(np.float32)
+    noise = rng.randn(1, 8).astype(np.float32)
+
+    for i, has_old in [(0, False), (5, True), (20, True)]:
+        m_i = {k: jnp.asarray(v[i]) for k, v in mults.items()}
+        prev, x0 = dpm_step(jnp.asarray(mo), jnp.asarray(x), jnp.asarray(old), jnp.asarray(noise), m_i)
+        a_t = ac[ts[i]]
+        prev_t = ts[i] - cfg.num_train_timesteps // 50
+        a_prev = ac[prev_t] if prev_t >= 0 else 1.0
+        a_back = ac[ts[i - 1]] if i > 0 else None
+        t_prev, t_x0 = _torch_dpm_reference(
+            torch.from_numpy(mo),
+            torch.from_numpy(old) if has_old else None,
+            a_t,
+            a_prev,
+            a_back,
+            torch.from_numpy(x),
+            torch.from_numpy(noise),
+            "v_prediction",
+        )
+        np.testing.assert_allclose(np.asarray(prev), t_prev.numpy(), rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(x0), t_x0.numpy(), rtol=2e-4, atol=1e-5)
