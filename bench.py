@@ -1,0 +1,120 @@
+"""Benchmark: end-to-end 49-frame 480x720 clip at 50 denoise steps.
+
+Measures the two dominant phases on the real device with the flagship
+CogVideoX-5b architecture (random weights — identical FLOP/memory profile
+to pretrained):
+
+  * DiT denoise step (CFG batch 2, full 19,126-token sequence, Pallas flash
+    attention) — measured over several steps post-compile;
+  * VAE decode of 13 latent frames to 49 px frames.
+
+Reports seconds per clip = 50 * step + decode, vs the only published
+reference number: stock CogVideoX-5b T2V on A100-80GB, 96.89 s
+(reference docs cogvideox.md:79-81; see BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+
+BASELINE_SECONDS = 96.89  # A100 80GB, stock CogVideoX T2V 49x480x720 @50 steps
+
+
+def time_fn(fn, *args, iters=3, warmup=1):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from s2v_tpu.config import TransformerConfig, VAEConfig
+    from s2v_tpu.models.transformer import (
+        init_transformer_params_stacked,
+        transformer_forward,
+    )
+    from s2v_tpu.models.vae import init_vae_params, vae_decode
+    from s2v_tpu.ops.rope import build_segmented_rope, prepare_video_and_ref_rope
+
+    on_tpu = jax.default_backend() != "cpu"
+    if on_tpu:
+        cfg = TransformerConfig.cogvideox_5b()
+        B, F, H, W = 2, 13, 60, 90
+        backend = "pallas"
+        steps = 50
+        vcfg = VAEConfig()
+    else:  # smoke mode for hosts without a chip
+        cfg = TransformerConfig.tiny()
+        B, F, H, W = 2, 2, 8, 8
+        backend = "xla"
+        steps = 50
+        vcfg = VAEConfig.tiny()
+
+    key = jax.random.PRNGKey(0)
+    params = init_transformer_params_stacked(key, cfg)
+    video = jax.random.normal(key, (B, F, H, W, cfg.in_channels), jnp.float32).astype(cfg.dtype)
+    ref = jax.random.normal(key, (B, 1, H, W, cfg.in_channels), jnp.float32).astype(cfg.dtype)
+    text = jax.random.normal(key, (B, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32).astype(cfg.dtype)
+    t = jnp.full((B,), 999, jnp.int32)
+
+    if on_tpu:
+        vc, vs, rc, rs = prepare_video_and_ref_rope(480, 720, F, cfg.attention_head_dim)
+        rope_cos, rope_sin = build_segmented_rope(cfg.max_text_seq_length, rc, rs, vc, vs)
+    else:
+        from s2v_tpu.ops.rope import get_3d_rotary_pos_embed
+
+        gh, gw = H // 2, W // 2
+        cos, sin = get_3d_rotary_pos_embed(cfg.attention_head_dim, ((0, 0), (gh, gw)), (gh, gw), F + 1)
+        tok = gh * gw
+        rope_cos, rope_sin = build_segmented_rope(
+            cfg.max_text_seq_length, cos[:tok], sin[:tok], cos[tok : tok * (F + 1)], sin[tok : tok * (F + 1)]
+        )
+
+    step_fn = jax.jit(
+        lambda p, v, r, te, ts: transformer_forward(
+            p, cfg, v, r, te, ts, rope_cos, rope_sin, attention_backend=backend
+        )
+    )
+    step_time = time_fn(step_fn, params, video, ref, text, t, iters=3, warmup=1)
+
+    # VAE decode: 13 latent frames -> 49 px frames
+    vae_params = init_vae_params(jax.random.PRNGKey(1), vcfg)
+    z = jax.random.normal(
+        jax.random.PRNGKey(2),
+        (1, F, H, W, vcfg.latent_channels) if on_tpu else (1, 3, 4, 4, vcfg.latent_channels),
+    ).astype(vcfg.dtype)
+    decode_fn = jax.jit(lambda p, zz: vae_decode(p, vcfg, zz, use_tiling=False))
+    decode_time = time_fn(decode_fn, vae_params, z, iters=1, warmup=1)
+
+    sec_per_clip = steps * step_time + decode_time
+    print(
+        json.dumps(
+            {
+                "metric": "sec per 49-frame 480p clip @50 steps",
+                "value": round(sec_per_clip, 3),
+                "unit": "s",
+                "vs_baseline": round(BASELINE_SECONDS / sec_per_clip, 3),
+            }
+        )
+    )
+    print(
+        f"# detail: dit_step={step_time*1000:.1f} ms ({1/step_time:.2f} steps/s), "
+        f"vae_decode={decode_time:.2f} s ({(49 if on_tpu else 9)/decode_time:.1f} frames/s), "
+        f"backend={backend}, devices={jax.devices()}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

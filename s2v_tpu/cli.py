@@ -1,0 +1,105 @@
+"""Inference CLI — argparse-compatible with the reference driver
+(src/inference.py:37-62 flags; s2v_inference_demo.sh usage):
+
+    python -m s2v_tpu.cli \
+        --pretrained_model_name_or_path /path/to/CogVideoX-5b-snapshot \
+        --checkpoint_path /path/to/s2v_lora_ckpt \
+        --ref_img_path ./samples/pig.png \
+        --prompt "<cls> A pig walking on a beach" \
+        --output_dir ./out
+
+Differences from the reference CLI are deliberate TPU-isms only:
+weights load from a local HF snapshot dir (no hub download), LoRA is merged
+at init, and the denoise loop runs as one jitted XLA program.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="TPU-native disentangled subject-to-video inference")
+    p.add_argument("--pretrained_model_name_or_path", type=str, default="THUDM/CogVideoX-5b",
+                   help="Local HF snapshot dir with transformer/ vae/ text_encoder/ tokenizer/ scheduler/")
+    p.add_argument("--cache_dir", type=str, default="~/.cache")
+    p.add_argument("--dataset_name", type=str, default="customization")
+    p.add_argument("--dataloader_num_workers", type=int, default=16)
+    p.add_argument("--ref_img_path", type=str, required=True)
+    p.add_argument("--guidance_scale", type=float, default=6.0)
+    p.add_argument("--use_dynamic_cfg", action="store_true", default=False)
+    p.add_argument("--seed", type=int, default=420)
+    p.add_argument("--rank", type=int, default=128)
+    p.add_argument("--lora_alpha", type=float, default=64)
+    p.add_argument("--output_dir", type=str, default="cogvideox-lora")
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=720)
+    p.add_argument("--fps", type=int, default=8)
+    p.add_argument("--max_num_frames", type=int, default=49)
+    p.add_argument("--skip_frames_start", type=int, default=0)
+    p.add_argument("--skip_frames_end", type=int, default=0)
+    p.add_argument("--enable_slicing", default=True)
+    p.add_argument("--enable_tiling", default=True)
+    p.add_argument("--hub_model_id", type=str, default=None)
+    p.add_argument("--local_reference_scale", type=float, default=1.0)  # inert in reference too
+    p.add_argument("--checkpoint_path", type=str, default=None, help="S2V LoRA checkpoint dir")
+    p.add_argument("--prompt", type=str, default="")
+    # TPU-specific extras
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--use_dpm", action="store_true", default=False)
+    p.add_argument("--attention_backend", type=str, default="xla", choices=["xla", "pallas"])
+    p.add_argument("--profile_dir", type=str, default=None, help="jax.profiler trace output dir")
+    return p.parse_args(argv)
+
+
+def main(args=None):
+    args = args or get_args()
+    if args.max_num_frames > 49:
+        raise ValueError("num_frames must be <= 49 (static positional embedding table)")
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    import jax
+
+    from s2v_tpu.pipelines.s2v import S2VPipeline
+    from s2v_tpu.utils.video import export_to_video, to_uint8_frames
+
+    t0 = time.perf_counter()
+    pipe = S2VPipeline.from_pretrained(
+        os.path.expanduser(args.pretrained_model_name_or_path),
+        lora_checkpoint=args.checkpoint_path,
+        lora_alpha=args.lora_alpha,
+        attention_backend=args.attention_backend,
+    )
+    print(f"[s2v_tpu] models loaded in {time.perf_counter() - t0:.1f}s on {jax.devices()}")
+
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+    t1 = time.perf_counter()
+    video = pipe.generate(
+        prompt=args.prompt,
+        ref_image=args.ref_img_path,
+        height=args.height,
+        width=args.width,
+        num_frames=args.max_num_frames,
+        num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.guidance_scale,
+        use_dynamic_cfg=args.use_dynamic_cfg,
+        use_dpm=args.use_dpm,
+        seed=args.seed,
+    )
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+    dt = time.perf_counter() - t1
+    print(f"[s2v_tpu] generated {video.shape} in {dt:.1f}s "
+          f"({args.num_inference_steps / dt:.2f} steps/s incl. VAE)")
+
+    out_path = os.path.join(args.output_dir, "output.mp4")
+    written = export_to_video(to_uint8_frames(video[0]), out_path, fps=args.fps)
+    print(f"[s2v_tpu] wrote {written}")
+    print("Inference completed")
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,7 @@ from s2v_tpu.ops.adaln import ada_layer_norm_out, ada_layer_norm_zero_3stream
 from s2v_tpu.ops.attention import init_attention_params, joint_attention
 from s2v_tpu.ops.norms import layer_norm
 from s2v_tpu.ops.patchify import patchify_video, unpatchify_video
+from s2v_tpu.parallel.context import constrain
 from s2v_tpu.ops.timestep import (
     get_timestep_embedding,
     init_timestep_mlp,
@@ -98,6 +99,63 @@ def init_transformer_params(key, cfg: TransformerConfig):
     }
 
 
+def init_transformer_params_stacked(key, cfg: TransformerConfig, scale: float = 0.02):
+    """Memory-lean init for big configs: per-layer params are created
+    directly in stacked ``[L, ...]`` form (one allocation each) instead of
+    stacking L separate trees — halves peak memory, which matters when
+    initialising the 5B model on a single chip for benchmarking."""
+    d = cfg.inner_dim
+    L = cfg.num_layers
+    td = cfg.time_embed_dim
+    p = cfg.patch_size
+    dt = cfg.param_dtype
+    keys = iter(jax.random.split(key, 32))
+
+    def w(shape):
+        return (jax.random.normal(next(keys), shape, jnp.float32) * scale).astype(dt)
+
+    def z(shape):
+        return jnp.zeros(shape, dt)
+
+    def ones(shape):
+        return jnp.ones(shape, dt)
+
+    blocks = {
+        "norm1": {
+            "linear": {"kernel": w((L, td, 6 * d)), "bias": z((L, 6 * d))},
+            "norm": {"weight": ones((L, d)), "bias": z((L, d))},
+        },
+        "attn": {
+            "qkv": {"kernel": w((L, d, 3 * d)), "bias": z((L, 3 * d))},
+            "norm_q": {"weight": ones((L, cfg.attention_head_dim)), "bias": z((L, cfg.attention_head_dim))},
+            "norm_k": {"weight": ones((L, cfg.attention_head_dim)), "bias": z((L, cfg.attention_head_dim))},
+            "to_out": {"kernel": w((L, d, d)), "bias": z((L, d))},
+        },
+        "norm2": {
+            "linear": {"kernel": w((L, td, 6 * d)), "bias": z((L, 6 * d))},
+            "norm": {"weight": ones((L, d)), "bias": z((L, d))},
+        },
+        "ff": {
+            "net_0": {"kernel": w((L, d, cfg.ff_inner_dim)), "bias": z((L, cfg.ff_inner_dim))},
+            "net_2": {"kernel": w((L, cfg.ff_inner_dim, d)), "bias": z((L, d))},
+        },
+    }
+    return {
+        "patch_embed": {
+            "proj": {"kernel": w((p * p * cfg.in_channels, d)), "bias": z((d,))},
+            "text_proj": {"kernel": w((cfg.text_embed_dim, d)), "bias": z((d,))},
+        },
+        "time_embedding": {
+            "linear_1": {"kernel": w((d, td)), "bias": z((td,))},
+            "linear_2": {"kernel": w((td, td)), "bias": z((td,))},
+        },
+        "blocks": blocks,
+        "norm_final": {"weight": ones((d,)), "bias": z((d,))},
+        "norm_out": {"linear": {"kernel": w((td, 2 * d)), "bias": z((2 * d,))}, "norm": {"weight": ones((d,)), "bias": z((d,))}},
+        "proj_out": {"kernel": w((d, p * p * cfg.out_channels)), "bias": z((p * p * cfg.out_channels,))},
+    }
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -106,8 +164,10 @@ def init_transformer_params(key, cfg: TransformerConfig):
 def _feed_forward(p, x: jnp.ndarray) -> jnp.ndarray:
     """gelu(tanh-approx) MLP (reference FeedForward, attention.py:1185-1243)."""
     h = x @ p["net_0"]["kernel"] + p["net_0"]["bias"]
+    h = constrain(h, "dp", "sp", "tp")
     h = jax.nn.gelu(h, approximate=True)
-    return h @ p["net_2"]["kernel"] + p["net_2"]["bias"]
+    out = h @ p["net_2"]["kernel"] + p["net_2"]["bias"]
+    return constrain(out, "dp", "sp", None)
 
 
 def block_forward(
@@ -189,6 +249,7 @@ def transformer_forward(
     text = text_embeds.astype(cfg.dtype) @ pe["text_proj"]["kernel"] + pe["text_proj"]["bias"]
     ref = patchify_video(ref_latents.astype(cfg.dtype), pe["proj"]["kernel"], pe["proj"]["bias"], p)
     video = patchify_video(video_latents.astype(cfg.dtype), pe["proj"]["kernel"], pe["proj"]["bias"], p)
+    video = constrain(video, "dp", "sp", None)
 
     if pos_embedding is not None and not cfg.use_rotary_positional_embeddings:
         # 2b/sincos path: learned-less 3D sincos added over [text | video]

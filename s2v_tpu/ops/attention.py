@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from s2v_tpu.ops.norms import layer_norm
 from s2v_tpu.ops.rope import apply_rotary_emb
+from s2v_tpu.parallel.context import constrain
 
 
 def qkv_projections(params, x: jnp.ndarray, num_heads: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -61,6 +62,10 @@ def joint_attention(
     """
     b, s, d = x.shape
     q, k, v = qkv_projections(params, x, num_heads)  # [B, S, H, hd]
+    # multi-chip: heads on 'tp', query tokens on 'sp' (no-ops single-chip)
+    q = constrain(q, "dp", "sp", "tp", None)
+    k = constrain(k, "dp", "sp", "tp", None)
+    v = constrain(v, "dp", "sp", "tp", None)
 
     # q/k LayerNorm over head_dim (reference Attention qk_norm="layer_norm",
     # eps=1e-6, elementwise affine).
@@ -81,7 +86,7 @@ def joint_attention(
 
     out = out.reshape(b, s, d)
     out = out @ params["to_out"]["kernel"] + params["to_out"]["bias"]
-    return out
+    return constrain(out, "dp", "sp", None)
 
 
 def init_attention_params(key, dim: int, num_heads: int, dtype=jnp.float32, fused: bool = True):

@@ -1,0 +1,109 @@
+"""Mesh construction + parameter/activation sharding for multi-chip runs.
+
+The reference has no distributed code at inference (single GPU,
+SURVEY.md §2.5); multi-chip is a *new* TPU-native capability:
+
+  * **TP** ("model" axis): megatron-style head/FF sharding of the
+    transformer — qkv & ff-in kernels column-sharded, out-projections
+    row-sharded, collectives ride ICI via GSPMD-inserted all-reduces.
+  * **SP** ("seq" axis): video-token sequence sharding for single-clip
+    latency (BASELINE.json configs[4]); activations constrained along the
+    token axis, attention gathers K/V.
+  * **DP** ("data" axis): batch replication over DCN for multi-host.
+
+Everything goes through ``jax.sharding`` + jit (no hand-written collectives
+on this path — the Pallas ring-attention path is separate).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from s2v_tpu.config import TransformerConfig
+
+
+def make_mesh(axis_sizes: Dict[str, int], devices=None) -> Mesh:
+    """e.g. ``make_mesh({"data": 1, "model": 4, "seq": 2})``; total must
+    equal the device count used."""
+    devices = devices if devices is not None else jax.devices()
+    names = list(axis_sizes.keys())
+    shape = [axis_sizes[n] for n in names]
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(arr, axis_names=names)
+
+
+def transformer_param_specs(cfg: TransformerConfig, model_axis: str = "model"):
+    """PartitionSpec pytree for TP-sharded transformer params.
+
+    Per-layer (stacked) kernels carry a leading layer axis; column-parallel
+    kernels shard the output feature axis, row-parallel the input axis.
+    """
+    m = model_axis
+
+    def rep(tree):
+        return jax.tree.map(lambda _: P(), tree)
+
+    def block_specs():
+        return {
+            "norm1": {
+                "linear": {"kernel": P(None, None, m), "bias": P(None, m)},
+                "norm": {"weight": P(), "bias": P()},
+            },
+            "attn": {
+                "qkv": {"kernel": P(None, None, m), "bias": P(None, m)},
+                "norm_q": {"weight": P(), "bias": P()},
+                "norm_k": {"weight": P(), "bias": P()},
+                "to_out": {"kernel": P(None, m, None), "bias": P(None)},
+            },
+            "norm2": {
+                "linear": {"kernel": P(None, None, m), "bias": P(None, m)},
+                "norm": {"weight": P(), "bias": P()},
+            },
+            "ff": {
+                "net_0": {"kernel": P(None, None, m), "bias": P(None, m)},
+                "net_2": {"kernel": P(None, m, None), "bias": P(None)},
+            },
+        }
+
+    return {
+        "patch_embed": {
+            "proj": {"kernel": P(), "bias": P()},
+            "text_proj": {"kernel": P(), "bias": P()},
+        },
+        "time_embedding": {
+            "linear_1": {"kernel": P(), "bias": P()},
+            "linear_2": {"kernel": P(), "bias": P()},
+        },
+        "blocks": block_specs(),
+        "norm_final": {"weight": P(), "bias": P()},
+        "norm_out": {"linear": {"kernel": P(), "bias": P()}, "norm": {"weight": P(), "bias": P()}},
+        "proj_out": {"kernel": P(), "bias": P()},
+    }
+
+
+def shard_params(params, mesh: Mesh, specs):
+    """Place a param pytree onto the mesh according to a spec pytree."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def default_logical_map(mesh: Mesh) -> Dict[str, Optional[str]]:
+    """Map logical model axes to whatever axes this mesh actually has."""
+    names = set(mesh.axis_names)
+    return {
+        "dp": "data" if "data" in names else None,
+        "tp": "model" if "model" in names else None,
+        "sp": "seq" if "seq" in names else None,
+    }

@@ -1,0 +1,2 @@
+from s2v_tpu.pipelines.denoise import DenoiseSchedule, denoise, guidance_schedule  # noqa: F401
+from s2v_tpu.pipelines.s2v import S2VPipeline  # noqa: F401

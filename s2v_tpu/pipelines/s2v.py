@@ -1,0 +1,254 @@
+"""End-to-end subject-to-video pipeline (reference L5/L7 equivalent).
+
+Orchestrates: T5 prompt encoding (cond + uncond) -> reference-image VAE
+encode -> RoPE table construction -> the jitted CFG denoise loop -> VAE
+decode -> postprocess.  Mirrors ``CustomCogVideoXPipeline.__call__``
+(src/custom_cogvideox_pipe.py:125-326) + the ``inference`` driver
+(src/video_generate.py:7-66) with all shape bookkeeping derived from
+configs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from s2v_tpu.config import (
+    PipelineConfig,
+    SchedulerConfig,
+    T5Config,
+    TransformerConfig,
+    VAEConfig,
+)
+from s2v_tpu.models.t5 import t5_encode
+from s2v_tpu.models.transformer import transformer_forward
+from s2v_tpu.models.vae import gaussian_sample, vae_decode, vae_encode
+from s2v_tpu.pipelines.denoise import DenoiseSchedule, denoise
+from s2v_tpu.ops.rope import build_segmented_rope, prepare_video_and_ref_rope
+from s2v_tpu.utils.video import denormalize_video, load_image
+
+
+@dataclass
+class S2VPipeline:
+    """Holds params + configs; all compute goes through jitted pure functions."""
+
+    transformer_params: dict
+    transformer_cfg: TransformerConfig
+    vae_params: dict
+    vae_cfg: VAEConfig
+    t5_params: Optional[dict] = None
+    t5_cfg: Optional[T5Config] = None
+    scheduler_cfg: SchedulerConfig = field(default_factory=SchedulerConfig)
+    tokenizer: Optional[object] = None  # T5CLSTokenizer
+    attention_backend: str = "xla"
+
+    # ------------------------------------------------------------------
+    # loading (reference src/inference.py:172-247)
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        model_dir: str,
+        lora_checkpoint: Optional[str] = None,
+        lora_alpha: float = 64.0,
+        dtype=jnp.bfloat16,
+        attention_backend: str = "xla",
+    ) -> "S2VPipeline":
+        """Load a HF-layout CogVideoX snapshot dir (transformer/ vae/
+        text_encoder/ tokenizer/ scheduler/) + optional S2V LoRA checkpoint,
+        merged at init."""
+        from s2v_tpu.loaders import (
+            convert_t5_state_dict,
+            convert_transformer_state_dict,
+            convert_vae_state_dict,
+            load_and_merge_lora,
+            load_sharded_safetensors,
+        )
+
+        t_cfg = TransformerConfig.from_hf_config(
+            os.path.join(model_dir, "transformer", "config.json"), dtype=dtype, param_dtype=dtype
+        )
+        sd = load_sharded_safetensors(os.path.join(model_dir, "transformer"))
+        if lora_checkpoint is not None:
+            sd, _ = load_and_merge_lora(sd, lora_checkpoint, alpha=lora_alpha)
+        transformer_params = convert_transformer_state_dict(sd, t_cfg)
+
+        v_cfg = VAEConfig.from_hf_config(
+            os.path.join(model_dir, "vae", "config.json"), dtype=dtype, param_dtype=dtype
+        )
+        vae_params = convert_vae_state_dict(
+            load_sharded_safetensors(os.path.join(model_dir, "vae")), v_cfg
+        )
+
+        t5_dir = os.path.join(model_dir, "text_encoder")
+        t5_params = t5_cfg = tokenizer = None
+        if os.path.isdir(t5_dir):
+            t5_cfg = T5Config.from_hf_config(
+                os.path.join(t5_dir, "config.json"), dtype=dtype, param_dtype=dtype
+            )
+            t5_params = convert_t5_state_dict(load_sharded_safetensors(t5_dir), t5_cfg)
+            from s2v_tpu.utils.tokenizer import T5CLSTokenizer
+
+            try:
+                tokenizer = T5CLSTokenizer.from_checkpoint_dir(model_dir)
+            except Exception:
+                tokenizer = None
+
+        sched_path = os.path.join(model_dir, "scheduler", "scheduler_config.json")
+        scheduler_cfg = (
+            SchedulerConfig.from_hf_config(sched_path) if os.path.exists(sched_path) else SchedulerConfig()
+        )
+        return cls(
+            transformer_params=transformer_params,
+            transformer_cfg=t_cfg,
+            vae_params=vae_params,
+            vae_cfg=v_cfg,
+            t5_params=t5_params,
+            t5_cfg=t5_cfg,
+            scheduler_cfg=scheduler_cfg,
+            tokenizer=tokenizer,
+            attention_backend=attention_backend,
+        )
+
+    # ------------------------------------------------------------------
+    # stages
+    # ------------------------------------------------------------------
+
+    def encode_prompt(
+        self,
+        prompt: Union[str, list],
+        negative_prompt: Union[str, list, None] = None,
+        max_sequence_length: Optional[int] = None,
+        do_cfg: bool = True,
+    ) -> jnp.ndarray:
+        """-> [2B (uncond|cond), T, d_model] (reference encode_prompt
+        :43-123; negative prompt defaults to "").  Sequence length defaults
+        to the transformer's ``max_text_seq_length`` (226 for CogVideoX)."""
+        if self.t5_params is None or self.tokenizer is None:
+            raise ValueError("pipeline loaded without a text encoder/tokenizer; pass prompt_embeds")
+        if max_sequence_length is None:
+            max_sequence_length = self.transformer_cfg.max_text_seq_length
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        ids = self.tokenizer.encode(prompts, max_sequence_length)
+        cond = t5_encode(self.t5_params, self.t5_cfg, jnp.asarray(ids))
+        if not do_cfg:
+            return cond
+        neg = negative_prompt if negative_prompt is not None else ""
+        negs = [neg] * len(prompts) if isinstance(neg, str) else list(neg)
+        neg_ids = self.tokenizer.encode(negs, max_sequence_length)
+        uncond = t5_encode(self.t5_params, self.t5_cfg, jnp.asarray(neg_ids))
+        return jnp.concatenate([uncond, cond], axis=0)
+
+    def encode_ref_image(
+        self, image: Union[str, np.ndarray], rng_key: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        """image (path or [-1,1] float [H, W, 3]) -> scaled ref latents
+        [1, 1, h, w, C] (reference src/video_generate.py:26-38: sampled
+        posterior x scaling_factor; tiled encode engages at 480x720)."""
+        if isinstance(image, str):
+            image = load_image(image)
+        x = jnp.asarray(image, self.vae_cfg.dtype)[None, None]  # [1, 1, H, W, 3]
+        moments = vae_encode(self.vae_params, self.vae_cfg, x)
+        if rng_key is not None:
+            noise = jax.random.normal(
+                rng_key, moments.shape[:-1] + (moments.shape[-1] // 2,), jnp.float32
+            ).astype(moments.dtype)
+        else:
+            noise = None
+        z = gaussian_sample(moments, noise)
+        return z * self.vae_cfg.scaling_factor
+
+    def prepare_rope(self, height: int, width: int, num_latent_frames: int):
+        cfg = self.transformer_cfg
+        if not cfg.use_rotary_positional_embeddings:
+            return None, None
+        vc, vs, rc, rs = prepare_video_and_ref_rope(
+            height,
+            width,
+            num_latent_frames,
+            cfg.attention_head_dim,
+            cfg.patch_size,
+            self.vae_cfg.spatial_compression_ratio,
+        )
+        return build_segmented_rope(cfg.max_text_seq_length, rc, rs, vc, vs)
+
+    def decode_latents(self, latents: jnp.ndarray) -> np.ndarray:
+        """latents [B, F, h, w, C] -> [B, T, H, W, 3] float32 in [0, 1]
+        (reference decode_latents :346-351 + postprocess_video)."""
+        z = latents.astype(self.vae_cfg.dtype) / self.vae_cfg.scaling_factor
+        frames = vae_decode(self.vae_params, self.vae_cfg, z)
+        return denormalize_video(np.asarray(frames.astype(jnp.float32)))
+
+    # ------------------------------------------------------------------
+    # end to end
+    # ------------------------------------------------------------------
+
+    def generate(
+        self,
+        prompt: Optional[str] = None,
+        ref_image: Union[str, np.ndarray, None] = None,
+        negative_prompt: Optional[str] = None,
+        height: int = 480,
+        width: int = 720,
+        num_frames: int = 49,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 6.0,
+        use_dynamic_cfg: bool = False,
+        use_dpm: bool = False,
+        seed: int = 420,
+        latents: Optional[jnp.ndarray] = None,
+        prompt_embeds: Optional[jnp.ndarray] = None,
+        ref_latents: Optional[jnp.ndarray] = None,
+        output_type: str = "np",
+    ):
+        """Generate a clip; returns [B, T, H, W, 3] float in [0,1] (np) or
+        the final latents (output_type="latent")."""
+        cfg = self.transformer_cfg
+        key = jax.random.PRNGKey(seed)
+        k_lat, k_ref, k_dpm = jax.random.split(key, 3)
+
+        do_cfg = guidance_scale > 1.0
+        if prompt_embeds is None:
+            prompt_embeds = self.encode_prompt(prompt, negative_prompt, do_cfg=do_cfg)
+        prompt_embeds = prompt_embeds.astype(cfg.dtype)
+        batch = prompt_embeds.shape[0] // (2 if do_cfg else 1)
+
+        if ref_latents is None:
+            if ref_image is None:
+                raise ValueError("need ref_image or ref_latents")
+            ref_latents = self.encode_ref_image(ref_image, k_ref)
+        ref_latents = ref_latents.astype(cfg.dtype)
+
+        sc = self.vae_cfg.spatial_compression_ratio
+        f_lat = (num_frames - 1) // self.vae_cfg.temporal_compression_ratio + 1
+        h_lat, w_lat = height // sc, width // sc
+        if latents is None:
+            latents = jax.random.normal(
+                k_lat, (batch, f_lat, h_lat, w_lat, cfg.in_channels), jnp.float32
+            )
+        latents = latents.astype(cfg.dtype)
+
+        rope_cos, rope_sin = self.prepare_rope(height, width, f_lat)
+        schedule = DenoiseSchedule.create(
+            self.scheduler_cfg, num_inference_steps, guidance_scale, use_dynamic_cfg, use_dpm
+        )
+
+        run = jax.jit(
+            lambda p, lat, ref, emb: denoise(
+                p, cfg, schedule, lat, ref, emb, rope_cos, rope_sin,
+                do_cfg=do_cfg, rng_key=k_dpm, attention_backend=self.attention_backend,
+            )
+        )
+        final = run(self.transformer_params, latents, ref_latents, prompt_embeds)
+
+        if output_type == "latent":
+            return final
+        return self.decode_latents(final)

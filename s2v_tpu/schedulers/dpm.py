@@ -82,12 +82,20 @@ def dpm_step(
     noise: jnp.ndarray,
     mults: dict,
     prediction_type: str = "v_prediction",
+    noise2: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One DPM step; ``mults`` holds this step's scalar constants
     (entries of :func:`dpm_multipliers` indexed at the loop counter).
 
+    ``noise``/``noise2``: the reference draws fresh gaussian noise for the
+    first-order estimate and *again* for the second-order correction
+    (scheduling_dpm_cogvideox.py:424-433); pass two independent draws for
+    faithful stochastics (noise2 defaults to noise).
+
     Returns (prev_sample, pred_original_sample).
     """
+    if noise2 is None:
+        noise2 = noise
     dt = sample.dtype
     mo = model_output.astype(jnp.float32)
     x = sample.astype(jnp.float32)
@@ -104,7 +112,7 @@ def dpm_step(
 
     first_order = mults["mult1"] * x - mults["mult2"] * x0 + mults["mult_noise"] * noise
     denoised_d = mults["mult3"] * x0 - mults["mult4"] * old_pred_original_sample.astype(jnp.float32)
-    second_order = mults["mult1"] * x - mults["mult2"] * denoised_d + mults["mult_noise"] * noise
+    second_order = mults["mult1"] * x - mults["mult2"] * denoised_d + mults["mult_noise"] * noise2
 
     prev = jnp.where(mults["has_back"] > 0, second_order, first_order)
     return prev.astype(dt), x0.astype(dt)

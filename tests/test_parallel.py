@@ -1,0 +1,83 @@
+"""Multi-chip sharding tests on the 8-device CPU mesh (conftest).
+
+Checks the TPU-new capability (SURVEY.md §2.5): TP/SP-sharded denoise
+compiles with real collectives and matches the single-device result.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from s2v_tpu.config import SchedulerConfig, TransformerConfig
+from s2v_tpu.models.transformer import init_transformer_params, transformer_forward
+from s2v_tpu.parallel import (
+    default_logical_map,
+    make_mesh,
+    mesh_context,
+    shard_params,
+    transformer_param_specs,
+)
+from s2v_tpu.pipelines.denoise import DenoiseSchedule, denoise
+from s2v_tpu.ops.rope import build_segmented_rope, get_3d_rotary_pos_embed
+
+
+def _setup(key=0):
+    cfg = TransformerConfig.tiny()
+    params = init_transformer_params(jax.random.PRNGKey(key), cfg)
+    B, F, H, W = 1, 2, 8, 8
+    lat = jax.random.normal(jax.random.PRNGKey(1), (B, F, H, W, cfg.in_channels), jnp.float32)
+    ref = jax.random.normal(jax.random.PRNGKey(2), (B, 1, H, W, cfg.in_channels), jnp.float32)
+    emb = jax.random.normal(
+        jax.random.PRNGKey(3), (2 * B, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32
+    )
+    gh, gw = H // 2, W // 2
+    cos, sin = get_3d_rotary_pos_embed(cfg.attention_head_dim, ((0, 0), (gh, gw)), (gh, gw), F + 1)
+    tok = gh * gw
+    cs, sn = build_segmented_rope(
+        cfg.max_text_seq_length, cos[:tok], sin[:tok], cos[tok : tok * (F + 1)], sin[tok : tok * (F + 1)]
+    )
+    return cfg, params, lat, ref, emb, cs, sn
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_tp_sharded_denoise_matches_single_device():
+    cfg, params, lat, ref, emb, cs, sn = _setup()
+    sched = DenoiseSchedule.create(SchedulerConfig(), 2, 6.0)
+
+    expected = denoise(params, cfg, sched, lat, ref, emb, cs, sn, do_cfg=True)
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    specs = transformer_param_specs(cfg, "model")
+    sharded = shard_params(params, mesh, specs)
+    with mesh_context(mesh, default_logical_map(mesh)):
+        fn = jax.jit(
+            lambda p, l, r, e: denoise(p, cfg, sched, l, r, e, cs, sn, do_cfg=True)
+        )
+        got = fn(sharded, lat, ref, emb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4, rtol=1e-4)
+
+
+def test_sp_sharded_forward_matches():
+    """Sequence-parallel sharding of the video token axis (BASELINE
+    configs[4]) — GSPMD handles the non-divisible boundary tokens."""
+    cfg, params, lat, ref, emb, cs, sn = _setup()
+    t = jnp.array([500, 500], jnp.int32)
+    lat2 = jnp.concatenate([lat, lat])
+    ref2 = jnp.concatenate([ref, ref])
+
+    expected = transformer_forward(params, cfg, lat2, ref2, emb, t, cs, sn)
+
+    mesh = make_mesh({"seq": 8})
+    with mesh_context(mesh, default_logical_map(mesh)):
+        fn = jax.jit(lambda p, l, r, e: transformer_forward(p, cfg, l, r, e, t, cs, sn))
+        got = fn(params, lat2, ref2, emb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4, rtol=1e-4)
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh({"model": 16})

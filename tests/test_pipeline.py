@@ -1,0 +1,139 @@
+"""Tiny-config end-to-end pipeline tests: the denoise loop, guidance
+schedules, CFG semantics, and the full generate() flow."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from s2v_tpu.config import SchedulerConfig, T5Config, TransformerConfig, VAEConfig
+from s2v_tpu.models.t5 import init_t5_params
+from s2v_tpu.models.transformer import init_transformer_params, transformer_forward
+from s2v_tpu.models.vae import init_vae_params
+from s2v_tpu.pipelines.denoise import DenoiseSchedule, denoise, guidance_schedule
+from s2v_tpu.pipelines.s2v import S2VPipeline
+from s2v_tpu.schedulers.ddim import ddim_step
+from s2v_tpu.ops.rope import build_segmented_rope, get_3d_rotary_pos_embed
+
+
+class _FakeTokenizer:
+    def encode(self, prompts, max_length=226):
+        out = np.zeros((len(prompts), max_length), np.int32)
+        for i, p in enumerate(prompts):
+            ids = [(hash(w) % 100) + 2 for w in p.split()][: max_length - 1] + [1]
+            out[i, : len(ids)] = ids
+        return out
+
+
+def _tiny_pipeline():
+    tcfg = TransformerConfig.tiny()
+    # sample 64x64 -> tile minimum 32x32, so 32x32 test inputs skip tiling
+    # (tiling geometry only closes exactly for the canonical aspect ratios)
+    vcfg = VAEConfig.tiny(latent_channels=tcfg.in_channels, sample_height=64, sample_width=64)
+    t5cfg = T5Config.tiny(d_model=tcfg.text_embed_dim)
+    key = jax.random.PRNGKey(0)
+    return S2VPipeline(
+        transformer_params=init_transformer_params(key, tcfg),
+        transformer_cfg=tcfg,
+        vae_params=init_vae_params(key, vcfg),
+        vae_cfg=vcfg,
+        t5_params=init_t5_params(key, t5cfg),
+        t5_cfg=t5cfg,
+        scheduler_cfg=SchedulerConfig(),
+        tokenizer=_FakeTokenizer(),
+    )
+
+
+def test_guidance_schedule_dynamic_matches_reference_formula():
+    g = guidance_schedule(6.0, 50, True)
+    for i in [0, 10, 49]:
+        expected = 1 + 6.0 * ((1 - math.cos(math.pi * ((50 - i) / 50) ** 5.0)) / 2)
+        assert abs(g[i] - expected) < 1e-6
+    g_static = guidance_schedule(6.0, 50, False)
+    np.testing.assert_array_equal(g_static, np.full(50, 6.0, np.float32))
+
+
+def test_denoise_loop_matches_manual_steps():
+    """fori_loop denoise == hand-rolled python loop of transformer+ddim."""
+    cfg = TransformerConfig.tiny()
+    key = jax.random.PRNGKey(1)
+    params = init_transformer_params(key, cfg)
+    B, F, H, W = 1, 2, 8, 8
+    lat0 = jax.random.normal(jax.random.PRNGKey(2), (B, F, H, W, cfg.in_channels), jnp.float32)
+    ref = jax.random.normal(jax.random.PRNGKey(3), (B, 1, H, W, cfg.in_channels), jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(4), (2 * B, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32)
+
+    gh, gw = H // 2, W // 2
+    cos, sin = get_3d_rotary_pos_embed(cfg.attention_head_dim, ((0, 0), (gh, gw)), (gh, gw), F + 1)
+    tok = gh * gw
+    cs, sn = build_segmented_rope(cfg.max_text_seq_length, cos[:tok], sin[:tok], cos[tok:tok*(F+1)], sin[tok:tok*(F+1)])
+
+    sched = DenoiseSchedule.create(SchedulerConfig(), 4, 6.0, use_dynamic_cfg=True)
+    out = denoise(params, cfg, sched, lat0, ref, emb, cs, sn, do_cfg=True)
+
+    lat = lat0
+    ref2 = jnp.concatenate([ref, ref], axis=0)
+    for i in range(4):
+        lin = jnp.concatenate([lat, lat], axis=0)
+        t = jnp.full((2 * B,), sched.timesteps[i], jnp.int32)
+        pred = transformer_forward(params, cfg, lin, ref2, emb, t, cs, sn).astype(jnp.float32)
+        uncond, cond = jnp.split(pred, 2, axis=0)
+        pred = uncond + sched.guidance[i] * (cond - uncond)
+        lat, _ = ddim_step(pred, lat, sched.alpha_t[i], sched.alpha_prev[i], sched.prediction_type)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(lat), atol=1e-4)
+
+
+def test_no_cfg_path():
+    cfg = TransformerConfig.tiny()
+    params = init_transformer_params(jax.random.PRNGKey(1), cfg)
+    B, F, H, W = 1, 2, 8, 8
+    lat0 = jax.random.normal(jax.random.PRNGKey(2), (B, F, H, W, cfg.in_channels), jnp.float32)
+    ref = jax.random.normal(jax.random.PRNGKey(3), (B, 1, H, W, cfg.in_channels), jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(4), (B, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32)
+    sched = DenoiseSchedule.create(SchedulerConfig(), 2, 1.0)
+    out = denoise(params, cfg, sched, lat0, ref, emb, None, None, do_cfg=False)
+    assert out.shape == lat0.shape and bool(jnp.isfinite(out).all())
+
+
+def test_dpm_denoise_runs():
+    cfg = TransformerConfig.tiny()
+    params = init_transformer_params(jax.random.PRNGKey(1), cfg)
+    B, F, H, W = 1, 2, 8, 8
+    lat0 = jax.random.normal(jax.random.PRNGKey(2), (B, F, H, W, cfg.in_channels), jnp.float32)
+    ref = jax.random.normal(jax.random.PRNGKey(3), (B, 1, H, W, cfg.in_channels), jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(4), (2 * B, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32)
+    sched = DenoiseSchedule.create(SchedulerConfig(), 3, 6.0, use_dpm=True)
+    out = denoise(params, cfg, sched, lat0, ref, emb, None, None, do_cfg=True)
+    assert out.shape == lat0.shape and bool(jnp.isfinite(out).all())
+
+
+def test_generate_end_to_end_tiny():
+    """Full flow: prompt -> T5 -> ref image encode -> denoise -> VAE decode."""
+    pipe = _tiny_pipeline()
+    ref_img = np.random.RandomState(0).rand(32, 32, 3).astype(np.float32) * 2 - 1
+    video = pipe.generate(
+        prompt="<cls> a pig walking",
+        ref_image=ref_img,
+        height=32,
+        width=32,
+        num_frames=9,
+        num_inference_steps=2,
+        guidance_scale=6.0,
+        seed=42,
+    )
+    assert video.shape == (1, 9, 32, 32, 3)
+    assert video.min() >= 0.0 and video.max() <= 1.0
+
+
+def test_generate_latent_output_deterministic():
+    pipe = _tiny_pipeline()
+    ref_img = np.zeros((32, 32, 3), np.float32)
+    kwargs = dict(
+        prompt="x", ref_image=ref_img, height=32, width=32, num_frames=5,
+        num_inference_steps=2, guidance_scale=6.0, seed=7, output_type="latent",
+    )
+    a = pipe.generate(**kwargs)
+    b = pipe.generate(**kwargs)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
