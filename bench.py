@@ -24,14 +24,20 @@ BASELINE_SECONDS = 96.89  # A100 80GB, stock CogVideoX T2V 49x480x720 @50 steps
 
 
 def time_fn(fn, *args, iters=3, warmup=1):
+    """Times with a host fetch per call — ``block_until_ready`` is not a
+    reliable sync point through the axon device relay."""
     import jax
+    import numpy as np
+
+    def run_and_sync():
+        out = fn(*args)
+        return np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
 
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        run_and_sync()
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        run_and_sync()
     return (time.perf_counter() - t0) / iters
 
 
@@ -50,13 +56,19 @@ def main():
     on_tpu = jax.default_backend() != "cpu"
     if on_tpu:
         cfg = TransformerConfig.cogvideox_5b()
-        B, F, H, W = 2, 13, 60, 90
+        # B=1 with sequential CFG (2 forwards/step): the single-chip memory
+        # configuration — 11.1 GB weights + B=2 activations exceed one v5e's
+        # 16 GB HBM.  Identical math/FLOPs to the CFG-batched path
+        # (tests/test_pipeline.py::test_sequential_cfg_matches_batched).
+        B, F, H, W = 1, 13, 60, 90
+        fwd_per_step = 2
         backend = "pallas"
         steps = 50
         vcfg = VAEConfig()
     else:  # smoke mode for hosts without a chip
         cfg = TransformerConfig.tiny()
         B, F, H, W = 2, 2, 8, 8
+        fwd_per_step = 1
         backend = "xla"
         steps = 50
         vcfg = VAEConfig.tiny()
@@ -82,11 +94,12 @@ def main():
         )
 
     step_fn = jax.jit(
-        lambda p, v, r, te, ts: transformer_forward(
-            p, cfg, v, r, te, ts, rope_cos, rope_sin, attention_backend=backend
-        )
+        lambda p, v, r, te, ts, rc, rs: transformer_forward(
+            p, cfg, v, r, te, ts, rc, rs, attention_backend=backend
+        ).astype(jnp.float32).sum()
     )
-    step_time = time_fn(step_fn, params, video, ref, text, t, iters=3, warmup=1)
+    fwd_time = time_fn(step_fn, params, video, ref, text, t, rope_cos, rope_sin, iters=3, warmup=1)
+    step_time = fwd_per_step * fwd_time
 
     # VAE decode: 13 latent frames -> 49 px frames
     vae_params = init_vae_params(jax.random.PRNGKey(1), vcfg)
@@ -94,7 +107,9 @@ def main():
         jax.random.PRNGKey(2),
         (1, F, H, W, vcfg.latent_channels) if on_tpu else (1, 3, 4, 4, vcfg.latent_channels),
     ).astype(vcfg.dtype)
-    decode_fn = jax.jit(lambda p, zz: vae_decode(p, vcfg, zz, use_tiling=False))
+    decode_fn = jax.jit(
+        lambda p, zz: vae_decode(p, vcfg, zz, use_tiling=False).astype(jnp.float32).sum()
+    )
     decode_time = time_fn(decode_fn, vae_params, z, iters=1, warmup=1)
 
     sec_per_clip = steps * step_time + decode_time

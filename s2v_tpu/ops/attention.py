@@ -81,12 +81,40 @@ def joint_attention(
         from s2v_tpu.ops.pallas.flash_attention import flash_attention
 
         out = flash_attention(q, k, v)  # [B, S, H, hd]
+    elif backend == "chunked":
+        out = chunked_attention(q, k, v)
     else:
         out = jax.nn.dot_product_attention(q, k, v)  # [B, S, H, hd]
 
     out = out.reshape(b, s, d)
     out = out @ params["to_out"]["kernel"] + params["to_out"]["bias"]
     return constrain(out, "dp", "sp", None)
+
+
+def chunked_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block_q: int = 1024
+) -> jnp.ndarray:
+    """Memory-bounded attention without Pallas: ``lax.map`` over query
+    blocks keeps logits at O(block_q * S) instead of O(S^2).
+
+    Fallback for hosts where Mosaic kernels are unavailable; numerically
+    identical to full softmax attention (fp32 logits/softmax).
+    """
+    b, s, h, hd = q.shape
+    scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+    pad = (-s) % block_q
+    q_pad = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    n_blocks = q_pad.shape[1] // block_q
+    q_blocks = q_pad.reshape(b, n_blocks, block_q, h, hd).transpose(1, 0, 2, 3, 4)
+
+    def one_block(q_blk):  # [B, bq, H, hd]
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q_blk.astype(jnp.float32), k.astype(jnp.float32))
+        w = jax.nn.softmax(logits * scale, axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", w.astype(v.dtype), v)
+
+    out = jax.lax.map(one_block, q_blocks)  # [n, B, bq, H, hd]
+    out = out.transpose(1, 0, 2, 3, 4).reshape(b, n_blocks * block_q, h, hd)
+    return out[:, :s]
 
 
 def init_attention_params(key, dim: int, num_heads: int, dtype=jnp.float32, fused: bool = True):

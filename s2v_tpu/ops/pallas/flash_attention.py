@@ -57,9 +57,14 @@ def _flash_kernel(
     )
     s = s * scale  # [bq, bk] fp32
 
-    # mask out padded key positions (finite mask value: no NaN rows)
+    # mask out-of-range key positions (finite mask value: no NaN rows).
+    # The final k block may read past seq_len: those s entries are replaced
+    # wholesale here, and the matching v rows are zeroed below so garbage
+    # (potentially NaN bit patterns) cannot leak through 0 * v.
     k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(k_pos < seq_len, s, NEG_INF)
+    v_row = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], 1), 0)
+    v = jnp.where(v_row < seq_len, v, jnp.zeros_like(v))
 
     m_prev = m_scratch[:, :1]  # [bq, 1]
     l_prev = l_scratch[:, :1]
@@ -85,16 +90,6 @@ def _flash_kernel(
         o_ref[0] = (acc_scratch[:] / l).astype(o_ref.dtype)
 
 
-def _pad_to(x, axis, multiple):
-    size = x.shape[axis]
-    pad = (-size) % multiple
-    if pad == 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
-
-
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_k", "scale", "interpret")
 )
@@ -102,8 +97,8 @@ def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,  # swept on v5e at S=19126, d=64: (1024, 1024) best
+    block_k: int = 1024,
     scale: Optional[float] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -112,23 +107,25 @@ def flash_attention(
     q/k/v: ``[B, S, H, d]`` (the layout the transformer produces);
     returns ``[B, S, H, d]``.  Matches ``jax.nn.dot_product_attention`` /
     torch SDPA semantics with the default ``1/sqrt(d)`` scale.
+
+    Internal layout is ``[B*H, S, d]`` (TPU block tiling requires the last
+    two block dims be (8k, 128k)-aligned or full, which rules out blocking a
+    unit head axis); the relayout transposes are ~1 ms of HBM traffic per
+    layer vs ~170 ms of attention compute at full geometry.  The
+    non-divisible sequence tail needs no padding copies: Pallas clips
+    out-of-range query-block writes and the kernel masks out-of-range keys
+    (finite logit) and zeroes their v rows.
     """
     b, s, h, d = q.shape
     if scale is None:
         scale = 1.0 / math.sqrt(d)
 
-    # [B, S, H, d] -> [B*H, S, d]
     def to_bh(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+        return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
 
     qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
-    qb = _pad_to(qb, 1, block_q)
-    kb = _pad_to(kb, 1, block_k)
-    vb = _pad_to(vb, 1, block_k)
-    s_q_pad = qb.shape[1]
-    s_k_pad = kb.shape[1]
-    n_q = s_q_pad // block_q
-    n_k = s_k_pad // block_k
+    n_q = pl.cdiv(s, block_q)
+    n_k = pl.cdiv(s, block_k)
 
     kernel = functools.partial(_flash_kernel, block_k=block_k, seq_len=s, scale=scale)
     grid = (b * h, n_q, n_k)
@@ -142,7 +139,7 @@ def flash_attention(
             pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, s_q_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),  # m
             pltpu.VMEM((block_q, _LANES), jnp.float32),  # l
@@ -153,6 +150,4 @@ def flash_attention(
         ),
         interpret=interpret,
     )(qb, kb, vb)
-
-    out = out[:, :s]  # drop padded queries
     return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)

@@ -101,6 +101,8 @@ def denoise(
     do_cfg: bool = True,
     rng_key: Optional[jnp.ndarray] = None,
     attention_backend: str = "xla",
+    pos_embedding: Optional[jnp.ndarray] = None,  # sincos table (2b models)
+    cfg_mode: str = "batched",  # "batched" (one 2B forward) | "sequential"
 ) -> jnp.ndarray:
     """Run the full denoise loop; returns final latents [B, F, h, w, C].
 
@@ -119,21 +121,36 @@ def denoise(
         rng_key = jax.random.PRNGKey(0)
 
     b = latents.shape[0]
-    # CFG batch: ref tokens are duplicated into the uncond branch too
-    # (reference `eval=True` path).
-    ref_in = jnp.concatenate([ref_latents, ref_latents], axis=0) if do_cfg else ref_latents
+    # CFG: the ref tokens are duplicated into the uncond branch too
+    # (reference `eval=True` path).  "batched" runs uncond|cond as one 2B
+    # forward (reference semantics, best for dp>=2 meshes); "sequential"
+    # runs them as two B forwards — identical math and FLOPs, half the
+    # activation memory (the single-chip configuration for the 5B model).
+    batched_cfg = do_cfg and cfg_mode == "batched"
+    ref_in = jnp.concatenate([ref_latents, ref_latents], axis=0) if batched_cfg else ref_latents
+    if do_cfg and not batched_cfg:
+        emb_uncond, emb_cond = jnp.split(prompt_embeds, 2, axis=0)
 
     def step(i, carry):
         latents, old_x0 = carry
-        latent_in = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
-        t = jnp.full((latent_in.shape[0],), timesteps[i], jnp.int32)
-        noise_pred = transformer_forward(
-            params, cfg, latent_in, ref_in, prompt_embeds, t, rope_cos, rope_sin,
-            attention_backend=attention_backend,
-        ).astype(jnp.float32)
-        if do_cfg:
+        t = jnp.full((2 * b if batched_cfg else b,), timesteps[i], jnp.int32)
+
+        def fwd(lat_in, emb):
+            return transformer_forward(
+                params, cfg, lat_in, ref_in, emb, t, rope_cos, rope_sin,
+                pos_embedding=pos_embedding, attention_backend=attention_backend,
+            ).astype(jnp.float32)
+
+        if batched_cfg:
+            noise_pred = fwd(jnp.concatenate([latents, latents], axis=0), prompt_embeds)
             uncond, cond = jnp.split(noise_pred, 2, axis=0)
             noise_pred = uncond + guidance[i] * (cond - uncond)
+        elif do_cfg:
+            uncond = fwd(latents, emb_uncond)
+            cond = fwd(latents, emb_cond)
+            noise_pred = uncond + guidance[i] * (cond - uncond)
+        else:
+            noise_pred = fwd(latents, prompt_embeds)
 
         if schedule.use_dpm:
             m_i = {k: v[i] for k, v in dpm_mults.items()}

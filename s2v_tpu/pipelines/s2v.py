@@ -208,6 +208,7 @@ class S2VPipeline:
         prompt_embeds: Optional[jnp.ndarray] = None,
         ref_latents: Optional[jnp.ndarray] = None,
         output_type: str = "np",
+        cfg_mode: str = "auto",  # auto: sequential on 1 device, batched on >1
     ):
         """Generate a clip; returns [B, T, H, W, 3] float in [0,1] (np) or
         the final latents (output_type="latent")."""
@@ -237,14 +238,32 @@ class S2VPipeline:
         latents = latents.astype(cfg.dtype)
 
         rope_cos, rope_sin = self.prepare_rope(height, width, f_lat)
+        pos_embedding = None
+        if not cfg.use_rotary_positional_embeddings:
+            # 2b/sincos models: static joint [text | video] table
+            # (reference embeddings.py:381-402); ref tokens get none.
+            from s2v_tpu.ops.sincos import joint_text_video_pos_embedding
+
+            pos_embedding = jnp.asarray(
+                joint_text_video_pos_embedding(
+                    cfg.inner_dim, h_lat, w_lat, num_frames, cfg.patch_size,
+                    self.vae_cfg.temporal_compression_ratio,
+                    cfg.max_text_seq_length,
+                    cfg.spatial_interpolation_scale,
+                    cfg.temporal_interpolation_scale,
+                )
+            )
         schedule = DenoiseSchedule.create(
             self.scheduler_cfg, num_inference_steps, guidance_scale, use_dynamic_cfg, use_dpm
         )
 
+        if cfg_mode == "auto":
+            cfg_mode = "sequential" if len(jax.devices()) == 1 else "batched"
         run = jax.jit(
             lambda p, lat, ref, emb: denoise(
                 p, cfg, schedule, lat, ref, emb, rope_cos, rope_sin,
                 do_cfg=do_cfg, rng_key=k_dpm, attention_backend=self.attention_backend,
+                pos_embedding=pos_embedding, cfg_mode=cfg_mode,
             )
         )
         final = run(self.transformer_params, latents, ref_latents, prompt_embeds)

@@ -85,6 +85,26 @@ def test_denoise_loop_matches_manual_steps():
     np.testing.assert_allclose(np.asarray(out), np.asarray(lat), atol=1e-4)
 
 
+def test_sequential_cfg_matches_batched():
+    """'sequential' CFG (two B-sized forwards) must equal 'batched' (one
+    2B forward) bit-for-bit in fp32."""
+    cfg = TransformerConfig.tiny()
+    params = init_transformer_params(jax.random.PRNGKey(1), cfg)
+    B, F, H, W = 1, 2, 8, 8
+    lat0 = jax.random.normal(jax.random.PRNGKey(2), (B, F, H, W, cfg.in_channels), jnp.float32)
+    ref = jax.random.normal(jax.random.PRNGKey(3), (B, 1, H, W, cfg.in_channels), jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(4), (2 * B, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32)
+    gh, gw = H // 2, W // 2
+    from s2v_tpu.ops.rope import get_3d_rotary_pos_embed
+    cos, sin = get_3d_rotary_pos_embed(cfg.attention_head_dim, ((0, 0), (gh, gw)), (gh, gw), F + 1)
+    tok = gh * gw
+    cs, sn = build_segmented_rope(cfg.max_text_seq_length, cos[:tok], sin[:tok], cos[tok:tok*(F+1)], sin[tok:tok*(F+1)])
+    sched = DenoiseSchedule.create(SchedulerConfig(), 3, 6.0)
+    out_b = denoise(params, cfg, sched, lat0, ref, emb, cs, sn, do_cfg=True, cfg_mode="batched")
+    out_s = denoise(params, cfg, sched, lat0, ref, emb, cs, sn, do_cfg=True, cfg_mode="sequential")
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_s), atol=2e-5)
+
+
 def test_no_cfg_path():
     cfg = TransformerConfig.tiny()
     params = init_transformer_params(jax.random.PRNGKey(1), cfg)
@@ -125,6 +145,31 @@ def test_generate_end_to_end_tiny():
     )
     assert video.shape == (1, 9, 32, 32, 3)
     assert video.min() >= 0.0 and video.max() <= 1.0
+
+
+def test_generate_sincos_2b_path():
+    """CogVideoX-2b-style model: no RoPE, joint sincos positional table."""
+    tcfg = TransformerConfig.tiny(use_rotary_positional_embeddings=False)
+    vcfg = VAEConfig.tiny(latent_channels=tcfg.in_channels, sample_height=64, sample_width=64)
+    t5cfg = T5Config.tiny(d_model=tcfg.text_embed_dim)
+    key = jax.random.PRNGKey(0)
+    pipe = S2VPipeline(
+        transformer_params=init_transformer_params(key, tcfg),
+        transformer_cfg=tcfg,
+        vae_params=init_vae_params(key, vcfg),
+        vae_cfg=vcfg,
+        t5_params=init_t5_params(key, t5cfg),
+        t5_cfg=t5cfg,
+        scheduler_cfg=SchedulerConfig(),
+        tokenizer=_FakeTokenizer(),
+    )
+    ref_img = np.zeros((32, 32, 3), np.float32)
+    out = pipe.generate(
+        prompt="x", ref_image=ref_img, height=32, width=32, num_frames=5,
+        num_inference_steps=1, guidance_scale=6.0, seed=7, output_type="latent",
+    )
+    assert out.shape == (1, 2, 4, 4, tcfg.in_channels)
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
 
 
 def test_generate_latent_output_deterministic():

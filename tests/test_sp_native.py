@@ -1,0 +1,95 @@
+"""Native C++ sentencepiece tokenizer tests.
+
+Builds a tiny sentencepiece ModelProto in raw wire format and checks the
+C++ parser + unigram Viterbi segmentation, including <cls> handling and the
+reference's pad/EOS layout."""
+
+import os
+import shutil
+import struct
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ toolchain")
+
+
+def _varint(n: int) -> bytes:
+    out = b""
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out += bytes([b | 0x80])
+        else:
+            out += bytes([b])
+            return out
+
+
+def _piece(text: str, score: float, ptype: int = 1) -> bytes:
+    body = b"\x0a" + _varint(len(text.encode())) + text.encode()  # field 1
+    body += b"\x15" + struct.pack("<f", score)  # field 2 (float)
+    body += b"\x18" + _varint(ptype)  # field 3 (enum)
+    return b"\x0a" + _varint(len(body)) + body  # ModelProto field 1
+
+
+def build_tiny_spiece(path: str):
+    sp = b""
+    # ids: 0 pad(control) 1 eos(control) 2 unk(UNKNOWN) then vocab
+    sp += _piece("<pad>", 0.0, 3)
+    sp += _piece("</s>", 0.0, 3)
+    sp += _piece("<unk>", 0.0, 2)
+    sp += _piece("▁", -4.0)          # 3: bare space marker
+    sp += _piece("▁a", -2.0)         # 4
+    sp += _piece("▁pig", -1.0)       # 5
+    sp += _piece("▁walk", -1.5)      # 6
+    sp += _piece("ing", -1.2)             # 7
+    sp += _piece("▁walking", -3.5)   # 8 (worse than walk+ing)
+    sp += _piece("p", -5.0)               # 9
+    sp += _piece("i", -5.0)               # 10
+    sp += _piece("g", -5.0)               # 11
+    with open(path, "wb") as f:
+        f.write(sp)
+
+
+@pytest.fixture(scope="module")
+def tok(tmp_path_factory):
+    from s2v_tpu.utils.sp_native import NativeSPTokenizer
+
+    path = str(tmp_path_factory.mktemp("sp") / "spiece.model")
+    build_tiny_spiece(path)
+    return NativeSPTokenizer(path)
+
+
+def test_vocab_and_ids(tok):
+    assert len(tok) == 13  # 12 pieces + <cls>
+    assert tok.piece_to_id("▁pig") == 5
+    assert tok.cls_id == 12
+
+
+def test_viterbi_picks_best_segmentation(tok):
+    ids = tok._encode_one("a pig")
+    assert ids == [4, 5]  # ▁a ▁pig
+    # walk+ing (-2.7) beats walking (-3.5)
+    ids = tok._encode_one("walking")
+    assert ids == [6, 7]
+
+
+def test_unknown_chars(tok):
+    ids = tok._encode_one("pig z")
+    # ▁pig then ▁ + unk(z)
+    assert ids[0] == 5 and tok.unk_id in ids
+
+
+def test_cls_token_and_padding(tok):
+    arr = tok.encode("<cls> a pig", max_length=8)
+    assert arr.shape == (1, 8)
+    assert arr[0, 0] == tok.cls_id
+    assert list(arr[0, 1:4]) == [4, 5, tok.eos_id]
+    assert (arr[0, 4:] == tok.pad_id).all()
+
+
+def test_whitespace_collapsing(tok):
+    a = tok._encode_one("a   pig")
+    b = tok._encode_one("a pig")
+    assert a == b
