@@ -4,17 +4,25 @@ Measures the two dominant phases on the real device with the flagship
 CogVideoX-5b architecture (random weights — identical FLOP/memory profile
 to pretrained):
 
-  * DiT denoise step (CFG batch 2, full 19,126-token sequence, Pallas flash
-    attention) — measured over several steps post-compile;
+  * DiT denoise forward (full 19,126-token sequence, Pallas flash
+    attention, B=1 x 2 forwards/step sequential CFG — the single-chip
+    memory configuration; math identical to CFG-batched, see
+    tests/test_pipeline.py::test_sequential_cfg_matches_batched);
   * VAE decode of 13 latent frames to 49 px frames.
 
-Reports seconds per clip = 50 * step + decode, vs the only published
+Reports seconds per clip = 50 * (2 * fwd) + decode, vs the only published
 reference number: stock CogVideoX-5b T2V on A100-80GB, 96.89 s
 (reference docs cogvideox.md:79-81; see BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Device quirks handled here (see .claude/skills/verify/SKILL.md): timings
+fetch a scalar (block_until_ready is unreliable over the axon relay), the
+Mosaic kernel is warmed with a 1-layer program before the 42-layer compile,
+and a persistent compilation cache is enabled.
 """
 
+import gc
 import json
 import sys
 import time
@@ -26,8 +34,8 @@ BASELINE_SECONDS = 96.89  # A100 80GB, stock CogVideoX T2V 49x480x720 @50 steps
 def time_fn(fn, *args, iters=3, warmup=1):
     """Times with a host fetch per call — ``block_until_ready`` is not a
     reliable sync point through the axon device relay."""
-    import jax
     import numpy as np
+    import jax
 
     def run_and_sync():
         out = fn(*args)
@@ -45,6 +53,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_pcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from s2v_tpu.config import TransformerConfig, VAEConfig
     from s2v_tpu.models.transformer import (
         init_transformer_params_stacked,
@@ -55,61 +69,77 @@ def main():
 
     on_tpu = jax.default_backend() != "cpu"
     if on_tpu:
-        cfg = TransformerConfig.cogvideox_5b()
-        # B=1 with sequential CFG (2 forwards/step): the single-chip memory
-        # configuration — 11.1 GB weights + B=2 activations exceed one v5e's
-        # 16 GB HBM.  Identical math/FLOPs to the CFG-batched path
-        # (tests/test_pipeline.py::test_sequential_cfg_matches_batched).
         B, F, H, W = 1, 13, 60, 90
-        fwd_per_step = 2
+        fwd_per_step = 2  # sequential CFG
         backend = "pallas"
         steps = 50
         vcfg = VAEConfig()
+        layer_plan = (1, 42)  # warm the Mosaic kernel cheaply, then flagship
     else:  # smoke mode for hosts without a chip
-        cfg = TransformerConfig.tiny()
         B, F, H, W = 2, 2, 8, 8
         fwd_per_step = 1
         backend = "xla"
         steps = 50
         vcfg = VAEConfig.tiny()
+        layer_plan = (2,)
 
     key = jax.random.PRNGKey(0)
-    params = init_transformer_params_stacked(key, cfg)
-    video = jax.random.normal(key, (B, F, H, W, cfg.in_channels), jnp.float32).astype(cfg.dtype)
-    ref = jax.random.normal(key, (B, 1, H, W, cfg.in_channels), jnp.float32).astype(cfg.dtype)
-    text = jax.random.normal(key, (B, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32).astype(cfg.dtype)
-    t = jnp.full((B,), 999, jnp.int32)
-
-    if on_tpu:
-        vc, vs, rc, rs = prepare_video_and_ref_rope(480, 720, F, cfg.attention_head_dim)
-        rope_cos, rope_sin = build_segmented_rope(cfg.max_text_seq_length, rc, rs, vc, vs)
-    else:
-        from s2v_tpu.ops.rope import get_3d_rotary_pos_embed
-
-        gh, gw = H // 2, W // 2
-        cos, sin = get_3d_rotary_pos_embed(cfg.attention_head_dim, ((0, 0), (gh, gw)), (gh, gw), F + 1)
-        tok = gh * gw
-        rope_cos, rope_sin = build_segmented_rope(
-            cfg.max_text_seq_length, cos[:tok], sin[:tok], cos[tok : tok * (F + 1)], sin[tok : tok * (F + 1)]
+    fwd_time = None
+    for n_layers in layer_plan:
+        if on_tpu:
+            cfg = TransformerConfig.cogvideox_5b(num_layers=n_layers)
+        else:
+            cfg = TransformerConfig.tiny(num_layers=n_layers)
+        params = init_transformer_params_stacked(key, cfg)
+        jax.block_until_ready(params)
+        video = jax.random.normal(key, (B, F, H, W, cfg.in_channels), cfg.dtype)
+        ref = jax.random.normal(key, (B, 1, H, W, cfg.in_channels), cfg.dtype)
+        text = jax.random.normal(
+            key, (B, cfg.max_text_seq_length, cfg.text_embed_dim), cfg.dtype
         )
+        t = jnp.full((B,), 999, jnp.int32)
+        if on_tpu:
+            vc, vs, rc, rs = prepare_video_and_ref_rope(480, 720, F, cfg.attention_head_dim)
+            rope_cos, rope_sin = build_segmented_rope(cfg.max_text_seq_length, rc, rs, vc, vs)
+        else:
+            from s2v_tpu.ops.rope import get_3d_rotary_pos_embed
 
-    step_fn = jax.jit(
-        lambda p, v, r, te, ts, rc, rs: transformer_forward(
-            p, cfg, v, r, te, ts, rc, rs, attention_backend=backend
-        ).astype(jnp.float32).sum()
-    )
-    fwd_time = time_fn(step_fn, params, video, ref, text, t, rope_cos, rope_sin, iters=3, warmup=1)
+            gh, gw = H // 2, W // 2
+            cos, sin = get_3d_rotary_pos_embed(
+                cfg.attention_head_dim, ((0, 0), (gh, gw)), (gh, gw), F + 1
+            )
+            tok = gh * gw
+            rope_cos, rope_sin = build_segmented_rope(
+                cfg.max_text_seq_length, cos[:tok], sin[:tok],
+                cos[tok : tok * (F + 1)], sin[tok : tok * (F + 1)],
+            )
+
+        step_fn = jax.jit(
+            lambda p, v, r, te, ts, rc_, rs_, cfg=cfg: transformer_forward(
+                p, cfg, v, r, te, ts, rc_, rs_, attention_backend=backend
+            ).astype(jnp.float32).sum()
+        )
+        fwd_time = time_fn(
+            step_fn, params, video, ref, text, t, rope_cos, rope_sin, iters=3, warmup=1
+        )
+        print(f"# layers={n_layers}: fwd={fwd_time*1000:.0f} ms", file=sys.stderr)
+        del params, step_fn, video, ref, text
+        gc.collect()
+
     step_time = fwd_per_step * fwd_time
 
-    # VAE decode: 13 latent frames -> 49 px frames
+    # VAE decode: 13 latent frames -> 49 px frames (transformer params freed)
+    jax.clear_caches()
+    gc.collect()
     vae_params = init_vae_params(jax.random.PRNGKey(1), vcfg)
-    z = jax.random.normal(
-        jax.random.PRNGKey(2),
-        (1, F, H, W, vcfg.latent_channels) if on_tpu else (1, 3, 4, 4, vcfg.latent_channels),
-    ).astype(vcfg.dtype)
-    decode_fn = jax.jit(
-        lambda p, zz: vae_decode(p, vcfg, zz, use_tiling=False).astype(jnp.float32).sum()
-    )
+    z_shape = (1, F, H, W, vcfg.latent_channels) if on_tpu else (1, 3, 4, 4, vcfg.latent_channels)
+    z = jax.random.normal(jax.random.PRNGKey(2), z_shape).astype(vcfg.dtype)
+
+    # host-driven chunk streaming (each chunk is its own jitted program —
+    # one fused 480p decode program needs >22 GB HBM); timed eagerly.
+    def decode_fn(p, zz):
+        return vae_decode(p, vcfg, zz, use_tiling=on_tpu).astype(jnp.float32).sum()
+
     decode_time = time_fn(decode_fn, vae_params, z, iters=1, warmup=1)
 
     sec_per_clip = steps * step_time + decode_time
@@ -124,9 +154,9 @@ def main():
         )
     )
     print(
-        f"# detail: dit_step={step_time*1000:.1f} ms ({1/step_time:.2f} steps/s), "
-        f"vae_decode={decode_time:.2f} s ({(49 if on_tpu else 9)/decode_time:.1f} frames/s), "
-        f"backend={backend}, devices={jax.devices()}",
+        f"# detail: dit_fwd={fwd_time*1000:.1f} ms x{fwd_per_step}/step "
+        f"({1/step_time:.3f} steps/s), vae_decode={decode_time:.2f} s "
+        f"({(49 if on_tpu else 9)/decode_time:.1f} frames/s), backend={backend}",
         file=sys.stderr,
     )
 

@@ -112,7 +112,9 @@ def init_transformer_params_stacked(key, cfg: TransformerConfig, scale: float = 
     keys = iter(jax.random.split(key, 32))
 
     def w(shape):
-        return (jax.random.normal(next(keys), shape, jnp.float32) * scale).astype(dt)
+        # generate directly in the target dtype: an fp32 intermediate for the
+        # biggest kernel would transiently cost 6+ GB on a 16 GB chip
+        return jax.random.normal(next(keys), shape, dt) * jnp.asarray(scale, dt)
 
     def z(shape):
         return jnp.zeros(shape, dt)

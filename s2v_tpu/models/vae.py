@@ -205,6 +205,16 @@ def _chunk_bounds(num_frames: int, chunk: int):
     return bounds
 
 
+# Chunk-level forwards are jitted individually (cfg static): the host drives
+# the streaming loop, so peak HBM is ONE chunk's activations regardless of
+# clip length — tracing the whole 6-chunk x 4-tile decode into a single XLA
+# program needs >22 GB at 480p.  Two shapes compile (the remainder-carrying
+# first chunk and the steady-state chunk); every later tile/chunk reuses
+# them.  Inside an outer jit these calls inline, preserving pure semantics.
+_encoder_forward_jit = jax.jit(encoder_forward, static_argnums=(1,))
+_decoder_forward_jit = jax.jit(decoder_forward, static_argnums=(1,))
+
+
 def _streamed(forward, params, cfg, x, chunk: int):
     outs = []
     cache = None
@@ -216,12 +226,12 @@ def _streamed(forward, params, cfg, x, chunk: int):
 
 def _encode_plain(params, cfg: VAEConfig, x):
     enc = params["encoder"] if "encoder" in params else params
-    return _streamed(encoder_forward, enc, cfg, x, cfg.num_sample_frames_batch_size)
+    return _streamed(_encoder_forward_jit, enc, cfg, x, cfg.num_sample_frames_batch_size)
 
 
 def _decode_plain(params, cfg: VAEConfig, z):
     dec = params["decoder"] if "decoder" in params else params
-    return _streamed(decoder_forward, dec, cfg, z, cfg.num_latent_frames_batch_size)
+    return _streamed(_decoder_forward_jit, dec, cfg, z, cfg.num_latent_frames_batch_size)
 
 
 def blend_v(a, b, extent: int):
@@ -290,20 +300,30 @@ def _tiled(params, cfg: VAEConfig, x, encode: bool):
 # ---------------------------------------------------------------------------
 
 
-def vae_encode(params, cfg: VAEConfig, x, use_tiling: bool = True):
+def vae_encode(params, cfg: VAEConfig, x, use_tiling: bool = True, use_slicing: bool = True):
     """Pixel video [B, T, H, W, 3] -> posterior moments [B, T', h, w, 2*latent].
 
     Tiling engages when the frame exceeds the tile minimum (reference
     :1180-1181) — true for the default 480x720 inputs, and required for
-    bit-parity with the reference's default-enabled tiling.
+    bit-parity with the reference's default-enabled tiling.  Slicing
+    (reference enable_slicing, :1219-1223) processes batch items one at a
+    time to bound memory; identical results since items are independent.
     """
+    if use_slicing and x.shape[0] > 1:
+        return jnp.concatenate(
+            [vae_encode(params, cfg, x[i : i + 1], use_tiling, False) for i in range(x.shape[0])]
+        )
     if use_tiling and (x.shape[2] > cfg.tile_sample_min_height or x.shape[3] > cfg.tile_sample_min_width):
         return _tiled(params, cfg, x, encode=True)
     return _encode_plain(params, cfg, x)
 
 
-def vae_decode(params, cfg: VAEConfig, z, use_tiling: bool = True):
+def vae_decode(params, cfg: VAEConfig, z, use_tiling: bool = True, use_slicing: bool = True):
     """Latents [B, T, h, w, latent] -> pixels [B, T', H, W, 3]."""
+    if use_slicing and z.shape[0] > 1:
+        return jnp.concatenate(
+            [vae_decode(params, cfg, z[i : i + 1], use_tiling, False) for i in range(z.shape[0])]
+        )
     if use_tiling and (z.shape[2] > cfg.tile_latent_min_height or z.shape[3] > cfg.tile_latent_min_width):
         return _tiled(params, cfg, z, encode=False)
     return _decode_plain(params, cfg, z)

@@ -170,3 +170,81 @@ def denoise(
     init = (latents, jnp.zeros_like(latents))
     final, _ = jax.lax.fori_loop(0, n_steps, step, init)
     return final
+
+
+def make_segmented_denoise(
+    params,
+    cfg: TransformerConfig,
+    schedule: DenoiseSchedule,
+    rope_cos,
+    rope_sin,
+    do_cfg: bool = True,
+    rng_key: Optional[jnp.ndarray] = None,
+    attention_backend: str = "xla",
+    pos_embedding: Optional[jnp.ndarray] = None,
+    cfg_mode: str = "batched",
+):
+    """Host-steppable denoise: returns ``run(carry, ref, emb, i0, i1)``.
+
+    One compiled program executes steps ``[i0, i1)`` (bounds are traced
+    scalars, so every segment size reuses the same executable).  This is the
+    TPU-native shape of the reference's cooperative ``interrupt`` flag and
+    ``callback_on_step_end`` (custom_cogvideox_pipe.py:242-243, 299-305):
+    the host can stop between segments or inspect/modify latents.
+
+    carry = (latents, old_pred_original_sample).
+    """
+
+    @jax.jit
+    def run(carry, ref_latents, prompt_embeds, i0, i1):
+        latents, old_x0 = carry
+        timesteps = jnp.asarray(schedule.timesteps, jnp.int32)
+        alpha_t = jnp.asarray(schedule.alpha_t)
+        alpha_prev = jnp.asarray(schedule.alpha_prev)
+        guidance = jnp.asarray(schedule.guidance)
+        dpm_mults = (
+            {k: jnp.asarray(v) for k, v in schedule.dpm_mults.items()}
+            if schedule.use_dpm
+            else None
+        )
+        key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+        b = latents.shape[0]
+        batched_cfg = do_cfg and cfg_mode == "batched"
+        ref_in = (
+            jnp.concatenate([ref_latents, ref_latents], axis=0) if batched_cfg else ref_latents
+        )
+        if do_cfg and not batched_cfg:
+            emb_uncond, emb_cond = jnp.split(prompt_embeds, 2, axis=0)
+
+        def step(i, c):
+            lat, old = c
+            t = jnp.full((2 * b if batched_cfg else b,), timesteps[i], jnp.int32)
+
+            def fwd(lat_in, emb):
+                return transformer_forward(
+                    params, cfg, lat_in, ref_in, emb, t, rope_cos, rope_sin,
+                    pos_embedding=pos_embedding, attention_backend=attention_backend,
+                ).astype(jnp.float32)
+
+            if batched_cfg:
+                pred = fwd(jnp.concatenate([lat, lat], axis=0), prompt_embeds)
+                uncond, cond = jnp.split(pred, 2, axis=0)
+                pred = uncond + guidance[i] * (cond - uncond)
+            elif do_cfg:
+                pred = fwd(lat, emb_uncond)
+                pred = pred + guidance[i] * (fwd(lat, emb_cond) - pred)
+            else:
+                pred = fwd(lat, prompt_embeds)
+
+            if schedule.use_dpm:
+                m_i = {k: v[i] for k, v in dpm_mults.items()}
+                n1 = jax.random.normal(jax.random.fold_in(key, 2 * i), lat.shape, jnp.float32)
+                n2 = jax.random.normal(jax.random.fold_in(key, 2 * i + 1), lat.shape, jnp.float32)
+                new_lat, x0 = dpm_step(pred, lat, old, n1, m_i, schedule.prediction_type, noise2=n2)
+            else:
+                new_lat, x0 = ddim_step(pred, lat, alpha_t[i], alpha_prev[i], schedule.prediction_type)
+            return new_lat.astype(lat.dtype), x0.astype(lat.dtype)
+
+        return jax.lax.fori_loop(i0, i1, step, (latents, old_x0))
+
+    return run

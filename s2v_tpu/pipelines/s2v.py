@@ -216,16 +216,20 @@ class S2VPipeline:
         key = jax.random.PRNGKey(seed)
         k_lat, k_ref, k_dpm = jax.random.split(key, 3)
 
+        from s2v_tpu.utils.logging import phase
+
         do_cfg = guidance_scale > 1.0
         if prompt_embeds is None:
-            prompt_embeds = self.encode_prompt(prompt, negative_prompt, do_cfg=do_cfg)
+            with phase("encode-prompt"):
+                prompt_embeds = self.encode_prompt(prompt, negative_prompt, do_cfg=do_cfg)
         prompt_embeds = prompt_embeds.astype(cfg.dtype)
         batch = prompt_embeds.shape[0] // (2 if do_cfg else 1)
 
         if ref_latents is None:
             if ref_image is None:
                 raise ValueError("need ref_image or ref_latents")
-            ref_latents = self.encode_ref_image(ref_image, k_ref)
+            with phase("encode-ref-image"):
+                ref_latents = self.encode_ref_image(ref_image, k_ref)
         ref_latents = ref_latents.astype(cfg.dtype)
 
         sc = self.vae_cfg.spatial_compression_ratio
@@ -266,8 +270,11 @@ class S2VPipeline:
                 pos_embedding=pos_embedding, cfg_mode=cfg_mode,
             )
         )
-        final = run(self.transformer_params, latents, ref_latents, prompt_embeds)
+        with phase("denoise", log=True):
+            final = run(self.transformer_params, latents, ref_latents, prompt_embeds)
+            final.block_until_ready()
 
         if output_type == "latent":
             return final
-        return self.decode_latents(final)
+        with phase("vae-decode", log=True):
+            return self.decode_latents(final)

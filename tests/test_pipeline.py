@@ -147,6 +147,33 @@ def test_generate_end_to_end_tiny():
     assert video.min() >= 0.0 and video.max() <= 1.0
 
 
+def test_segmented_denoise_matches_full():
+    """Host-steppable segmented loop (interrupt/callback support) must match
+    the fused loop exactly."""
+    from s2v_tpu.pipelines.denoise import make_segmented_denoise
+
+    cfg = TransformerConfig.tiny()
+    params = init_transformer_params(jax.random.PRNGKey(1), cfg)
+    B, F, H, W = 1, 2, 8, 8
+    lat0 = jax.random.normal(jax.random.PRNGKey(2), (B, F, H, W, cfg.in_channels), jnp.float32)
+    ref = jax.random.normal(jax.random.PRNGKey(3), (B, 1, H, W, cfg.in_channels), jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(4), (2 * B, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32)
+    from s2v_tpu.ops.rope import get_3d_rotary_pos_embed
+    gh, gw = H // 2, W // 2
+    cos, sin = get_3d_rotary_pos_embed(cfg.attention_head_dim, ((0, 0), (gh, gw)), (gh, gw), F + 1)
+    tok = gh * gw
+    cs, sn = build_segmented_rope(cfg.max_text_seq_length, cos[:tok], sin[:tok], cos[tok:tok*(F+1)], sin[tok:tok*(F+1)])
+    sched = DenoiseSchedule.create(SchedulerConfig(), 4, 6.0)
+
+    full = denoise(params, cfg, sched, lat0, ref, emb, cs, sn, do_cfg=True)
+
+    run = make_segmented_denoise(params, cfg, sched, cs, sn, do_cfg=True)
+    carry = (lat0, jnp.zeros_like(lat0))
+    carry = run(carry, ref, emb, 0, 1)    # segment 1: step 0
+    carry = run(carry, ref, emb, 1, 4)    # segment 2: steps 1-3
+    np.testing.assert_allclose(np.asarray(full), np.asarray(carry[0]), atol=1e-5)
+
+
 def test_generate_sincos_2b_path():
     """CogVideoX-2b-style model: no RoPE, joint sincos positional table."""
     tcfg = TransformerConfig.tiny(use_rotary_positional_embeddings=False)
