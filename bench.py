@@ -135,12 +135,19 @@ def main():
     z_shape = (1, F, H, W, vcfg.latent_channels) if on_tpu else (1, 3, 4, 4, vcfg.latent_channels)
     z = jax.random.normal(jax.random.PRNGKey(2), z_shape).astype(vcfg.dtype)
 
-    # host-driven chunk streaming (each chunk is its own jitted program —
-    # one fused 480p decode program needs >22 GB HBM); timed eagerly.
+    # tiled + host-streamed decode (the reference's default geometry: a
+    # fused full-frame 480p decode program needs >22 GB HBM).  Each
+    # tile-chunk is its own jitted program with donated cache buffers.
+    # Timed eagerly; retried once because the remote compile service
+    # occasionally drops a connection.
     def decode_fn(p, zz):
         return vae_decode(p, vcfg, zz, use_tiling=on_tpu).astype(jnp.float32).sum()
 
-    decode_time = time_fn(decode_fn, vae_params, z, iters=1, warmup=1)
+    try:
+        decode_time = time_fn(decode_fn, vae_params, z, iters=1, warmup=1)
+    except Exception as e:  # transient remote-compile failure: one retry
+        print(f"# vae decode retry after: {type(e).__name__}", file=sys.stderr)
+        decode_time = time_fn(decode_fn, vae_params, z, iters=1, warmup=1)
 
     sec_per_clip = steps * step_time + decode_time
     print(

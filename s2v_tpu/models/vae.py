@@ -211,8 +211,10 @@ def _chunk_bounds(num_frames: int, chunk: int):
 # program needs >22 GB at 480p.  Two shapes compile (the remainder-carrying
 # first chunk and the steady-state chunk); every later tile/chunk reuses
 # them.  Inside an outer jit these calls inline, preserving pure semantics.
-_encoder_forward_jit = jax.jit(encoder_forward, static_argnums=(1,))
-_decoder_forward_jit = jax.jit(decoder_forward, static_argnums=(1,))
+# cache buffers are donated: each chunk consumes the previous chunk's cache
+# pytree (~2.5 GB at 480p) and emits a new one — donation reuses the HBM.
+_encoder_forward_jit = jax.jit(encoder_forward, static_argnums=(1,), donate_argnums=(3,))
+_decoder_forward_jit = jax.jit(decoder_forward, static_argnums=(1,), donate_argnums=(3,))
 
 
 def _streamed(forward, params, cfg, x, chunk: int):

@@ -1,0 +1,7 @@
+from s2v_tpu.training.lora import (  # noqa: F401
+    LoRASpec,
+    init_lora_params,
+    merge_lora_params,
+    lora_loss_fn,
+    make_lora_train_step,
+)

@@ -1,0 +1,211 @@
+"""TPU-native LoRA fine-tuning for the 3-stream S2V transformer.
+
+The reference releases no trainer (README: fine-tuning code not released;
+the upstream diffusers LoRA trainers in examples/cogvideo are stock
+templates with no S2V hooks — SURVEY.md §2.3).  This module supplies the
+missing capability the reference's LoRA checkpoints came from: adapters of
+rank r / scale alpha/r on the 9 reference target families
+(src/inference.py:218-225 — attention projections, conv patch embed,
+text_proj, both adaLN modulation linears, ff.net.2), trained with the
+v-prediction objective on the frozen base model.
+
+Design: LoRA params live in a separate pytree mirroring the kernels they
+adapt; the forward pass merges ``W + (alpha/r) A @ B`` *functionally inside
+the loss*, so gradients flow only into A/B (the base tree is a frozen
+constant under ``jax.grad``).  One jitted ``train_step`` = forward + grad +
+optax update; multi-chip training shards the batch over ``data`` and the
+merged weights inherit the TP shardings of the base params.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from s2v_tpu.config import SchedulerConfig, TransformerConfig
+from s2v_tpu.models.transformer import transformer_forward
+from s2v_tpu.schedulers.ddim import add_noise, compute_alphas_cumprod, get_velocity
+
+
+# target paths are (tree-path, kernel) pairs inside the params pytree;
+# per-layer stacked kernels carry the leading [L, in, out] axis.
+_TARGETS = {
+    "qkv": ("blocks", "attn", "qkv"),  # covers to_q/to_k/to_v (fused)
+    "to_out": ("blocks", "attn", "to_out"),
+    "norm1.linear": ("blocks", "norm1", "linear"),
+    "norm2.linear": ("blocks", "norm2", "linear"),
+    "ff.net.2": ("blocks", "ff", "net_2"),
+    "patch_proj": ("patch_embed", "proj"),
+    "text_proj": ("patch_embed", "text_proj"),
+}
+
+
+@dataclass(frozen=True)
+class LoRASpec:
+    rank: int = 128
+    alpha: float = 64.0
+    targets: Tuple[str, ...] = tuple(_TARGETS.keys())
+
+    @property
+    def scale(self) -> float:
+        return self.alpha / self.rank
+
+
+def _kernel_at(params, path):
+    node = params
+    for p in path:
+        node = node[p]
+    return node["kernel"]
+
+
+def init_lora_params(key, base_params, spec: LoRASpec, dtype=jnp.float32):
+    """A ~ N(0, 1/r) (PEFT-style kaiming-ish), B = 0 — so the adapted model
+    starts exactly at the base model."""
+    lora = {}
+    keys = jax.random.split(key, len(spec.targets))
+    for k, name in zip(keys, spec.targets):
+        kernel = _kernel_at(base_params, _TARGETS[name])
+        *lead, d_in, d_out = kernel.shape
+        a = jax.random.normal(k, (*lead, d_in, spec.rank), dtype) / np.sqrt(spec.rank)
+        b = jnp.zeros((*lead, spec.rank, d_out), dtype)
+        lora[name] = {"a": a, "b": b}
+    return lora
+
+
+def merge_lora_params(base_params, lora_params, spec: LoRASpec):
+    """Functional merge: returns a new tree with
+    ``kernel + scale * a @ b`` at each target (gradient flows to a/b)."""
+    merged = jax.tree.map(lambda x: x, base_params)  # shallow-ish copy
+
+    def set_kernel(tree, path, new_kernel):
+        node = tree
+        for p in path[:-1]:
+            node = node[p]
+        leaf = dict(node[path[-1]])
+        leaf["kernel"] = new_kernel
+        node[path[-1]] = leaf
+
+    # rebuild nested dicts along each path so we don't mutate the base tree
+    def copy_along(tree, path):
+        node = tree
+        for p in path:
+            node[p] = dict(node[p])
+            node = node[p]
+
+    for name, ab in lora_params.items():
+        path = _TARGETS[name]
+        copy_along(merged, path[:-1])
+        kernel = _kernel_at(base_params, path)
+        delta = jnp.einsum("...ir,...ro->...io", ab["a"], ab["b"]) * spec.scale
+        set_kernel(merged, path, kernel + delta.astype(kernel.dtype))
+    return merged
+
+
+def lora_loss_fn(
+    lora_params,
+    base_params,
+    cfg: TransformerConfig,
+    spec: LoRASpec,
+    batch: Dict[str, jnp.ndarray],
+    alphas_cumprod: jnp.ndarray,
+    rng: jnp.ndarray,
+):
+    """v-prediction MSE on noised video latents (the CogVideoX objective).
+
+    batch: {"video_latents" [B,F,h,w,C], "ref_latents" [B,1,h,w,C],
+            "text_embeds" [B,T,txt], optional "rope_cos"/"rope_sin"}.
+    """
+    params = merge_lora_params(base_params, lora_params, spec)
+    x0 = batch["video_latents"]
+    b = x0.shape[0]
+    k_t, k_n = jax.random.split(rng)
+    t = jax.random.randint(k_t, (b,), 0, alphas_cumprod.shape[0])
+    noise = jax.random.normal(k_n, x0.shape, jnp.float32).astype(x0.dtype)
+    noisy = add_noise(x0, noise, alphas_cumprod, t)
+    target = get_velocity(x0, noise, alphas_cumprod, t)
+    pred = transformer_forward(
+        params,
+        cfg,
+        noisy,
+        batch["ref_latents"],
+        batch["text_embeds"],
+        t,
+        batch.get("rope_cos"),
+        batch.get("rope_sin"),
+    )
+    return jnp.mean(jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32)))
+
+
+def make_lora_train_step(
+    base_params,
+    cfg: TransformerConfig,
+    spec: LoRASpec,
+    scheduler_cfg: Optional[SchedulerConfig] = None,
+    learning_rate: float = 1e-4,
+):
+    """Returns (init_opt_state, train_step) with train_step jitted:
+    ``(lora, opt_state, batch, rng) -> (lora, opt_state, loss)``."""
+    import optax
+
+    alphas = jnp.asarray(compute_alphas_cumprod(scheduler_cfg or SchedulerConfig()))
+    tx = optax.adamw(learning_rate)
+
+    def init_opt_state(lora_params):
+        return tx.init(lora_params)
+
+    @jax.jit
+    def train_step(lora_params, opt_state, batch, rng):
+        loss, grads = jax.value_and_grad(lora_loss_fn)(
+            lora_params, base_params, cfg, spec, batch, alphas, rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, lora_params)
+        lora_params = optax.apply_updates(lora_params, updates)
+        return lora_params, opt_state, loss
+
+    return init_opt_state, train_step
+
+
+def export_lora_to_reference_format(lora_params, spec: LoRASpec, cfg: TransformerConfig):
+    """Export trained adapters as a diffusers-convention state dict
+    (``transformer.<module>.lora_A/lora_B.weight`` torch layouts) loadable
+    by both this framework's merge path and the reference stack.
+
+    The fused qkv adapter is split into per-projection to_q/to_k/to_v
+    entries (B columns partition exactly; A is shared across the three)."""
+    out = {}
+    d = cfg.inner_dim
+
+    def put(module, a, b):
+        # ours: a [in, r], b [r, out]; torch: lora_A [r, in], lora_B [out, r]
+        out[f"transformer.{module}.lora_A.weight"] = np.asarray(a.T, np.float32)
+        out[f"transformer.{module}.lora_B.weight"] = np.asarray(b.T, np.float32)
+
+    for name, ab in lora_params.items():
+        a, b = np.asarray(ab["a"], np.float32), np.asarray(ab["b"], np.float32)
+        if name == "qkv":
+            for i in range(a.shape[0]):
+                for j, proj in enumerate(["to_q", "to_k", "to_v"]):
+                    put(f"transformer_blocks.{i}.attn1.{proj}", a[i], b[i][:, j * d : (j + 1) * d])
+        elif name in ("to_out", "norm1.linear", "norm2.linear", "ff.net.2"):
+            hf = {"to_out": "attn1.to_out.0", "norm1.linear": "norm1.linear",
+                  "norm2.linear": "norm2.linear", "ff.net.2": "ff.net.2"}[name]
+            for i in range(a.shape[0]):
+                put(f"transformer_blocks.{i}.{hf}", a[i], b[i])
+        elif name == "text_proj":
+            put("patch_embed.text_proj", a, b)
+        elif name == "patch_proj":
+            # matmul-form [p*p*C, r] x [r, D]; torch conv LoRA is
+            # A conv [r, C, p, p], B conv [D, r, 1, 1]
+            p = cfg.patch_size
+            c = cfg.in_channels
+            r = a.shape[-1]
+            a_conv = a.reshape(p, p, c, r).transpose(3, 2, 0, 1)  # [r, C, p, p]
+            b_conv = b.T.reshape(d, r, 1, 1)
+            out["transformer.patch_embed.proj.lora_A.weight"] = np.asarray(a_conv, np.float32)
+            out["transformer.patch_embed.proj.lora_B.weight"] = np.asarray(b_conv, np.float32)
+    return out
