@@ -83,6 +83,16 @@ def joint_attention(
         out = flash_attention(q, k, v)  # [B, S, H, hd]
     elif backend == "chunked":
         out = chunked_attention(q, k, v)
+    elif backend == "ring":
+        # sequence-parallel exact attention over the active mesh's seq axis
+        from s2v_tpu.parallel.context import active_mesh, active_axis
+        from s2v_tpu.parallel.ring_attention import ring_attention
+
+        mesh = active_mesh()
+        axis = active_axis("sp")
+        if mesh is None or axis is None:
+            raise ValueError("ring attention needs an active mesh with an 'sp' axis")
+        out = ring_attention(q, k, v, mesh, axis_name=axis)
     else:
         out = jax.nn.dot_product_attention(q, k, v)  # [B, S, H, hd]
 

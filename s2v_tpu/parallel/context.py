@@ -45,3 +45,9 @@ def constrain(x, *logical_axes):
 
 def active_mesh() -> Optional[Mesh]:
     return _ACTIVE["mesh"]
+
+
+def active_axis(logical: str) -> Optional[str]:
+    """Mesh axis name a logical axis ("dp"/"tp"/"sp") is mapped to, if any."""
+    mapping = _ACTIVE["map"]
+    return mapping.get(logical) if mapping else None

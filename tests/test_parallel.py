@@ -115,6 +115,26 @@ def test_ring_attention_cross_shard_softmax():
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=3e-5, rtol=1e-4)
 
 
+def test_ring_backend_in_transformer():
+    """attention_backend='ring' (sequence-parallel DiT) matches the XLA
+    backend on an 8-device seq mesh."""
+    cfg, params, lat, ref, emb, cs, sn = _setup()
+    t = jnp.array([500, 500], jnp.int32)
+    lat2 = jnp.concatenate([lat, lat])
+    ref2 = jnp.concatenate([ref, ref])
+    expected = transformer_forward(params, cfg, lat2, ref2, emb, t, cs, sn)
+
+    mesh = make_mesh({"seq": 8})
+    with mesh_context(mesh, default_logical_map(mesh)):
+        fn = jax.jit(
+            lambda p, l, r, e: transformer_forward(
+                p, cfg, l, r, e, t, cs, sn, attention_backend="ring"
+            )
+        )
+        got = fn(params, lat2, ref2, emb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4, rtol=1e-4)
+
+
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh({"model": 16})
