@@ -15,6 +15,7 @@ arrays indexed by the loop counter, DPM noise drawn with ``fold_in`` keys.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from dataclasses import dataclass
 from functools import partial
@@ -88,6 +89,24 @@ class DenoiseSchedule:
             dpm_mults=mults,
         )
 
+    def truncate(self, strength: float) -> "DenoiseSchedule":
+        """V2V partial denoising: keep the last ``strength`` fraction of
+        steps (reference get_timesteps, pipeline_cogvideox_video2video.py
+        :408-415)."""
+        n = len(self.timesteps)
+        init_timestep = min(int(n * strength), n)
+        t_start = max(n - init_timestep, 0)
+        return dataclasses.replace(
+            self,
+            timesteps=self.timesteps[t_start:],
+            alpha_t=self.alpha_t[t_start:],
+            alpha_prev=self.alpha_prev[t_start:],
+            guidance=self.guidance[t_start:],
+            dpm_mults=(
+                {k: v[t_start:] for k, v in self.dpm_mults.items()} if self.dpm_mults else None
+            ),
+        )
+
 
 def denoise(
     params,
@@ -103,6 +122,7 @@ def denoise(
     attention_backend: str = "xla",
     pos_embedding: Optional[jnp.ndarray] = None,  # sincos table (2b models)
     cfg_mode: str = "batched",  # "batched" (one 2B forward) | "sequential"
+    cond_latents: Optional[jnp.ndarray] = None,  # I2V: channel-concat condition
 ) -> jnp.ndarray:
     """Run the full denoise loop; returns final latents [B, F, h, w, C].
 
@@ -136,6 +156,14 @@ def denoise(
         t = jnp.full((2 * b if batched_cfg else b,), timesteps[i], jnp.int32)
 
         def fwd(lat_in, emb):
+            if cond_latents is not None:
+                # I2V conditioning: image latents (frame-0 + zero padding)
+                # concatenated channel-wise each step (reference
+                # pipeline_cogvideox_image2video.py:382-391, loop :744)
+                cond = cond_latents
+                if lat_in.shape[0] != cond.shape[0]:
+                    cond = jnp.concatenate([cond, cond], axis=0)
+                lat_in = jnp.concatenate([lat_in, cond.astype(lat_in.dtype)], axis=-1)
             return transformer_forward(
                 params, cfg, lat_in, ref_in, emb, t, rope_cos, rope_sin,
                 pos_embedding=pos_embedding, attention_backend=attention_backend,
