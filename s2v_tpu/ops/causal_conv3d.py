@@ -17,11 +17,42 @@ TPU-first notes:
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# Temporal-halo mode: inside a shard_map over frame chunks, causal convs get
+# their (kt-1)-frame cache from the ring neighbour via ppermute instead of a
+# host-carried value — the true context-parallel version of the reference's
+# single-device ``fake_context_parallel_forward`` cache threading
+# (SURVEY.md §2.5).  All devices advance layers in lockstep, so each halo
+# exchange is one neighbour hop that overlaps with compute.
+_HALO = {"axis": None}
+
+
+@contextlib.contextmanager
+def temporal_halo(axis_name: str):
+    prev = _HALO["axis"]
+    _HALO["axis"] = axis_name
+    try:
+        yield
+    finally:
+        _HALO["axis"] = prev
+
+
+def _halo_cache(x: jnp.ndarray, kt: int, axis_name: str) -> jnp.ndarray:
+    """Receive the previous chunk's input tail from the ring neighbour;
+    the first device replicate-pads its own first frame (reference
+    fake_context_parallel_forward semantics)."""
+    ring = lax.psum(1, axis_name)
+    tail = x[:, -(kt - 1):]
+    recv = lax.ppermute(tail, axis_name, [(i, i + 1) for i in range(ring - 1)])
+    first = jnp.repeat(x[:, :1], kt - 1, axis=1)
+    idx = lax.axis_index(axis_name)
+    return jnp.where(idx == 0, first, recv)
 
 
 def causal_conv3d(
@@ -40,7 +71,9 @@ def causal_conv3d(
     kt, kh, kw = kernel.shape[0], kernel.shape[1], kernel.shape[2]
 
     if kt > 1:
-        if cache is None:
+        if _HALO["axis"] is not None:
+            pad = _halo_cache(x, kt, _HALO["axis"]).astype(x.dtype)
+        elif cache is None:
             pad = jnp.repeat(x[:, :1], kt - 1, axis=1)
         else:
             pad = cache.astype(x.dtype)

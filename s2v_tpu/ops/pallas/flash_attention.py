@@ -8,16 +8,28 @@ resolution) — impossible on one chip; this kernel streams K/V blocks
 through VMEM with the online-softmax recurrence so memory is O(S * d) and
 the MXU stays busy on the two block matmuls.
 
-Design notes (pallas_guide.md):
+Performance design (all measured on v5e at S=19126, d=64):
   * grid ``(batch*heads, q_blocks, k_blocks)`` with the k axis innermost;
-    the output block for (bh, qi) is revisited across k steps and the
-    softmax state (m, l, acc) lives in VMEM scratch;
+    the (bh, qi) output block is revisited across k steps and the softmax
+    state lives in VMEM scratch; block sizes swept -> (1024, 1024);
+  * K is fed **pre-transposed** ``[d, S]`` — the plain (1,0)-contraction
+    matmul hits a better MXU path than contracting two row-major operands
+    (+9%);
+  * the kernel is VPU-bound at the margin (exp overlaps the MXU; masks and
+    reductions do not), so per-step elementwise work is folded into the
+    matmuls, which are free in the d<128 padding head-room:
+      - the softmax scale is folded into q on the host side;
+      - the ragged-tail key mask is an extra *feature row*: q gains a
+        constant -1e30 column and K^T a pad-indicator row, so padded keys
+        get their -1e30 logits from the MXU, not a per-step iota/where;
+      - the l-sum is an extra *ones column* of V: ``p @ v_aug`` accumulates
+        sum(p) in the last accumulator column, removing the row-sum
+        reduction (and the separate l scratch).
   * fp32 softmax state and accumulation (fp32-tolerance bar, SURVEY.md §7);
-  * sequences are padded to the block size; padded *keys* are masked with a
-    large negative logit, padded *query* rows are sliced off on the host
-    side — no NaNs because the mask value is finite;
-  * RoPE is applied by the caller (it is a cheap fused elementwise op and
-    keeping it outside lets the same kernel serve RoPE-free models).
+  * padded V rows are zeroed on the host, padded *query* rows produce
+    garbage that Pallas clips on the output write;
+  * RoPE is applied by the caller (cheap fused elementwise; keeps the same
+    kernel serving RoPE-free models).
 """
 
 from __future__ import annotations
@@ -35,59 +47,44 @@ NEG_INF = -1e30
 _LANES = 128
 
 
-def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
-    *, block_k: int, seq_len: int, scale: float,
-):
+def _flash_kernel(q_ref, kt_ref, v_ref, o_ref, m_scratch, acc_scratch):
     ki = pl.program_id(2)
     n_k = pl.num_programs(2)
 
     @pl.when(ki == 0)
     def _init():
         m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
-        l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    q = q_ref[0]  # [bq, d]
-    k = k_ref[0]  # [bk, d]
-    v = v_ref[0]  # [bk, d]
+    q = q_ref[0]  # [bq, d+1]: pre-scaled q | constant -1e30 mask column
+    kt = kt_ref[0]  # [d+1, bk]: K^T | pad-indicator row
+    v = v_ref[0]  # [bk, d+1]: V (padded rows zeroed) | ones column
 
+    # masked logits straight from the MXU: s = q·k - 1e30 * is_pad(key)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * scale  # [bq, bk] fp32
-
-    # mask out-of-range key positions (finite mask value: no NaN rows).
-    # The final k block may read past seq_len: those s entries are replaced
-    # wholesale here, and the matching v rows are zeroed below so garbage
-    # (potentially NaN bit patterns) cannot leak through 0 * v.
-    k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(k_pos < seq_len, s, NEG_INF)
-    v_row = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], 1), 0)
-    v = jnp.where(v_row < seq_len, v, jnp.zeros_like(v))
+        q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, bk] fp32
 
     m_prev = m_scratch[:, :1]  # [bq, 1]
-    l_prev = l_scratch[:, :1]
-    m_cur = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_cur)
 
     alpha = jnp.exp(m_prev - m_next)  # [bq, 1]
     p = jnp.exp(s - m_next)  # [bq, bk]
-    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
+    # acc's last column accumulates l = sum(p) via v's ones column
     acc = acc_scratch[:] * alpha
     acc = acc + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     acc_scratch[:] = acc
     m_scratch[:] = jnp.broadcast_to(m_next, m_scratch.shape)
-    l_scratch[:] = jnp.broadcast_to(l_next, l_scratch.shape)
 
     @pl.when(ki == n_k - 1)
     def _finalize():
-        l = l_scratch[:, :1]
+        l = acc_scratch[:, -1:]
         l = jnp.where(l == 0.0, 1.0, l)  # fully-masked (padded-query) rows
-        o_ref[0] = (acc_scratch[:] / l).astype(o_ref.dtype)
+        o_ref[0] = (acc_scratch[:, :-1] / l).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -97,7 +94,7 @@ def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    block_q: int = 1024,  # swept on v5e at S=19126, d=64: (1024, 1024) best
+    block_q: int = 1024,  # swept on v5e at S=19126, d=64
     block_k: int = 1024,
     scale: Optional[float] = None,
     interpret: bool = False,
@@ -111,43 +108,54 @@ def flash_attention(
     Internal layout is ``[B*H, S, d]`` (TPU block tiling requires the last
     two block dims be (8k, 128k)-aligned or full, which rules out blocking a
     unit head axis); the relayout transposes are ~1 ms of HBM traffic per
-    layer vs ~170 ms of attention compute at full geometry.  The
-    non-divisible sequence tail needs no padding copies: Pallas clips
-    out-of-range query-block writes and the kernel masks out-of-range keys
-    (finite logit) and zeroes their v rows.
+    layer vs ~140 ms of attention compute at full geometry.
     """
     b, s, h, d = q.shape
     if scale is None:
         scale = 1.0 / math.sqrt(d)
 
-    def to_bh(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
-
-    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
+    s_pad = int(pl.cdiv(s, block_k)) * block_k
     n_q = pl.cdiv(s, block_q)
-    n_k = pl.cdiv(s, block_k)
+    n_k = s_pad // block_k
 
-    kernel = functools.partial(_flash_kernel, block_k=block_k, seq_len=s, scale=scale)
-    grid = (b * h, n_q, n_k)
+    # q_aug: scaled q | -1e30 column (pairs with kt's pad-indicator row)
+    qb = q.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    qb = qb * jnp.asarray(scale, q.dtype)
+    q_aug = jnp.concatenate(
+        [qb, jnp.full((b * h, s, 1), NEG_INF, q.dtype)], axis=-1
+    )  # [BH, S, d+1]
+
+    # kt_aug: K^T zero-padded to s_pad | indicator row (1 on padded keys)
+    ktb = k.transpose(0, 2, 3, 1).reshape(b * h, d, s)
+    ktb = jnp.pad(ktb, ((0, 0), (0, 0), (0, s_pad - s)))
+    indicator = jnp.zeros((1, 1, s_pad), k.dtype).at[:, :, s:].set(1.0)
+    kt_aug = jnp.concatenate(
+        [ktb, jnp.broadcast_to(indicator, (b * h, 1, s_pad))], axis=1
+    )  # [BH, d+1, s_pad]
+
+    # v_aug: V zero-padded | ones column (accumulates l)
+    vb = v.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    vb = jnp.pad(vb, ((0, 0), (0, s_pad - s), (0, 0)))
+    ones = jnp.zeros((b * h, s_pad, 1), v.dtype).at[:, :s].set(1.0)
+    v_aug = jnp.concatenate([vb, ones], axis=-1)  # [BH, s_pad, d+1]
 
     out = pl.pallas_call(
-        kernel,
-        grid=grid,
+        _flash_kernel,
+        grid=(b * h, n_q, n_k),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, block_q, d + 1), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, d + 1, block_k), lambda bh, qi, ki: (bh, 0, ki)),
+            pl.BlockSpec((1, block_k, d + 1), lambda bh, qi, ki: (bh, ki, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),  # m
-            pltpu.VMEM((block_q, _LANES), jnp.float32),  # l
-            pltpu.VMEM((block_q, d), jnp.float32),  # acc
+            pltpu.VMEM((block_q, d + 1), jnp.float32),  # acc | l
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qb, kb, vb)
+    )(q_aug, kt_aug, v_aug)
     return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)

@@ -135,6 +135,54 @@ def test_ring_backend_in_transformer():
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4, rtol=1e-4)
 
 
+def test_temporal_sharded_vae_decode_matches_streaming():
+    """ppermute halo-exchanged context-parallel decode == single-device
+    streaming with the same uniform chunking."""
+    from s2v_tpu.config import VAEConfig
+    from s2v_tpu.models.vae import init_vae_params, _decode_plain
+    from s2v_tpu.parallel.vae_temporal import sharded_vae_decode
+
+    cfg = VAEConfig.tiny()  # num_latent_frames_batch_size = 2
+    params = init_vae_params(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 12, 4, 4, cfg.latent_channels), jnp.float32)
+
+    expected = _decode_plain(params, cfg, z)  # chunks of 2, no remainder
+
+    mesh = make_mesh({"seq": 6}, jax.devices()[:6])
+    got = sharded_vae_decode(params, cfg, z, mesh)
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5, rtol=1e-4)
+
+
+def test_temporal_sharded_vae_encode_matches_streaming():
+    from s2v_tpu.config import VAEConfig
+    from s2v_tpu.models.vae import init_vae_params, _encode_plain
+    from s2v_tpu.parallel.vae_temporal import sharded_vae_encode
+
+    cfg = VAEConfig.tiny()  # num_sample_frames_batch_size = 8
+    params = init_vae_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 32, 32, 3), jnp.float32)
+
+    expected = _encode_plain(params, cfg, x)  # chunks of 8, no remainder
+    mesh = make_mesh({"seq": 2}, jax.devices()[:2])
+    got = sharded_vae_encode(params, cfg, x, mesh)
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5, rtol=1e-4)
+
+
+def test_temporal_sharded_vae_rejects_ragged():
+    from s2v_tpu.config import VAEConfig
+    from s2v_tpu.models.vae import init_vae_params
+    from s2v_tpu.parallel.vae_temporal import sharded_vae_decode
+
+    cfg = VAEConfig.tiny()
+    params = init_vae_params(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 13, 4, 4, cfg.latent_channels), jnp.float32)
+    mesh = make_mesh({"seq": 6}, jax.devices()[:6])
+    with pytest.raises(ValueError):
+        sharded_vae_decode(params, cfg, z, mesh)
+
+
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh({"model": 16})
