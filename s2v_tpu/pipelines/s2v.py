@@ -231,6 +231,9 @@ class S2VPipeline:
             with phase("encode-ref-image"):
                 ref_latents = self.encode_ref_image(ref_image, k_ref)
         ref_latents = ref_latents.astype(cfg.dtype)
+        if ref_latents.shape[0] == 1 and batch > 1:
+            # one subject image shared across a batch of prompts
+            ref_latents = jnp.broadcast_to(ref_latents, (batch, *ref_latents.shape[1:]))
 
         sc = self.vae_cfg.spatial_compression_ratio
         f_lat = (num_frames - 1) // self.vae_cfg.temporal_compression_ratio + 1

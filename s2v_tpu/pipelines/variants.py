@@ -117,6 +117,71 @@ def generate_i2v(
     return pipe.decode_latents(final)
 
 
+def generate_fun_control(
+    pipe,
+    prompt: str,
+    control_video: Union[np.ndarray, jnp.ndarray],  # [T, H, W, 3] in [-1, 1]
+    ref_image: Union[str, np.ndarray, None] = None,
+    num_inference_steps: int = 50,
+    guidance_scale: float = 6.0,
+    use_dynamic_cfg: bool = False,
+    seed: int = 420,
+    output_type: str = "np",
+):
+    """Control-video conditioned generation (reference
+    pipeline_cogvideox_fun_control.py, stock/unused in the release): the
+    control video's VAE latents are channel-concatenated at *every* frame
+    (unlike I2V's frame-0-only conditioning)."""
+    cfg = pipe.transformer_cfg
+    key = jax.random.PRNGKey(seed)
+    k_lat, k_ctl, k_ref = jax.random.split(key, 3)
+    do_cfg = guidance_scale > 1.0
+
+    control_video = jnp.asarray(control_video)
+    if control_video.ndim == 4:
+        control_video = control_video[None]
+    height, width = int(control_video.shape[2]), int(control_video.shape[3])
+    num_frames = int(control_video.shape[1])
+
+    prompt_embeds = pipe.encode_prompt(prompt, do_cfg=do_cfg).astype(cfg.dtype)
+    moments = vae_encode(pipe.vae_params, pipe.vae_cfg, control_video.astype(pipe.vae_cfg.dtype))
+    noise_post = jax.random.normal(
+        k_ctl, moments.shape[:-1] + (moments.shape[-1] // 2,), jnp.float32
+    ).astype(moments.dtype)
+    cond = (gaussian_sample(moments, noise_post) * pipe.vae_cfg.scaling_factor).astype(cfg.dtype)
+
+    if ref_image is None:
+        ref_image = np.asarray(control_video[0, 0])
+    ref_latents = pipe.encode_ref_image(ref_image, k_ref).astype(cfg.dtype)
+    if ref_latents.shape[-1] < cfg.in_channels:
+        pad_c = cfg.in_channels - ref_latents.shape[-1]
+        ref_latents = jnp.concatenate(
+            [ref_latents, jnp.zeros((*ref_latents.shape[:-1], pad_c), ref_latents.dtype)], axis=-1
+        )
+
+    f_lat = cond.shape[1]
+    noise_ch = cfg.in_channels - cond.shape[-1]
+    sc = pipe.vae_cfg.spatial_compression_ratio
+    latents = jax.random.normal(
+        k_lat, (1, f_lat, height // sc, width // sc, noise_ch), jnp.float32
+    ).astype(cfg.dtype)
+
+    rope_cos, rope_sin = pipe.prepare_rope(height, width, f_lat)
+    schedule = DenoiseSchedule.create(
+        pipe.scheduler_cfg, num_inference_steps, guidance_scale, use_dynamic_cfg
+    )
+    run = jax.jit(
+        lambda p, lat, ref, emb, c: denoise(
+            p, cfg, schedule, lat, ref, emb, rope_cos, rope_sin,
+            do_cfg=do_cfg, attention_backend=pipe.attention_backend, cond_latents=c,
+        )
+    )
+    final = run(pipe.transformer_params, latents, ref_latents, prompt_embeds, cond)
+    if output_type == "latent":
+        return final
+    return pipe.decode_latents(final)
+
+
 def generate_v2v(
     pipe,
     prompt: str,

@@ -199,6 +199,22 @@ def test_generate_sincos_2b_path():
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
 
 
+def test_generate_multi_prompt_batch():
+    """Batch-of-prompts serving: one CFG-batched denoise over B prompts."""
+    pipe = _tiny_pipeline()
+    ref_img = np.zeros((32, 32, 3), np.float32)
+    out = pipe.generate(
+        prompt=["a pig", "a cat on a mat"],
+        ref_image=ref_img,
+        ref_latents=None,
+        height=32, width=32, num_frames=5, num_inference_steps=1,
+        guidance_scale=6.0, seed=3, output_type="latent", cfg_mode="batched",
+    )
+    assert out.shape[0] == 2
+    # the two prompts must produce different latents
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
 def test_generate_latent_output_deterministic():
     pipe = _tiny_pipeline()
     ref_img = np.zeros((32, 32, 3), np.float32)

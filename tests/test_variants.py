@@ -71,6 +71,19 @@ def test_v2v_generate_and_strength():
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
 
 
+def test_fun_control_generate():
+    from s2v_tpu.pipelines.variants import generate_fun_control
+
+    pipe = _pipe(in_channels=8)  # noise 4 | control 4 channels
+    ctl = np.random.RandomState(2).rand(5, 32, 32, 3).astype(np.float32) * 2 - 1
+    out = generate_fun_control(
+        pipe, "a pig", ctl, num_inference_steps=1, guidance_scale=6.0,
+        output_type="latent",
+    )
+    assert out.shape == (1, 2, 4, 4, 4)
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
 def test_schedule_truncate():
     sched = DenoiseSchedule.create(SchedulerConfig(), 50, 6.0)
     t = sched.truncate(0.8)
