@@ -25,7 +25,7 @@ chunk, yielding 9 + 5*8 = 49 output frames.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ Two execution paths:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -20,7 +20,6 @@ from __future__ import annotations
 import contextlib
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

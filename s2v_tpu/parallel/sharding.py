@@ -17,7 +17,7 @@ on this path — the Pallas ring-attention path is separate).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import jax
 import numpy as np

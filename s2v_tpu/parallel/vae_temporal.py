@@ -18,11 +18,7 @@ served by the streaming path.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from s2v_tpu.config import VAEConfig

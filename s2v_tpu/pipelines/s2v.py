@@ -10,9 +10,7 @@ configs.
 
 from __future__ import annotations
 
-import dataclasses
 import os
-import time
 from dataclasses import dataclass, field
 from typing import Optional, Union
 
@@ -21,14 +19,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from s2v_tpu.config import (
-    PipelineConfig,
     SchedulerConfig,
     T5Config,
     TransformerConfig,
     VAEConfig,
 )
 from s2v_tpu.models.t5 import t5_encode
-from s2v_tpu.models.transformer import transformer_forward
 from s2v_tpu.models.vae import gaussian_sample, vae_decode, vae_encode
 from s2v_tpu.pipelines.denoise import DenoiseSchedule, denoise
 from s2v_tpu.ops.rope import build_segmented_rope, prepare_video_and_ref_rope
@@ -48,6 +44,8 @@ class S2VPipeline:
     scheduler_cfg: SchedulerConfig = field(default_factory=SchedulerConfig)
     tokenizer: Optional[object] = None  # T5CLSTokenizer
     attention_backend: str = "xla"
+    # compiled-denoise cache for repeated generate() calls (serving)
+    _compiled_denoise: dict = field(default_factory=dict, repr=False)
 
     # ------------------------------------------------------------------
     # loading (reference src/inference.py:172-247)
@@ -266,13 +264,22 @@ class S2VPipeline:
 
         if cfg_mode == "auto":
             cfg_mode = "sequential" if len(jax.devices()) == 1 else "batched"
-        run = jax.jit(
-            lambda p, lat, ref, emb: denoise(
-                p, cfg, schedule, lat, ref, emb, rope_cos, rope_sin,
-                do_cfg=do_cfg, rng_key=k_dpm, attention_backend=self.attention_backend,
-                pos_embedding=pos_embedding, cfg_mode=cfg_mode,
-            )
+        # cache the compiled loop per configuration so repeated generate()
+        # calls (serving) reuse the executable instead of re-jitting
+        cache_key = (
+            num_inference_steps, float(guidance_scale), use_dynamic_cfg, use_dpm,
+            do_cfg, cfg_mode, seed, height, width, num_frames, batch,
         )
+        run = self._compiled_denoise.get(cache_key)
+        if run is None:
+            run = jax.jit(
+                lambda p, lat, ref, emb: denoise(
+                    p, cfg, schedule, lat, ref, emb, rope_cos, rope_sin,
+                    do_cfg=do_cfg, rng_key=k_dpm, attention_backend=self.attention_backend,
+                    pos_embedding=pos_embedding, cfg_mode=cfg_mode,
+                )
+            )
+            self._compiled_denoise[cache_key] = run
         with phase("denoise", log=True):
             final = run(self.transformer_params, latents, ref_latents, prompt_embeds)
             final.block_until_ready()

@@ -15,7 +15,7 @@ round-trips.  ``scale_model_input`` is the identity (reference :243-258) and
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,7 @@ import logging
 import os
 import sys
 import time
-from typing import Iterator, Optional
+from typing import Iterator
 
 _FORMAT = "%(asctime)s [%(levelname)s] %(name)s: %(message)s"
 _configured = False

@@ -15,7 +15,7 @@ dependency.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Union
+from typing import Sequence, Union
 
 import numpy as np
 

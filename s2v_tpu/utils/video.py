@@ -13,7 +13,7 @@ video backend is available.
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
