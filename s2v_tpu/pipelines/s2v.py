@@ -98,7 +98,18 @@ class S2VPipeline:
             try:
                 tokenizer = T5CLSTokenizer.from_checkpoint_dir(model_dir)
             except Exception:
-                tokenizer = None
+                # sentencepiece-only checkpoints (spiece.model, no
+                # tokenizer.json): the native C++ unigram tokenizer
+                spiece = os.path.join(model_dir, "tokenizer", "spiece.model")
+                if os.path.exists(spiece):
+                    try:
+                        from s2v_tpu.utils.sp_native import NativeSPTokenizer
+
+                        tokenizer = NativeSPTokenizer(spiece)
+                    except Exception:
+                        tokenizer = None
+                else:
+                    tokenizer = None
 
         sched_path = os.path.join(model_dir, "scheduler", "scheduler_config.json")
         scheduler_cfg = (
@@ -211,6 +222,22 @@ class S2VPipeline:
         """Generate a clip; returns [B, T, H, W, 3] float in [0,1] (np) or
         the final latents (output_type="latent")."""
         cfg = self.transformer_cfg
+
+        # input validation (reference check_inputs :372-421 + the static
+        # positional-table guard custom_cogvideox_pipe.py:152-155)
+        max_frames = cfg.sample_frames
+        if num_frames > max_frames:
+            raise ValueError(
+                f"num_frames must be <= {max_frames} (static positional embeddings)"
+            )
+        sc_total = self.vae_cfg.spatial_compression_ratio * cfg.patch_size
+        if height % sc_total or width % sc_total:
+            raise ValueError(f"height/width must be divisible by {sc_total}")
+        if prompt is None and prompt_embeds is None:
+            raise ValueError("provide prompt or prompt_embeds")
+        if prompt is not None and prompt_embeds is not None:
+            raise ValueError("provide only one of prompt / prompt_embeds")
+
         key = jax.random.PRNGKey(seed)
         k_lat, k_ref, k_dpm = jax.random.split(key, 3)
 

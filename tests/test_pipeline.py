@@ -199,6 +199,22 @@ def test_generate_sincos_2b_path():
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
 
 
+def test_generate_input_validation():
+    pipe = _tiny_pipeline()
+    ref = np.zeros((32, 32, 3), np.float32)
+    import pytest
+
+    with pytest.raises(ValueError, match="num_frames"):
+        pipe.generate(prompt="x", ref_image=ref, height=32, width=32,
+                      num_frames=999, num_inference_steps=1)
+    with pytest.raises(ValueError, match="divisible"):
+        pipe.generate(prompt="x", ref_image=ref, height=30, width=32,
+                      num_frames=5, num_inference_steps=1)
+    with pytest.raises(ValueError, match="prompt"):
+        pipe.generate(ref_image=ref, height=32, width=32, num_frames=5,
+                      num_inference_steps=1)
+
+
 def test_generate_multi_prompt_batch():
     """Batch-of-prompts serving: one CFG-batched denoise over B prompts."""
     pipe = _tiny_pipeline()
