@@ -95,15 +95,20 @@ class DenoiseSchedule:
         n = len(self.timesteps)
         init_timestep = min(int(n * strength), n)
         t_start = max(n - init_timestep, 0)
+        dpm_mults = None
+        if self.dpm_mults:
+            dpm_mults = {k: v[t_start:].copy() for k, v in self.dpm_mults.items()}
+            if len(dpm_mults["has_back"]):
+                # the first *executed* step has no previous x0 prediction
+                # (reference v2v loop starts with old_pred_original_sample=None)
+                dpm_mults["has_back"][0] = 0.0
         return dataclasses.replace(
             self,
             timesteps=self.timesteps[t_start:],
             alpha_t=self.alpha_t[t_start:],
             alpha_prev=self.alpha_prev[t_start:],
             guidance=self.guidance[t_start:],
-            dpm_mults=(
-                {k: v[t_start:] for k, v in self.dpm_mults.items()} if self.dpm_mults else None
-            ),
+            dpm_mults=dpm_mults,
         )
 
 
