@@ -56,6 +56,8 @@ class DenoiseSchedule:
     prediction_type: str
     use_dpm: bool = False
     dpm_mults: Optional[dict] = None  # dict of [N] arrays
+    guidance_scale: float = 6.0  # kept for truncate() recomputation
+    use_dynamic_cfg: bool = False
 
     @classmethod
     def create(
@@ -86,6 +88,8 @@ class DenoiseSchedule:
             prediction_type=scheduler_cfg.prediction_type,
             use_dpm=use_dpm,
             dpm_mults=mults,
+            guidance_scale=guidance_scale,
+            use_dynamic_cfg=use_dynamic_cfg,
         )
 
     def truncate(self, strength: float) -> "DenoiseSchedule":
@@ -102,12 +106,16 @@ class DenoiseSchedule:
                 # the first *executed* step has no previous x0 prediction
                 # (reference v2v loop starts with old_pred_original_sample=None)
                 dpm_mults["has_back"][0] = 0.0
+        n_new = n - t_start
         return dataclasses.replace(
             self,
             timesteps=self.timesteps[t_start:],
             alpha_t=self.alpha_t[t_start:],
             alpha_prev=self.alpha_prev[t_start:],
-            guidance=self.guidance[t_start:],
+            # the reference's v2v loop enumerates the *truncated* timesteps
+            # with the reduced step count, so the dynamic schedule is
+            # recomputed over n_new rather than sliced
+            guidance=guidance_schedule(self.guidance_scale, n_new, self.use_dynamic_cfg),
             dpm_mults=dpm_mults,
         )
 
