@@ -119,9 +119,15 @@ def main():
                 p, cfg, v, r, te, ts, rc_, rs_, attention_backend=backend
             ).astype(jnp.float32).sum()
         )
-        fwd_time = time_fn(
-            step_fn, params, video, ref, text, t, rope_cos, rope_sin, iters=3, warmup=1
-        )
+        try:
+            fwd_time = time_fn(
+                step_fn, params, video, ref, text, t, rope_cos, rope_sin, iters=3, warmup=1
+            )
+        except Exception as e:  # transient remote-compile failure: one retry
+            print(f"# dit retry after: {type(e).__name__}", file=sys.stderr)
+            fwd_time = time_fn(
+                step_fn, params, video, ref, text, t, rope_cos, rope_sin, iters=3, warmup=1
+            )
         print(f"# layers={n_layers}: fwd={fwd_time*1000:.0f} ms", file=sys.stderr)
         del params, step_fn, video, ref, text
         gc.collect()

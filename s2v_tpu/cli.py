@@ -49,7 +49,9 @@ def get_args(argv=None):
     # TPU-specific extras
     p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--use_dpm", action="store_true", default=False)
-    p.add_argument("--attention_backend", type=str, default="xla", choices=["xla", "pallas"])
+    p.add_argument("--attention_backend", type=str, default="xla", choices=["xla", "pallas", "chunked"])
+    p.add_argument("--quantize_int8", action="store_true", default=False,
+                   help="int8 weight+dynamic-activation serving fast path (~8%% faster, tiny quality cost)")
     p.add_argument("--profile_dir", type=str, default=None, help="jax.profiler trace output dir")
     return p.parse_args(argv)
 
@@ -71,6 +73,7 @@ def main(args=None):
         lora_checkpoint=args.checkpoint_path,
         lora_alpha=args.lora_alpha,
         attention_backend=args.attention_backend,
+        quantize_int8=args.quantize_int8,
     )
     print(f"[s2v_tpu] models loaded in {time.perf_counter() - t0:.1f}s on {jax.devices()}")
 

@@ -38,11 +38,24 @@ def _affine(sd, prefix, dtype):
 # ---------------------------------------------------------------------------
 
 
-def convert_transformer_state_dict(sd: Dict[str, np.ndarray], cfg: TransformerConfig):
+def _quantize_host(kernel_np: np.ndarray, bias, dtype):
+    """Host-side per-output-channel int8 quantization (no device temps)."""
+    k = np.asarray(kernel_np, np.float32)
+    scale = np.max(np.abs(k), axis=-2, keepdims=True) / 127.0
+    scale = np.where(scale == 0, 1.0, scale)
+    q = np.clip(np.round(k / scale), -127, 127).astype(np.int8)
+    return {"q": jnp.asarray(q), "scale": jnp.asarray(scale, jnp.float32), "bias": _j(bias, dtype)}
+
+
+def convert_transformer_state_dict(
+    sd: Dict[str, np.ndarray], cfg: TransformerConfig, quantize_int8: bool = False
+):
     """HF ``CogVideoXTransformer3DModel`` state dict -> our pytree.
 
     QKV projections are fused into one ``[D, 3D]`` kernel; per-layer params
-    are stacked on a leading axis for ``lax.scan``.
+    are stacked on a leading axis for ``lax.scan``.  ``quantize_int8``
+    converts the qkv/to_out/ff kernels to the int8 serving format
+    (s2v_tpu.ops.quant) during conversion, host-side.
     """
     dt = cfg.param_dtype
     p = cfg.patch_size
@@ -61,29 +74,54 @@ def convert_transformer_state_dict(sd: Dict[str, np.ndarray], cfg: TransformerCo
         qb = np.asarray(sd[f"{pre}.attn1.to_q.bias"], dtype=np.float32)
         kb = np.asarray(sd[f"{pre}.attn1.to_k.bias"], dtype=np.float32)
         vb = np.asarray(sd[f"{pre}.attn1.to_v.bias"], dtype=np.float32)
+        if quantize_int8:
+            attn_tree = {
+                "qkv": _quantize_host(
+                    np.concatenate([q, k, v], axis=1), np.concatenate([qb, kb, vb]), dt
+                ),
+                "norm_q": _affine(sd, f"{pre}.attn1.norm_q", dt),
+                "norm_k": _affine(sd, f"{pre}.attn1.norm_k", dt),
+                "to_out": _quantize_host(
+                    np.asarray(sd[f"{pre}.attn1.to_out.0.weight"], np.float32).T,
+                    sd[f"{pre}.attn1.to_out.0.bias"], dt,
+                ),
+            }
+            ff_tree = {
+                "net_0": _quantize_host(
+                    np.asarray(sd[f"{pre}.ff.net.0.proj.weight"], np.float32).T,
+                    sd[f"{pre}.ff.net.0.proj.bias"], dt,
+                ),
+                "net_2": _quantize_host(
+                    np.asarray(sd[f"{pre}.ff.net.2.weight"], np.float32).T,
+                    sd[f"{pre}.ff.net.2.bias"], dt,
+                ),
+            }
+        else:
+            attn_tree = {
+                "qkv": {
+                    "kernel": _j(np.concatenate([q, k, v], axis=1), dt),
+                    "bias": _j(np.concatenate([qb, kb, vb]), dt),
+                },
+                "norm_q": _affine(sd, f"{pre}.attn1.norm_q", dt),
+                "norm_k": _affine(sd, f"{pre}.attn1.norm_k", dt),
+                "to_out": _linear(sd, f"{pre}.attn1.to_out.0", dt),
+            }
+            ff_tree = {
+                "net_0": _linear(sd, f"{pre}.ff.net.0.proj", dt),
+                "net_2": _linear(sd, f"{pre}.ff.net.2", dt),
+            }
         blocks.append(
             {
                 "norm1": {
                     "linear": _linear(sd, f"{pre}.norm1.linear", dt),
                     "norm": _affine(sd, f"{pre}.norm1.norm", dt),
                 },
-                "attn": {
-                    "qkv": {
-                        "kernel": _j(np.concatenate([q, k, v], axis=1), dt),
-                        "bias": _j(np.concatenate([qb, kb, vb]), dt),
-                    },
-                    "norm_q": _affine(sd, f"{pre}.attn1.norm_q", dt),
-                    "norm_k": _affine(sd, f"{pre}.attn1.norm_k", dt),
-                    "to_out": _linear(sd, f"{pre}.attn1.to_out.0", dt),
-                },
+                "attn": attn_tree,
                 "norm2": {
                     "linear": _linear(sd, f"{pre}.norm2.linear", dt),
                     "norm": _affine(sd, f"{pre}.norm2.norm", dt),
                 },
-                "ff": {
-                    "net_0": _linear(sd, f"{pre}.ff.net.0.proj", dt),
-                    "net_2": _linear(sd, f"{pre}.ff.net.2", dt),
-                },
+                "ff": ff_tree,
             }
         )
     blocks = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)

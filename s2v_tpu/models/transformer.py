@@ -99,22 +99,35 @@ def init_transformer_params(key, cfg: TransformerConfig):
     }
 
 
-def init_transformer_params_stacked(key, cfg: TransformerConfig, scale: float = 0.02):
+def init_transformer_params_stacked(
+    key, cfg: TransformerConfig, scale: float = 0.02, quantized: bool = False
+):
     """Memory-lean init for big configs: per-layer params are created
     directly in stacked ``[L, ...]`` form (one allocation each) instead of
     stacking L separate trees — halves peak memory, which matters when
-    initialising the 5B model on a single chip for benchmarking."""
+    initialising the 5B model on a single chip for benchmarking.
+
+    ``quantized=True`` emits the qkv/to_out/ff kernels directly in the int8
+    format of ``s2v_tpu.ops.quant`` (random weights for benchmarking — real
+    checkpoints are quantized host-side at load)."""
     d = cfg.inner_dim
     L = cfg.num_layers
     td = cfg.time_embed_dim
     p = cfg.patch_size
     dt = cfg.param_dtype
-    keys = iter(jax.random.split(key, 32))
+    keys = iter(jax.random.split(key, 40))
 
     def w(shape):
         # generate directly in the target dtype: an fp32 intermediate for the
         # biggest kernel would transiently cost 6+ GB on a 16 GB chip
         return jax.random.normal(next(keys), shape, dt) * jnp.asarray(scale, dt)
+
+    def wq(shape):
+        if not quantized:
+            return {"kernel": w(shape), "bias": jnp.zeros(shape[:-2] + (shape[-1],), dt)}
+        q = jax.random.randint(next(keys), shape, -127, 128, jnp.int8)
+        s = jnp.full(shape[:-2] + (1, shape[-1]), scale / 127.0, jnp.float32)
+        return {"q": q, "scale": s, "bias": jnp.zeros(shape[:-2] + (shape[-1],), dt)}
 
     def z(shape):
         return jnp.zeros(shape, dt)
@@ -128,18 +141,18 @@ def init_transformer_params_stacked(key, cfg: TransformerConfig, scale: float = 
             "norm": {"weight": ones((L, d)), "bias": z((L, d))},
         },
         "attn": {
-            "qkv": {"kernel": w((L, d, 3 * d)), "bias": z((L, 3 * d))},
+            "qkv": wq((L, d, 3 * d)),
             "norm_q": {"weight": ones((L, cfg.attention_head_dim)), "bias": z((L, cfg.attention_head_dim))},
             "norm_k": {"weight": ones((L, cfg.attention_head_dim)), "bias": z((L, cfg.attention_head_dim))},
-            "to_out": {"kernel": w((L, d, d)), "bias": z((L, d))},
+            "to_out": wq((L, d, d)),
         },
         "norm2": {
             "linear": {"kernel": w((L, td, 6 * d)), "bias": z((L, 6 * d))},
             "norm": {"weight": ones((L, d)), "bias": z((L, d))},
         },
         "ff": {
-            "net_0": {"kernel": w((L, d, cfg.ff_inner_dim)), "bias": z((L, cfg.ff_inner_dim))},
-            "net_2": {"kernel": w((L, cfg.ff_inner_dim, d)), "bias": z((L, d))},
+            "net_0": wq((L, d, cfg.ff_inner_dim)),
+            "net_2": wq((L, cfg.ff_inner_dim, d)),
         },
     }
     return {
@@ -165,10 +178,12 @@ def init_transformer_params_stacked(key, cfg: TransformerConfig, scale: float = 
 
 def _feed_forward(p, x: jnp.ndarray) -> jnp.ndarray:
     """gelu(tanh-approx) MLP (reference FeedForward, attention.py:1185-1243)."""
-    h = x @ p["net_0"]["kernel"] + p["net_0"]["bias"]
+    from s2v_tpu.ops.quant import dense
+
+    h = dense(p["net_0"], x)
     h = constrain(h, "dp", "sp", "tp")
     h = jax.nn.gelu(h, approximate=True)
-    out = h @ p["net_2"]["kernel"] + p["net_2"]["bias"]
+    out = dense(p["net_2"], h)
     return constrain(out, "dp", "sp", None)
 
 

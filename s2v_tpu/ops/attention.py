@@ -30,14 +30,16 @@ def qkv_projections(params, x: jnp.ndarray, num_heads: int) -> Tuple[jnp.ndarray
     ``params`` carries a fused kernel ``qkv.kernel [D, 3D]`` (built at load
     time from to_q/to_k/to_v for one big MXU matmul) or separate kernels.
     """
+    from s2v_tpu.ops.quant import dense
+
     b, s, d = x.shape
     if "qkv" in params:
-        qkv = x @ params["qkv"]["kernel"] + params["qkv"]["bias"]
+        qkv = dense(params["qkv"], x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
     else:
-        q = x @ params["to_q"]["kernel"] + params["to_q"]["bias"]
-        k = x @ params["to_k"]["kernel"] + params["to_k"]["bias"]
-        v = x @ params["to_v"]["kernel"] + params["to_v"]["bias"]
+        q = dense(params["to_q"], x)
+        k = dense(params["to_k"], x)
+        v = dense(params["to_v"], x)
     head_dim = d // num_heads
     shape = (b, s, num_heads, head_dim)
     return q.reshape(shape), k.reshape(shape), v.reshape(shape)
@@ -95,8 +97,10 @@ def joint_attention(
     else:
         out = jax.nn.dot_product_attention(q, k, v)  # [B, S, H, hd]
 
+    from s2v_tpu.ops.quant import dense
+
     out = out.reshape(b, s, d)
-    out = out @ params["to_out"]["kernel"] + params["to_out"]["bias"]
+    out = dense(params["to_out"], out)
     return constrain(out, "dp", "sp", None)
 
 

@@ -1,0 +1,80 @@
+"""Weight + dynamic-activation int8 quantization for the DiT linears.
+
+Opt-in production fast path (no reference equivalent — the reference runs
+bf16/fp16 end to end): the v5e MXU executes int8 x int8 at ~2x the bf16
+rate, so the transformer's large projections (qkv, attention out, both FF
+linears — ~96% of linear FLOPs) can run int8 with per-output-channel weight
+scales and per-token dynamic activation scales.  AdaLN modulation, patch
+embed, and output head stay bf16 (negligible FLOPs, disproportionate
+quality impact).
+
+Enable via ``quantize_transformer_params(params)`` +
+``transformer_forward(..)`` — the dense helper dispatches on the param
+format, so quantized and bf16 trees flow through the same model code.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight_int8(kernel: jnp.ndarray):
+    """[..., in, out] -> {"q": int8, "scale": f32[..., 1, out]} symmetric
+    per-output-channel."""
+    k32 = kernel.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(k32), axis=-2, keepdims=True) / 127.0
+    scale = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.clip(jnp.round(k32 / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale}
+
+
+def int8_dense(x: jnp.ndarray, wq: dict, bias=None):
+    """Dynamic per-token int8 matmul: quantize x rows, int8 MXU contraction
+    with int32 accumulation, rescale by (x_scale * w_scale)."""
+    xf = x.astype(jnp.float32)
+    x_scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    x_scale = jnp.where(x_scale == 0, 1.0, x_scale)
+    xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, wq["q"],
+        (((xq.ndim - 1,), (wq["q"].ndim - 2,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    y = y * x_scale * wq["scale"].reshape((1,) * (y.ndim - 1) + (-1,))
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def dense(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Format-dispatching dense layer: bf16 {"kernel","bias"} or int8
+    {"q","scale","bias"}."""
+    if "q" in params:
+        return int8_dense(x, params, params.get("bias"))
+    y = x @ params["kernel"]
+    if "bias" in params:
+        y = y + params["bias"]
+    return y
+
+
+def quantize_transformer_params(params: dict) -> dict:
+    """Quantize the per-layer qkv / to_out / ff kernels of a transformer
+    param tree (stacked [L, in, out] kernels supported); everything else is
+    shared by reference."""
+    out = dict(params)
+    blocks = dict(params["blocks"])
+
+    def q_leaf(leaf):
+        qd = quantize_weight_int8(leaf["kernel"])
+        qd["bias"] = leaf["bias"]
+        return qd
+
+    attn = dict(blocks["attn"])
+    attn["qkv"] = q_leaf(blocks["attn"]["qkv"])
+    attn["to_out"] = q_leaf(blocks["attn"]["to_out"])
+    blocks["attn"] = attn
+    ff = {"net_0": q_leaf(blocks["ff"]["net_0"]), "net_2": q_leaf(blocks["ff"]["net_2"])}
+    blocks["ff"] = ff
+    out["blocks"] = blocks
+    return out

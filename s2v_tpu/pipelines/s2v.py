@@ -59,6 +59,7 @@ class S2VPipeline:
         lora_alpha: float = 64.0,
         dtype=jnp.bfloat16,
         attention_backend: str = "xla",
+        quantize_int8: bool = False,
     ) -> "S2VPipeline":
         """Load a HF-layout CogVideoX snapshot dir (transformer/ vae/
         text_encoder/ tokenizer/ scheduler/) + optional S2V LoRA checkpoint,
@@ -77,7 +78,7 @@ class S2VPipeline:
         sd = load_sharded_safetensors(os.path.join(model_dir, "transformer"))
         if lora_checkpoint is not None:
             sd, _ = load_and_merge_lora(sd, lora_checkpoint, alpha=lora_alpha)
-        transformer_params = convert_transformer_state_dict(sd, t_cfg)
+        transformer_params = convert_transformer_state_dict(sd, t_cfg, quantize_int8=quantize_int8)
 
         v_cfg = VAEConfig.from_hf_config(
             os.path.join(model_dir, "vae", "config.json"), dtype=dtype, param_dtype=dtype
