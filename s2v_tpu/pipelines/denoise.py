@@ -120,28 +120,29 @@ class DenoiseSchedule:
         )
 
 
-def denoise(
+def _build_step_fn(
     params,
     cfg: TransformerConfig,
     schedule: DenoiseSchedule,
-    latents: jnp.ndarray,  # [B, F, h, w, C]
-    ref_latents: jnp.ndarray,  # [B, 1, h, w, C]
-    prompt_embeds: jnp.ndarray,  # [2B, T, text_dim] (uncond | cond) or [B,...] if no CFG
-    rope_cos: Optional[jnp.ndarray],
-    rope_sin: Optional[jnp.ndarray],
-    do_cfg: bool = True,
-    rng_key: Optional[jnp.ndarray] = None,
-    attention_backend: str = "xla",
-    pos_embedding: Optional[jnp.ndarray] = None,  # sincos table (2b models)
-    cfg_mode: str = "batched",  # "batched" (one 2B forward) | "sequential"
-    cond_latents: Optional[jnp.ndarray] = None,  # I2V: channel-concat condition
-) -> jnp.ndarray:
-    """Run the full denoise loop; returns final latents [B, F, h, w, C].
+    ref_latents,
+    prompt_embeds,
+    rope_cos,
+    rope_sin,
+    do_cfg,
+    rng_key,
+    attention_backend,
+    pos_embedding,
+    cfg_mode,
+    cond_latents,
+):
+    """Shared per-step body for the fused and segmented loops.
 
-    Everything here traces into one XLA program; callers jit it (see
-    ``S2VPipeline.generate`` / ``__graft_entry__``).
+    CFG: the ref tokens are duplicated into the uncond branch too (reference
+    ``eval=True`` path).  "batched" runs uncond|cond as one 2B forward
+    (reference semantics, best for dp>=2 meshes); "sequential" runs them as
+    two B forwards — identical math and FLOPs, half the activation memory
+    (the single-chip configuration for the 5B model).
     """
-    n_steps = len(schedule.timesteps)
     timesteps = jnp.asarray(schedule.timesteps, jnp.int32)
     alpha_t = jnp.asarray(schedule.alpha_t)
     alpha_prev = jnp.asarray(schedule.alpha_prev)
@@ -149,15 +150,8 @@ def denoise(
     dpm_mults = (
         {k: jnp.asarray(v) for k, v in schedule.dpm_mults.items()} if schedule.use_dpm else None
     )
-    if rng_key is None:
-        rng_key = jax.random.PRNGKey(0)
+    key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
 
-    b = latents.shape[0]
-    # CFG: the ref tokens are duplicated into the uncond branch too
-    # (reference `eval=True` path).  "batched" runs uncond|cond as one 2B
-    # forward (reference semantics, best for dp>=2 meshes); "sequential"
-    # runs them as two B forwards — identical math and FLOPs, half the
-    # activation memory (the single-chip configuration for the 5B model).
     batched_cfg = do_cfg and cfg_mode == "batched"
     ref_in = jnp.concatenate([ref_latents, ref_latents], axis=0) if batched_cfg else ref_latents
     if do_cfg and not batched_cfg:
@@ -165,6 +159,7 @@ def denoise(
 
     def step(i, carry):
         latents, old_x0 = carry
+        b = latents.shape[0]
         t = jnp.full((2 * b if batched_cfg else b,), timesteps[i], jnp.int32)
 
         def fwd(lat_in, emb):
@@ -194,10 +189,8 @@ def denoise(
 
         if schedule.use_dpm:
             m_i = {k: v[i] for k, v in dpm_mults.items()}
-            k1 = jax.random.fold_in(rng_key, 2 * i)
-            k2 = jax.random.fold_in(rng_key, 2 * i + 1)
-            n1 = jax.random.normal(k1, latents.shape, jnp.float32)
-            n2 = jax.random.normal(k2, latents.shape, jnp.float32)
+            n1 = jax.random.normal(jax.random.fold_in(key, 2 * i), latents.shape, jnp.float32)
+            n2 = jax.random.normal(jax.random.fold_in(key, 2 * i + 1), latents.shape, jnp.float32)
             new_latents, x0 = dpm_step(
                 noise_pred, latents, old_x0, n1, m_i, schedule.prediction_type, noise2=n2
             )
@@ -207,8 +200,36 @@ def denoise(
             )
         return new_latents.astype(latents.dtype), x0.astype(latents.dtype)
 
+    return step
+
+
+def denoise(
+    params,
+    cfg: TransformerConfig,
+    schedule: DenoiseSchedule,
+    latents: jnp.ndarray,  # [B, F, h, w, C]
+    ref_latents: jnp.ndarray,  # [B, 1, h, w, C]
+    prompt_embeds: jnp.ndarray,  # [2B, T, text_dim] (uncond | cond) or [B,...] if no CFG
+    rope_cos: Optional[jnp.ndarray],
+    rope_sin: Optional[jnp.ndarray],
+    do_cfg: bool = True,
+    rng_key: Optional[jnp.ndarray] = None,
+    attention_backend: str = "xla",
+    pos_embedding: Optional[jnp.ndarray] = None,  # sincos table (2b models)
+    cfg_mode: str = "batched",  # "batched" (one 2B forward) | "sequential"
+    cond_latents: Optional[jnp.ndarray] = None,  # I2V: channel-concat condition
+) -> jnp.ndarray:
+    """Run the full denoise loop; returns final latents [B, F, h, w, C].
+
+    Everything here traces into one XLA program; callers jit it (see
+    ``S2VPipeline.generate`` / ``__graft_entry__``).
+    """
+    step = _build_step_fn(
+        params, cfg, schedule, ref_latents, prompt_embeds, rope_cos, rope_sin,
+        do_cfg, rng_key, attention_backend, pos_embedding, cfg_mode, cond_latents,
+    )
     init = (latents, jnp.zeros_like(latents))
-    final, _ = jax.lax.fori_loop(0, n_steps, step, init)
+    final, _ = jax.lax.fori_loop(0, len(schedule.timesteps), step, init)
     return final
 
 
@@ -223,6 +244,7 @@ def make_segmented_denoise(
     attention_backend: str = "xla",
     pos_embedding: Optional[jnp.ndarray] = None,
     cfg_mode: str = "batched",
+    cond_latents: Optional[jnp.ndarray] = None,
 ):
     """Host-steppable denoise: returns ``run(carry, ref, emb, i0, i1)``.
 
@@ -237,54 +259,10 @@ def make_segmented_denoise(
 
     @jax.jit
     def run(carry, ref_latents, prompt_embeds, i0, i1):
-        latents, old_x0 = carry
-        timesteps = jnp.asarray(schedule.timesteps, jnp.int32)
-        alpha_t = jnp.asarray(schedule.alpha_t)
-        alpha_prev = jnp.asarray(schedule.alpha_prev)
-        guidance = jnp.asarray(schedule.guidance)
-        dpm_mults = (
-            {k: jnp.asarray(v) for k, v in schedule.dpm_mults.items()}
-            if schedule.use_dpm
-            else None
+        step = _build_step_fn(
+            params, cfg, schedule, ref_latents, prompt_embeds, rope_cos, rope_sin,
+            do_cfg, rng_key, attention_backend, pos_embedding, cfg_mode, cond_latents,
         )
-        key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
-        b = latents.shape[0]
-        batched_cfg = do_cfg and cfg_mode == "batched"
-        ref_in = (
-            jnp.concatenate([ref_latents, ref_latents], axis=0) if batched_cfg else ref_latents
-        )
-        if do_cfg and not batched_cfg:
-            emb_uncond, emb_cond = jnp.split(prompt_embeds, 2, axis=0)
-
-        def step(i, c):
-            lat, old = c
-            t = jnp.full((2 * b if batched_cfg else b,), timesteps[i], jnp.int32)
-
-            def fwd(lat_in, emb):
-                return transformer_forward(
-                    params, cfg, lat_in, ref_in, emb, t, rope_cos, rope_sin,
-                    pos_embedding=pos_embedding, attention_backend=attention_backend,
-                ).astype(jnp.float32)
-
-            if batched_cfg:
-                pred = fwd(jnp.concatenate([lat, lat], axis=0), prompt_embeds)
-                uncond, cond = jnp.split(pred, 2, axis=0)
-                pred = uncond + guidance[i] * (cond - uncond)
-            elif do_cfg:
-                pred = fwd(lat, emb_uncond)
-                pred = pred + guidance[i] * (fwd(lat, emb_cond) - pred)
-            else:
-                pred = fwd(lat, prompt_embeds)
-
-            if schedule.use_dpm:
-                m_i = {k: v[i] for k, v in dpm_mults.items()}
-                n1 = jax.random.normal(jax.random.fold_in(key, 2 * i), lat.shape, jnp.float32)
-                n2 = jax.random.normal(jax.random.fold_in(key, 2 * i + 1), lat.shape, jnp.float32)
-                new_lat, x0 = dpm_step(pred, lat, old, n1, m_i, schedule.prediction_type, noise2=n2)
-            else:
-                new_lat, x0 = ddim_step(pred, lat, alpha_t[i], alpha_prev[i], schedule.prediction_type)
-            return new_lat.astype(lat.dtype), x0.astype(lat.dtype)
-
-        return jax.lax.fori_loop(i0, i1, step, (latents, old_x0))
+        return jax.lax.fori_loop(i0, i1, step, carry)
 
     return run
