@@ -5,3 +5,4 @@ from s2v_tpu.training.lora import (  # noqa: F401
     lora_loss_fn,
     make_lora_train_step,
 )
+from s2v_tpu.training.data import VideoFolderDataset, latent_batches, read_video_frames  # noqa: F401

@@ -1,0 +1,81 @@
+"""Training data pipeline: decode/trim/resize conventions + latent batches
+feeding an actual LoRA train step."""
+
+import numpy as np
+import jax
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from s2v_tpu.config import SchedulerConfig, T5Config, TransformerConfig, VAEConfig
+from s2v_tpu.models.t5 import init_t5_params
+from s2v_tpu.models.transformer import init_transformer_params
+from s2v_tpu.models.vae import init_vae_params
+from s2v_tpu.pipelines.s2v import S2VPipeline
+from s2v_tpu.training.data import VideoFolderDataset, latent_batches, read_video_frames
+from s2v_tpu.training.lora import LoRASpec, init_lora_params, make_lora_train_step
+
+
+def _write_video(path, frames=10, h=48, w=64):
+    wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 8, (w, h))
+    rng = np.random.RandomState(0)
+    for _ in range(frames):
+        wr.write((rng.rand(h, w, 3) * 255).astype(np.uint8))
+    wr.release()
+
+
+class _FakeTokenizer:
+    def encode(self, prompts, max_length=226):
+        out = np.zeros((len(prompts), max_length), np.int32)
+        for i, p in enumerate(prompts):
+            ids = [(hash(w) % 100) + 2 for w in p.split()][: max_length - 1] + [1]
+            out[i, : len(ids)] = ids
+        return out
+
+
+def test_read_video_conventions(tmp_path):
+    p = tmp_path / "clip.mp4"
+    _write_video(p, frames=6)
+    # trims, resizes, pads short clips by repeating the last frame
+    out = read_video_frames(str(p), num_frames=9, height=32, width=32, skip_frames_start=1)
+    assert out.shape == (9, 32, 32, 3)
+    assert out.min() >= -1.0 and out.max() <= 1.0
+    np.testing.assert_array_equal(out[-1], out[-2])  # padded tail
+
+
+def test_latent_batches_feed_train_step(tmp_path):
+    _write_video(tmp_path / "a.mp4", frames=9, h=32, w=32)
+    _write_video(tmp_path / "b.mp4", frames=9, h=32, w=32)
+    (tmp_path / "prompts.txt").write_text("a pig\na cat\n")
+
+    tcfg = TransformerConfig.tiny()
+    vcfg = VAEConfig.tiny(latent_channels=tcfg.in_channels, sample_height=64, sample_width=64)
+    t5cfg = T5Config.tiny(d_model=tcfg.text_embed_dim)
+    key = jax.random.PRNGKey(0)
+    base = init_transformer_params(key, tcfg)
+    pipe = S2VPipeline(
+        transformer_params=base,
+        transformer_cfg=tcfg,
+        vae_params=init_vae_params(key, vcfg),
+        vae_cfg=vcfg,
+        t5_params=init_t5_params(key, t5cfg),
+        t5_cfg=t5cfg,
+        scheduler_cfg=SchedulerConfig(),
+        tokenizer=_FakeTokenizer(),
+    )
+    ds = VideoFolderDataset(str(tmp_path), num_frames=9, height=32, width=32)
+    assert len(ds) == 2
+
+    spec = LoRASpec(rank=2, alpha=4.0)
+    lora = init_lora_params(jax.random.PRNGKey(1), base, spec)
+    init_opt, train_step = make_lora_train_step(base, tcfg, spec, learning_rate=1e-3)
+    opt_state = init_opt(lora)
+    n = 0
+    for batch in latent_batches(ds, pipe, batch_size=2, seed=0):
+        assert batch["video_latents"].shape == (2, 3, 4, 4, tcfg.in_channels)
+        assert batch["ref_latents"].shape == (2, 1, 4, 4, tcfg.in_channels)
+        assert batch["text_embeds"].shape == (2, tcfg.max_text_seq_length, tcfg.text_embed_dim)
+        lora, opt_state, loss = train_step(lora, opt_state, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(loss))
+        n += 1
+    assert n == 1
