@@ -1,0 +1,101 @@
+"""LoRA fine-tuning CLI.
+
+The TPU-native counterpart of the upstream (unreleased-customization)
+trainer templates in the reference's examples/cogvideo — same flag shape
+(--rank/--lora_alpha/video-folder dataset), TPU-first internals: jitted
+train step over frozen base params, optax AdamW, checkpoints exported in
+the diffusers LoRA key format the inference stacks (ours and the
+reference's) both load.
+
+    python -m s2v_tpu.train \
+        --pretrained_model_name_or_path /path/to/CogVideoX-5b-snapshot \
+        --dataset_dir /path/to/videos --output_dir ./lora_out \
+        --rank 128 --lora_alpha 64 --max_train_steps 1000
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="TPU-native S2V LoRA trainer")
+    p.add_argument("--pretrained_model_name_or_path", type=str, required=True)
+    p.add_argument("--dataset_dir", type=str, required=True,
+                   help="folder of videos (+ optional prompts.txt / <stem>_ref.png)")
+    p.add_argument("--output_dir", type=str, default="lora_out")
+    p.add_argument("--rank", type=int, default=128)
+    p.add_argument("--lora_alpha", type=float, default=64)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--train_batch_size", type=int, default=1)
+    p.add_argument("--max_train_steps", type=int, default=1000)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=720)
+    p.add_argument("--max_num_frames", type=int, default=49)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--checkpointing_steps", type=int, default=500)
+    return p.parse_args(argv)
+
+
+def main(args=None):
+    args = args or get_args()
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    import jax
+
+    from s2v_tpu.loaders.safetensors_io import save_safetensors
+    from s2v_tpu.pipelines.s2v import S2VPipeline
+    from s2v_tpu.training.data import VideoFolderDataset, latent_batches
+    from s2v_tpu.training.lora import (
+        LoRASpec,
+        export_lora_to_reference_format,
+        init_lora_params,
+        make_lora_train_step,
+    )
+    from s2v_tpu.utils.logging import get_logger
+
+    log = get_logger("s2v_tpu.train")
+    pipe = S2VPipeline.from_pretrained(os.path.expanduser(args.pretrained_model_name_or_path))
+    dataset = VideoFolderDataset(
+        args.dataset_dir, num_frames=args.max_num_frames, height=args.height, width=args.width
+    )
+    log.info("dataset: %d clips", len(dataset))
+
+    spec = LoRASpec(rank=args.rank, alpha=args.lora_alpha)
+    lora = init_lora_params(jax.random.PRNGKey(args.seed), pipe.transformer_params, spec)
+    init_opt, train_step = make_lora_train_step(
+        pipe.transformer_params, pipe.transformer_cfg, spec, pipe.scheduler_cfg, args.learning_rate
+    )
+    opt_state = init_opt(lora)
+
+    def save(step):
+        sd = export_lora_to_reference_format(lora, spec, pipe.transformer_cfg)
+        path = os.path.join(args.output_dir, "pytorch_lora_weights_transformer.safetensors")
+        save_safetensors(sd, path)
+        log.info("step %d: saved %s", step, path)
+
+    step = 0
+    epoch = 0
+    t0 = time.perf_counter()
+    while step < args.max_train_steps:
+        for batch in latent_batches(dataset, pipe, args.train_batch_size, seed=args.seed + epoch):
+            rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), step)
+            lora, opt_state, loss = train_step(lora, opt_state, batch, rng)
+            step += 1
+            if step % 10 == 0 or step == 1:
+                log.info("step %d/%d loss %.4f (%.2f s/step)",
+                         step, args.max_train_steps, float(loss),
+                         (time.perf_counter() - t0) / step)
+            if step % args.checkpointing_steps == 0 or step >= args.max_train_steps:
+                save(step)
+            if step >= args.max_train_steps:
+                break
+        epoch += 1
+    save(step)
+    log.info("training complete")
+
+
+if __name__ == "__main__":
+    main()
