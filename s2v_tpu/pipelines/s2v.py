@@ -213,6 +213,7 @@ class S2VPipeline:
         guidance_scale: float = 6.0,
         use_dynamic_cfg: bool = False,
         use_dpm: bool = False,
+        num_videos_per_prompt: int = 1,
         seed: int = 420,
         latents: Optional[jnp.ndarray] = None,
         prompt_embeds: Optional[jnp.ndarray] = None,
@@ -249,6 +250,10 @@ class S2VPipeline:
             with phase("encode-prompt"):
                 prompt_embeds = self.encode_prompt(prompt, negative_prompt, do_cfg=do_cfg)
         prompt_embeds = prompt_embeds.astype(cfg.dtype)
+        if num_videos_per_prompt > 1:
+            # reference _get_t5_prompt_embeds repeat semantics
+            # (pipeline_cogvideox.py:231-235): each prompt row repeated
+            prompt_embeds = jnp.repeat(prompt_embeds, num_videos_per_prompt, axis=0)
         batch = prompt_embeds.shape[0] // (2 if do_cfg else 1)
 
         if ref_latents is None:

@@ -231,6 +231,19 @@ def test_generate_multi_prompt_batch():
     assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
 
 
+def test_num_videos_per_prompt():
+    pipe = _tiny_pipeline()
+    ref = np.zeros((32, 32, 3), np.float32)
+    out = pipe.generate(
+        prompt="a pig", ref_image=ref, height=32, width=32, num_frames=5,
+        num_inference_steps=1, guidance_scale=6.0, num_videos_per_prompt=2,
+        seed=5, output_type="latent",
+    )
+    assert out.shape[0] == 2
+    # different noise per video -> different latents
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
 def test_generate_latent_output_deterministic():
     pipe = _tiny_pipeline()
     ref_img = np.zeros((32, 32, 3), np.float32)
