@@ -75,6 +75,8 @@ def main(args=None):
         attention_backend=args.attention_backend,
         quantize_int8=args.quantize_int8,
     )
+    pipe.vae_tiling = bool(args.enable_tiling)
+    pipe.vae_slicing = bool(args.enable_slicing)
     print(f"[s2v_tpu] models loaded in {time.perf_counter() - t0:.1f}s on {jax.devices()}")
 
     if args.profile_dir:

@@ -44,6 +44,10 @@ class S2VPipeline:
     scheduler_cfg: SchedulerConfig = field(default_factory=SchedulerConfig)
     tokenizer: Optional[object] = None  # T5CLSTokenizer
     attention_backend: str = "xla"
+    # VAE execution options (reference enable_tiling/enable_slicing,
+    # src/inference.py:204-207 — both on by default there too)
+    vae_tiling: bool = True
+    vae_slicing: bool = True
     # compiled-denoise cache for repeated generate() calls (serving)
     _compiled_denoise: dict = field(default_factory=dict, repr=False)
 
@@ -166,7 +170,10 @@ class S2VPipeline:
         if isinstance(image, str):
             image = load_image(image)
         x = jnp.asarray(image, self.vae_cfg.dtype)[None, None]  # [1, 1, H, W, 3]
-        moments = vae_encode(self.vae_params, self.vae_cfg, x)
+        moments = vae_encode(
+            self.vae_params, self.vae_cfg, x,
+            use_tiling=self.vae_tiling, use_slicing=self.vae_slicing,
+        )
         if rng_key is not None:
             noise = jax.random.normal(
                 rng_key, moments.shape[:-1] + (moments.shape[-1] // 2,), jnp.float32
@@ -194,7 +201,10 @@ class S2VPipeline:
         """latents [B, F, h, w, C] -> [B, T, H, W, 3] float32 in [0, 1]
         (reference decode_latents :346-351 + postprocess_video)."""
         z = latents.astype(self.vae_cfg.dtype) / self.vae_cfg.scaling_factor
-        frames = vae_decode(self.vae_params, self.vae_cfg, z)
+        frames = vae_decode(
+            self.vae_params, self.vae_cfg, z,
+            use_tiling=self.vae_tiling, use_slicing=self.vae_slicing,
+        )
         return denormalize_video(np.asarray(frames.astype(jnp.float32)))
 
     # ------------------------------------------------------------------

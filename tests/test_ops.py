@@ -160,6 +160,17 @@ def test_unpatchify_roundtrip_order():
     )
 
 
+def test_chunked_backend_matches_xla():
+    rng = np.random.RandomState(8)
+    B, S, H, hd = 1, 300, 2, 16
+    D = H * hd
+    x = rng.randn(B, S, D).astype(np.float32)
+    params = init_attention_params(jax.random.PRNGKey(1), D, H, jnp.float32)
+    out_xla = joint_attention(params, jnp.asarray(x), H, backend="xla")
+    out_chunked = joint_attention(params, jnp.asarray(x), H, backend="chunked")
+    np.testing.assert_allclose(np.asarray(out_chunked), np.asarray(out_xla), atol=2e-5)
+
+
 def test_joint_attention_matches_torch_sdpa():
     """Full processor parity: fused qkv + qk layernorm + sdpa + out proj
     vs torch SDPA math (attention_processor.py:2014-2097, no RoPE)."""
