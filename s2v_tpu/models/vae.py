@@ -275,6 +275,10 @@ def _tiled(params, cfg: VAEConfig, x, encode: bool):
     limit_h = tile_out_h - blend_e_h
     limit_w = tile_out_w - blend_e_w
 
+    # One call per tile.  (Batching same-shape tiles into one call was
+    # measured SLOWER at 480p — 6.9 s vs 5.3 s — batch-2 activations push
+    # the decoder into a memory-pressure regime that outweighs the saved
+    # dispatches.)
     height, width = x.shape[2], x.shape[3]
     rows = []
     for i in range(0, height, overlap_h):
