@@ -79,9 +79,7 @@ def joint_attention(
         k = apply_rotary_emb(k, rope_cos[:, None, :], rope_sin[:, None, :])
 
     if backend == "pallas":
-        from s2v_tpu.ops.pallas.flash_attention import flash_attention
-
-        out = flash_attention(q, k, v)  # [B, S, H, hd]
+        out = flash_attention_trainable(q, k, v)  # [B, S, H, hd]
     elif backend == "chunked":
         out = chunked_attention(q, k, v)
     elif backend == "ring":
@@ -102,6 +100,27 @@ def joint_attention(
     out = out.reshape(b, s, d)
     out = dense(params["to_out"], out)
     return constrain(out, "dp", "sp", None)
+
+
+@jax.custom_vjp
+def flash_attention_trainable(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable wrapper: Pallas flash kernel forward, memory-bounded
+    recompute backward (VJP of :func:`chunked_attention`, which is
+    numerically the same function).  Enables LoRA training with the fast
+    forward without a hand-written backward kernel (that is round-2 work)."""
+    from s2v_tpu.ops.pallas.flash_attention import flash_attention
+
+    return flash_attention(q, k, v)
+
+
+def _fat_fwd(q, k, v):
+    return flash_attention_trainable(q, k, v), (q, k, v)
+
+
+def _fat_bwd(residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(chunked_attention, q, k, v)
+    return vjp(g)
 
 
 def chunked_attention(
@@ -128,6 +147,9 @@ def chunked_attention(
     out = jax.lax.map(one_block, q_blocks)  # [n, B, bq, H, hd]
     out = out.transpose(1, 0, 2, 3, 4).reshape(b, n_blocks * block_q, h, hd)
     return out[:, :s]
+
+
+flash_attention_trainable.defvjp(_fat_fwd, _fat_bwd)
 
 
 def init_attention_params(key, dim: int, num_heads: int, dtype=jnp.float32, fused: bool = True):

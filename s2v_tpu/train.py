@@ -36,6 +36,9 @@ def get_args(argv=None):
     p.add_argument("--max_num_frames", type=int, default=49)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--checkpointing_steps", type=int, default=500)
+    p.add_argument("--attention_backend", type=str, default="xla",
+                   choices=["xla", "chunked", "pallas", "ring"],
+                   help="pallas = flash-kernel forward + recompute backward")
     return p.parse_args(argv)
 
 
@@ -66,7 +69,8 @@ def main(args=None):
     spec = LoRASpec(rank=args.rank, alpha=args.lora_alpha)
     lora = init_lora_params(jax.random.PRNGKey(args.seed), pipe.transformer_params, spec)
     init_opt, train_step = make_lora_train_step(
-        pipe.transformer_params, pipe.transformer_cfg, spec, pipe.scheduler_cfg, args.learning_rate
+        pipe.transformer_params, pipe.transformer_cfg, spec, pipe.scheduler_cfg,
+        args.learning_rate, attention_backend=args.attention_backend,
     )
     opt_state = init_opt(lora)
 

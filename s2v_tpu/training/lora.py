@@ -113,6 +113,7 @@ def lora_loss_fn(
     batch: Dict[str, jnp.ndarray],
     alphas_cumprod: jnp.ndarray,
     rng: jnp.ndarray,
+    attention_backend: str = "xla",
 ):
     """v-prediction MSE on noised video latents (the CogVideoX objective).
 
@@ -136,6 +137,7 @@ def lora_loss_fn(
         t,
         batch.get("rope_cos"),
         batch.get("rope_sin"),
+        attention_backend=attention_backend,
     )
     return jnp.mean(jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32)))
 
@@ -146,9 +148,14 @@ def make_lora_train_step(
     spec: LoRASpec,
     scheduler_cfg: Optional[SchedulerConfig] = None,
     learning_rate: float = 1e-4,
+    attention_backend: str = "xla",
 ):
     """Returns (init_opt_state, train_step) with train_step jitted:
-    ``(lora, opt_state, batch, rng) -> (lora, opt_state, loss)``."""
+    ``(lora, opt_state, batch, rng) -> (lora, opt_state, loss)``.
+
+    ``attention_backend="pallas"`` runs the flash kernel forward with a
+    memory-bounded recompute backward (``flash_attention_trainable``) —
+    the fast path for on-TPU LoRA training."""
     import optax
 
     alphas = jnp.asarray(compute_alphas_cumprod(scheduler_cfg or SchedulerConfig()))
@@ -160,7 +167,7 @@ def make_lora_train_step(
     @jax.jit
     def train_step(lora_params, opt_state, batch, rng):
         loss, grads = jax.value_and_grad(lora_loss_fn)(
-            lora_params, base_params, cfg, spec, batch, alphas, rng
+            lora_params, base_params, cfg, spec, batch, alphas, rng, attention_backend
         )
         updates, opt_state = tx.update(grads, opt_state, lora_params)
         lora_params = optax.apply_updates(lora_params, updates)

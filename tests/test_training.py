@@ -90,3 +90,20 @@ def test_export_roundtrip_to_merge_path():
         np.testing.assert_allclose(
             merged_sd[f"transformer_blocks.{i}.attn1.to_q.weight"], expected, atol=1e-5
         )
+
+
+def test_train_step_backend_plumbing():
+    """attention_backend reaches the loss: a chunked-backend train step runs
+    and matches the xla-backend loss on the first step (same math)."""
+    cfg, base, spec, lora, batch = _setup()
+    rng = jax.random.PRNGKey(11)
+    init_opt, step_xla = make_lora_train_step(
+        base, cfg, spec, SchedulerConfig(), learning_rate=1e-3, attention_backend="xla"
+    )
+    _, step_chk = make_lora_train_step(
+        base, cfg, spec, SchedulerConfig(), learning_rate=1e-3, attention_backend="chunked"
+    )
+    opt_state = init_opt(lora)
+    _, _, loss_xla = step_xla(lora, opt_state, batch, rng)
+    _, _, loss_chk = step_chk(lora, opt_state, batch, rng)
+    np.testing.assert_allclose(float(loss_xla), float(loss_chk), rtol=2e-5)
