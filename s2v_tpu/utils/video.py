@@ -5,9 +5,10 @@ Parity targets: ``VideoProcessor.postprocess_video`` /
 image_processor.py:227 — ``(x/2+0.5).clamp(0,1)``) and ``export_to_video``
 (utils/export_utils.py:143-186 — uint8 rounding, mp4 mux at the given fps).
 
-Muxing uses OpenCV's bundled ffmpeg (the environment ships no standalone
-ffmpeg binary / imageio-ffmpeg); falls back to a raw ``.npy`` dump if no
-video backend is available.
+Muxing uses the native C++ muxer (native/mp4_muxer.cc — libavformat +
+libx264, the direct equivalent of the reference's imageio-ffmpeg binary),
+falling back to OpenCV's bundled writer and finally a raw ``.npy`` dump if
+no video backend is available.
 """
 
 from __future__ import annotations
@@ -37,6 +38,12 @@ def export_to_video(frames: np.ndarray, path: str, fps: int = 8) -> str:
     if frames.dtype != np.uint8:
         frames = to_uint8_frames(denormalize_video(frames) if frames.min() < 0 else frames)
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    try:
+        from s2v_tpu.utils import mp4_native
+
+        return mp4_native.write_mp4(frames, path, fps=fps)
+    except Exception:
+        pass
     try:
         import cv2
 
