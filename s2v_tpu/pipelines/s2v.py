@@ -309,22 +309,24 @@ class S2VPipeline:
             cfg_mode = "sequential" if len(jax.devices()) == 1 else "batched"
         # cache the compiled loop per configuration so repeated generate()
         # calls (serving) reuse the executable instead of re-jitting
+        # the DPM noise key is a traced argument (not a closure) so new
+        # seeds reuse the same executable — critical for serving
         cache_key = (
             num_inference_steps, float(guidance_scale), use_dynamic_cfg, use_dpm,
-            do_cfg, cfg_mode, seed, height, width, num_frames, batch,
+            do_cfg, cfg_mode, height, width, num_frames, batch,
         )
         run = self._compiled_denoise.get(cache_key)
         if run is None:
             run = jax.jit(
-                lambda p, lat, ref, emb: denoise(
+                lambda p, lat, ref, emb, rng: denoise(
                     p, cfg, schedule, lat, ref, emb, rope_cos, rope_sin,
-                    do_cfg=do_cfg, rng_key=k_dpm, attention_backend=self.attention_backend,
+                    do_cfg=do_cfg, rng_key=rng, attention_backend=self.attention_backend,
                     pos_embedding=pos_embedding, cfg_mode=cfg_mode,
                 )
             )
             self._compiled_denoise[cache_key] = run
         with phase("denoise", log=True):
-            final = run(self.transformer_params, latents, ref_latents, prompt_embeds)
+            final = run(self.transformer_params, latents, ref_latents, prompt_embeds, k_dpm)
             final.block_until_ready()
 
         if output_type == "latent":

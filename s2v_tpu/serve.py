@@ -1,0 +1,87 @@
+"""``python -m s2v_tpu.serve`` — serving daemon entry point.
+
+Loads the pipeline once (same model-assembly flags as the inference CLI,
+reference src/inference.py:37-62) and serves generation requests over a
+unix socket until shutdown.  See s2v_tpu/serving/daemon.py for the
+protocol.
+
+Client one-liner:
+
+    python -m s2v_tpu.serve --socket /tmp/s2v.sock \\
+        --request '{"op": "generate", "prompt": "...", "ref_img_path": "...",
+                    "output_path": "out.mp4"}'
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="s2v_tpu serving daemon")
+    p.add_argument("--socket", type=str, default="/tmp/s2v_tpu.sock")
+    p.add_argument("--request", type=str, default=None,
+                   help="client mode: send this JSON request and print the response")
+    p.add_argument("--pretrained_model_name_or_path", type=str, default=None)
+    p.add_argument("--checkpoint_path", type=str, default=None, help="S2V LoRA checkpoint dir")
+    p.add_argument("--lora_alpha", type=float, default=64)
+    p.add_argument("--attention_backend", type=str, default="xla",
+                   choices=["xla", "pallas", "chunked", "ring"])
+    p.add_argument("--quantize_int8", action="store_true", default=False)
+    p.add_argument("--enable_tiling", default=True)
+    p.add_argument("--enable_slicing", default=True)
+    p.add_argument("--fps", type=int, default=8)
+    p.add_argument("--ready_file", type=str, default=None,
+                   help="touched once the socket is listening (for supervisors)")
+    p.add_argument("--warmup", type=str, default=None,
+                   help="JSON generate-kwargs to precompile at startup, e.g. "
+                        '\'{"height": 480, "width": 720, "num_frames": 49}\'')
+    return p.parse_args(argv)
+
+
+def main(args=None):
+    args = args or get_args()
+
+    if args.request is not None:
+        from s2v_tpu.serving.client import request
+
+        resp = request(args.socket, json.loads(args.request))
+        print(json.dumps(resp, indent=2))
+        return 0 if resp.get("status") == "ok" else 1
+
+    if not args.pretrained_model_name_or_path:
+        print("daemon mode requires --pretrained_model_name_or_path", file=sys.stderr)
+        return 2
+
+    from s2v_tpu.pipelines.s2v import S2VPipeline
+    from s2v_tpu.serving.daemon import ServingDaemon
+    from s2v_tpu.utils.logging import get_logger
+
+    log = get_logger("s2v_tpu.serve")
+    pipe = S2VPipeline.from_pretrained(
+        os.path.expanduser(args.pretrained_model_name_or_path),
+        lora_checkpoint=args.checkpoint_path,
+        lora_alpha=args.lora_alpha,
+        attention_backend=args.attention_backend,
+        quantize_int8=args.quantize_int8,
+    )
+    pipe.vae_tiling = bool(args.enable_tiling)
+    pipe.vae_slicing = bool(args.enable_slicing)
+    daemon = ServingDaemon(pipe, args.socket, fps=args.fps)
+
+    if args.warmup:
+        wu = {"op": "warmup", **json.loads(args.warmup)}
+        log.info("warmup: %s", wu)
+        log.info("warmup done: %s", daemon.handle(wu))
+
+    log.info("serving on %s", args.socket)
+    daemon.serve_forever(ready_file=args.ready_file)
+    log.info("daemon stopped")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

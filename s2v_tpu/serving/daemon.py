@@ -1,0 +1,177 @@
+"""Serving daemon: a persistent process that holds the loaded pipeline
+(weights HBM-resident) and its compiled-denoise executable cache, and
+serves generation requests over a unix-domain socket.
+
+The reference has no serving story (one process per clip, paying model
+load + compile every time — src/inference.py main()).  On TPU the
+load+compile cost dominates short jobs, so production serving needs a
+resident process: first request per geometry compiles once, every
+subsequent request reuses the executable (S2VPipeline._compiled_denoise;
+seeds are traced arguments so they never recompile).
+
+Protocol: newline-delimited JSON request/response pairs.
+
+  {"op": "ping"}
+  {"op": "stats"}
+  {"op": "warmup",   ...generate-kwargs}            # compile without export
+  {"op": "generate", "prompt": ..., "ref_img_path": ...,
+   "output_path": ..., ...generate-kwargs}
+  {"op": "shutdown"}
+
+Responses: {"status": "ok", ...} | {"status": "error", "error": msg}.
+Requests are served FIFO on one worker — the TPU is single-tenant
+(concurrent programs would contend for HBM); batching across prompts is
+expressed *inside* a request via num_videos_per_prompt / prompt lists.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import time
+import traceback
+from typing import Optional
+
+import numpy as np
+
+# generate() kwargs a request may override, with coercers
+_GEN_KEYS = {
+    "negative_prompt": str,
+    "height": int,
+    "width": int,
+    "num_frames": int,
+    "num_inference_steps": int,
+    "guidance_scale": float,
+    "use_dynamic_cfg": bool,
+    "use_dpm": bool,
+    "num_videos_per_prompt": int,
+    "seed": int,
+    "cfg_mode": str,
+}
+
+
+class ServingDaemon:
+    def __init__(self, pipe, socket_path: str, fps: int = 8):
+        self.pipe = pipe
+        self.socket_path = socket_path
+        self.fps = fps
+        self.requests_served = 0
+        self.clips_generated = 0
+        self._t_start = time.time()
+
+    # -- request handlers ------------------------------------------------
+
+    def _gen_kwargs(self, req: dict) -> dict:
+        kwargs = {}
+        for k, coerce in _GEN_KEYS.items():
+            if k in req and req[k] is not None:
+                kwargs[k] = coerce(req[k])
+        return kwargs
+
+    def handle(self, req: dict) -> dict:
+        op = req.get("op", "generate")
+        if op == "ping":
+            return {"status": "ok", "pong": True}
+        if op == "stats":
+            return {
+                "status": "ok",
+                "requests_served": self.requests_served,
+                "clips_generated": self.clips_generated,
+                "compiled_configs": len(self.pipe._compiled_denoise),
+                "uptime_s": round(time.time() - self._t_start, 1),
+            }
+        if op == "shutdown":
+            return {"status": "ok", "shutdown": True}
+        if op in ("generate", "warmup"):
+            return self._generate(req, export=op == "generate")
+        return {"status": "error", "error": f"unknown op {op!r}"}
+
+    def _generate(self, req: dict, export: bool) -> dict:
+        from s2v_tpu.utils.video import export_to_video
+
+        kwargs = self._gen_kwargs(req)
+        prompt = req.get("prompt")
+        ref = req.get("ref_img_path")
+        if export and (prompt is None or ref is None):
+            return {"status": "error", "error": "generate needs prompt and ref_img_path"}
+        if ref is not None and not os.path.exists(ref):
+            return {"status": "error", "error": f"ref image not found: {ref}"}
+        if not export and ref is None:
+            # warmup without an image: synthesize ref latents at the target
+            # latent geometry (compiles the same executable)
+            import jax.numpy as jnp
+
+            sc = self.pipe.vae_cfg.spatial_compression_ratio
+            h = int(kwargs.get("height", 480)) // sc
+            w = int(kwargs.get("width", 720)) // sc
+            kwargs["ref_latents"] = jnp.zeros(
+                (1, 1, h, w, self.pipe.transformer_cfg.in_channels),
+                self.pipe.transformer_cfg.dtype,
+            )
+
+        t0 = time.time()
+        cached_before = len(self.pipe._compiled_denoise)
+        video = self.pipe.generate(prompt=prompt or "warmup", ref_image=ref, **kwargs)
+        seconds = time.time() - t0
+        compiled = len(self.pipe._compiled_denoise) > cached_before
+
+        resp = {
+            "status": "ok",
+            "seconds": round(seconds, 2),
+            "compiled": compiled,  # False => executable cache hit
+            "shape": list(np.asarray(video).shape),
+        }
+        if export:
+            out_path = req.get("output_path") or os.path.join(
+                req.get("output_dir", "."), f"s2v_{int(time.time())}.mp4"
+            )
+            outputs = []
+            for clip in np.asarray(video):
+                path = out_path if len(video) == 1 else (
+                    os.path.splitext(out_path)[0] + f"_{len(outputs)}.mp4"
+                )
+                outputs.append(export_to_video(clip, path, fps=int(req.get("fps", self.fps))))
+            self.clips_generated += len(outputs)
+            resp["outputs"] = outputs
+        return resp
+
+    # -- socket loop -----------------------------------------------------
+
+    def serve_forever(self, ready_file: Optional[str] = None) -> None:
+        if os.path.exists(self.socket_path):
+            os.unlink(self.socket_path)
+        srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        srv.bind(self.socket_path)
+        srv.listen(8)
+        if ready_file:
+            with open(ready_file, "w") as f:
+                f.write("ready")
+        try:
+            shutdown = False
+            while not shutdown:
+                conn, _ = srv.accept()
+                with conn, conn.makefile("rwb") as stream:
+                    for line in stream:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        try:
+                            req = json.loads(line)
+                            resp = self.handle(req)
+                        except Exception as e:  # keep the daemon alive
+                            resp = {
+                                "status": "error",
+                                "error": f"{type(e).__name__}: {e}",
+                                "traceback": traceback.format_exc(limit=8),
+                            }
+                        self.requests_served += 1
+                        stream.write((json.dumps(resp) + "\n").encode())
+                        stream.flush()
+                        if resp.get("shutdown"):
+                            shutdown = True
+                            break
+        finally:
+            srv.close()
+            if os.path.exists(self.socket_path):
+                os.unlink(self.socket_path)
