@@ -52,6 +52,9 @@ def get_args(argv=None):
     p.add_argument("--attention_backend", type=str, default="xla", choices=["xla", "pallas", "chunked"])
     p.add_argument("--quantize_int8", action="store_true", default=False,
                    help="int8 weight+dynamic-activation serving fast path (~8%% faster, tiny quality cost)")
+    p.add_argument("--text_encoder_device", type=str, default="auto",
+                   choices=["auto", "device", "host"],
+                   help="host keeps T5 in host RAM (cpu-offload equivalent)")
     p.add_argument("--profile_dir", type=str, default=None, help="jax.profiler trace output dir")
     return p.parse_args(argv)
 
@@ -74,6 +77,7 @@ def main(args=None):
         lora_alpha=args.lora_alpha,
         attention_backend=args.attention_backend,
         quantize_int8=args.quantize_int8,
+        text_encoder_device=args.text_encoder_device,
     )
     pipe.vae_tiling = bool(args.enable_tiling)
     pipe.vae_slicing = bool(args.enable_slicing)

@@ -48,8 +48,16 @@ class S2VPipeline:
     # src/inference.py:204-207 — both on by default there too)
     vae_tiling: bool = True
     vae_slicing: bool = True
+    # text encoder placement: True = T5 params live in host RAM and encode
+    # runs on the CPU backend (the TPU equivalent of the reference's
+    # enable_model_cpu_offload, pipeline_utils.py:991 — on a 16 GB v5e chip
+    # T5-XXL ~9.4 GB bf16 + DiT ~11.1 GB cannot both be HBM-resident)
+    t5_on_host: bool = False
     # compiled-denoise cache for repeated generate() calls (serving)
     _compiled_denoise: dict = field(default_factory=dict, repr=False)
+    # prompt -> embedding cache (serving: the "" negative prompt repeats
+    # every request; host-side T5 is worth caching)
+    _prompt_embed_cache: dict = field(default_factory=dict, repr=False)
 
     # ------------------------------------------------------------------
     # loading (reference src/inference.py:172-247)
@@ -64,10 +72,15 @@ class S2VPipeline:
         dtype=jnp.bfloat16,
         attention_backend: str = "xla",
         quantize_int8: bool = False,
+        text_encoder_device: str = "auto",  # "auto" | "device" | "host"
     ) -> "S2VPipeline":
         """Load a HF-layout CogVideoX snapshot dir (transformer/ vae/
         text_encoder/ tokenizer/ scheduler/) + optional S2V LoRA checkpoint,
-        merged at init."""
+        merged at init.
+
+        ``text_encoder_device="auto"`` keeps T5 in host RAM when the T5 +
+        transformer parameters would overflow a single accelerator's HBM
+        (single-chip 5b: 9.4 + 11.1 GB > 16 GB v5e)."""
         from s2v_tpu.loaders import (
             convert_t5_state_dict,
             convert_transformer_state_dict,
@@ -93,11 +106,27 @@ class S2VPipeline:
 
         t5_dir = os.path.join(model_dir, "text_encoder")
         t5_params = t5_cfg = tokenizer = None
+        t5_on_host = False
         if os.path.isdir(t5_dir):
             t5_cfg = T5Config.from_hf_config(
                 os.path.join(t5_dir, "config.json"), dtype=dtype, param_dtype=dtype
             )
-            t5_params = convert_t5_state_dict(load_sharded_safetensors(t5_dir), t5_cfg)
+            t5_sd = load_sharded_safetensors(t5_dir)  # numpy, host-side
+            if text_encoder_device == "host":
+                t5_on_host = True
+            elif text_encoder_device == "auto":
+                itemsize = jnp.dtype(dtype).itemsize
+                model_bytes = itemsize * (
+                    sum(int(np.prod(v.shape)) for v in t5_sd.values())
+                    + sum(x.size for x in jax.tree.leaves(transformer_params))
+                )
+                dev = jax.devices()[0]
+                t5_on_host = dev.platform == "tpu" and model_bytes > 13.5e9
+            if t5_on_host:
+                with jax.default_device(jax.devices("cpu")[0]):
+                    t5_params = convert_t5_state_dict(t5_sd, t5_cfg)
+            else:
+                t5_params = convert_t5_state_dict(t5_sd, t5_cfg)
             from s2v_tpu.utils.tokenizer import T5CLSTokenizer
 
             try:
@@ -130,6 +159,7 @@ class S2VPipeline:
             scheduler_cfg=scheduler_cfg,
             tokenizer=tokenizer,
             attention_backend=attention_backend,
+            t5_on_host=t5_on_host,
         )
 
     # ------------------------------------------------------------------
@@ -151,15 +181,36 @@ class S2VPipeline:
         if max_sequence_length is None:
             max_sequence_length = self.transformer_cfg.max_text_seq_length
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
-        ids = self.tokenizer.encode(prompts, max_sequence_length)
-        cond = t5_encode(self.t5_params, self.t5_cfg, jnp.asarray(ids))
+        cond = self._encode_texts(prompts, max_sequence_length)
         if not do_cfg:
             return cond
         neg = negative_prompt if negative_prompt is not None else ""
         negs = [neg] * len(prompts) if isinstance(neg, str) else list(neg)
-        neg_ids = self.tokenizer.encode(negs, max_sequence_length)
-        uncond = t5_encode(self.t5_params, self.t5_cfg, jnp.asarray(neg_ids))
+        uncond = self._encode_texts(negs, max_sequence_length)
         return jnp.concatenate([uncond, cond], axis=0)
+
+    def _encode_texts(self, texts: list, max_length: int) -> jnp.ndarray:
+        """T5-encode a list of strings with a per-text embedding cache.
+
+        When ``t5_on_host`` the encode runs on the CPU backend (params are
+        host-committed) and only the resulting [T, d_model] embeddings move
+        to the accelerator — the TPU equivalent of the reference's model
+        CPU offload for the text encoder."""
+        missing = [t for t in texts if (t, max_length) not in self._prompt_embed_cache]
+        if missing:
+            ids = jnp.asarray(self.tokenizer.encode(missing, max_length))
+            if self.t5_on_host:
+                cpu = jax.devices("cpu")[0]
+                with jax.default_device(cpu):
+                    emb = t5_encode(self.t5_params, self.t5_cfg, jax.device_put(ids, cpu))
+                emb = jax.device_put(emb, jax.devices()[0])
+            else:
+                emb = t5_encode(self.t5_params, self.t5_cfg, ids)
+            while len(self._prompt_embed_cache) + len(missing) > 32:  # FIFO cap
+                self._prompt_embed_cache.pop(next(iter(self._prompt_embed_cache)))
+            for t, e in zip(missing, emb):
+                self._prompt_embed_cache[(t, max_length)] = e
+        return jnp.stack([self._prompt_embed_cache[(t, max_length)] for t in texts], axis=0)
 
     def encode_ref_image(
         self, image: Union[str, np.ndarray], rng_key: Optional[jnp.ndarray] = None

@@ -254,3 +254,26 @@ def test_generate_latent_output_deterministic():
     a = pipe.generate(**kwargs)
     b = pipe.generate(**kwargs)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_t5_host_offload_and_prompt_cache():
+    """t5_on_host encode produces the same embeddings as on-device encode
+    (cpu-offload equivalent); the prompt cache returns identical arrays and
+    avoids re-encoding."""
+    pipe = _tiny_pipeline()
+    emb_dev = pipe.encode_prompt("a pig in a field", do_cfg=True)
+
+    pipe2 = _tiny_pipeline()
+    pipe2.t5_on_host = True
+    emb_host = pipe2.encode_prompt("a pig in a field", do_cfg=True)
+    np.testing.assert_allclose(
+        np.asarray(emb_dev, np.float32), np.asarray(emb_host, np.float32), atol=1e-6
+    )
+
+    # cache: second call must not re-encode (poison the t5 params)
+    assert len(pipe2._prompt_embed_cache) == 2  # prompt + ""
+    pipe2.t5_params = None  # encode would now raise if attempted
+    emb_cached = pipe2._encode_texts(["a pig in a field"], pipe2.transformer_cfg.max_text_seq_length)
+    np.testing.assert_array_equal(
+        np.asarray(emb_cached[0], np.float32), np.asarray(emb_host[1], np.float32)
+    )
