@@ -55,6 +55,9 @@ def get_args(argv=None):
     p.add_argument("--text_encoder_device", type=str, default="auto",
                    choices=["auto", "device", "host"],
                    help="host keeps T5 in host RAM (cpu-offload equivalent)")
+    p.add_argument("--disentangled_modulation", action="store_true", default=False,
+                   help="intended (non-inert) enable_lora adaLN semantics: "
+                        "video/text modulated by base weights, ref by LoRA-merged")
     p.add_argument("--profile_dir", type=str, default=None, help="jax.profiler trace output dir")
     return p.parse_args(argv)
 
@@ -78,6 +81,7 @@ def main(args=None):
         attention_backend=args.attention_backend,
         quantize_int8=args.quantize_int8,
         text_encoder_device=args.text_encoder_device,
+        disentangled_modulation=args.disentangled_modulation,
     )
     pipe.vae_tiling = bool(args.enable_tiling)
     pipe.vae_slicing = bool(args.enable_slicing)

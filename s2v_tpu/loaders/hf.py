@@ -110,19 +110,21 @@ def convert_transformer_state_dict(
                 "net_0": _linear(sd, f"{pre}.ff.net.0.proj", dt),
                 "net_2": _linear(sd, f"{pre}.ff.net.2", dt),
             }
+        norm1_tree = {
+            "linear": _linear(sd, f"{pre}.norm1.linear", dt),
+            "norm": _affine(sd, f"{pre}.norm1.norm", dt),
+        }
+        norm2_tree = {
+            "linear": _linear(sd, f"{pre}.norm2.linear", dt),
+            "norm": _affine(sd, f"{pre}.norm2.norm", dt),
+        }
+        # pre-merge modulation weights for the disentangled-adaLN switch
+        # (stashed by S2VPipeline.from_pretrained before the LoRA merge)
+        if f"{pre}.norm1.base_linear.weight" in sd:
+            norm1_tree["base_linear"] = _linear(sd, f"{pre}.norm1.base_linear", dt)
+            norm2_tree["base_linear"] = _linear(sd, f"{pre}.norm2.base_linear", dt)
         blocks.append(
-            {
-                "norm1": {
-                    "linear": _linear(sd, f"{pre}.norm1.linear", dt),
-                    "norm": _affine(sd, f"{pre}.norm1.norm", dt),
-                },
-                "attn": attn_tree,
-                "norm2": {
-                    "linear": _linear(sd, f"{pre}.norm2.linear", dt),
-                    "norm": _affine(sd, f"{pre}.norm2.norm", dt),
-                },
-                "ff": ff_tree,
-            }
+            {"norm1": norm1_tree, "attn": attn_tree, "norm2": norm2_tree, "ff": ff_tree}
         )
     blocks = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
 

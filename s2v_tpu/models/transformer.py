@@ -202,8 +202,14 @@ def block_forward(
     t_len = text.shape[1]
     r_len = ref.shape[1]
 
+    # Disentangled semantics (SURVEY.md §0 — the intended-but-inert
+    # enable_lora trick): video/text modulated by the pre-merge base
+    # weights, ref by the LoRA-merged ones.  The loader stashes
+    # ``base_linear`` only when cfg.disentangled_modulation is set.
+    disent = cfg.disentangled_modulation
     v_n, t_n, r_n, g_v, g_t, g_r = ada_layer_norm_zero_3stream(
-        p["norm1"], video, text, ref, temb, cfg.norm_eps
+        p["norm1"], video, text, ref, temb, cfg.norm_eps,
+        base_linear=p["norm1"].get("base_linear") if disent else None,
     )
     x = jnp.concatenate([t_n, r_n, v_n], axis=1)
     attn = joint_attention(
@@ -223,7 +229,8 @@ def block_forward(
     ref = ref + g_r * a_r
 
     v_n, t_n, r_n, g_v, g_t, g_r = ada_layer_norm_zero_3stream(
-        p["norm2"], video, text, ref, temb, cfg.norm_eps
+        p["norm2"], video, text, ref, temb, cfg.norm_eps,
+        base_linear=p["norm2"].get("base_linear") if disent else None,
     )
     y = jnp.concatenate([t_n, r_n, v_n], axis=1)
     ff = _feed_forward(p["ff"], y)

@@ -73,6 +73,7 @@ class S2VPipeline:
         attention_backend: str = "xla",
         quantize_int8: bool = False,
         text_encoder_device: str = "auto",  # "auto" | "device" | "host"
+        disentangled_modulation: bool = False,
     ) -> "S2VPipeline":
         """Load a HF-layout CogVideoX snapshot dir (transformer/ vae/
         text_encoder/ tokenizer/ scheduler/) + optional S2V LoRA checkpoint,
@@ -93,6 +94,18 @@ class S2VPipeline:
             os.path.join(model_dir, "transformer", "config.json"), dtype=dtype, param_dtype=dtype
         )
         sd = load_sharded_safetensors(os.path.join(model_dir, "transformer"))
+        if disentangled_modulation:
+            # intended enable_lora semantics (SURVEY.md §0): keep the
+            # pre-merge modulation linears for the video/text streams
+            import dataclasses
+
+            t_cfg = dataclasses.replace(t_cfg, disentangled_modulation=True)
+            for i in range(t_cfg.num_layers):
+                for n in ("norm1", "norm2"):
+                    for wb in ("weight", "bias"):
+                        sd[f"transformer_blocks.{i}.{n}.base_linear.{wb}"] = sd[
+                            f"transformer_blocks.{i}.{n}.linear.{wb}"
+                        ]
         if lora_checkpoint is not None:
             sd, _ = load_and_merge_lora(sd, lora_checkpoint, alpha=lora_alpha)
         transformer_params = convert_transformer_state_dict(sd, t_cfg, quantize_int8=quantize_int8)

@@ -39,6 +39,9 @@ def get_args(argv=None):
     p.add_argument("--attention_backend", type=str, default="xla",
                    choices=["xla", "chunked", "pallas", "ring"],
                    help="pallas = flash-kernel forward + recompute backward")
+    p.add_argument("--disentangled_modulation", action="store_true", default=False,
+                   help="train norm1/norm2 LoRA with the intended enable_lora "
+                        "semantics (ref-stream-only modulation adapters)")
     return p.parse_args(argv)
 
 
@@ -66,7 +69,8 @@ def main(args=None):
     )
     log.info("dataset: %d clips", len(dataset))
 
-    spec = LoRASpec(rank=args.rank, alpha=args.lora_alpha)
+    spec = LoRASpec(rank=args.rank, alpha=args.lora_alpha,
+                    disentangled=args.disentangled_modulation)
     lora = init_lora_params(jax.random.PRNGKey(args.seed), pipe.transformer_params, spec)
     init_opt, train_step = make_lora_train_step(
         pipe.transformer_params, pipe.transformer_cfg, spec, pipe.scheduler_cfg,

@@ -49,6 +49,11 @@ class LoRASpec:
     rank: int = 128
     alpha: float = 64.0
     targets: Tuple[str, ...] = tuple(_TARGETS.keys())
+    # train with the *intended* enable_lora semantics (SURVEY.md §0):
+    # norm1/norm2 modulation adapters apply to the ref stream only, while
+    # video/text keep the base modulation.  Requires the model cfg to have
+    # disentangled_modulation=True so block_forward consumes base_linear.
+    disentangled: bool = False
 
     @property
     def scale(self) -> float:
@@ -102,6 +107,14 @@ def merge_lora_params(base_params, lora_params, spec: LoRASpec):
         kernel = _kernel_at(base_params, path)
         delta = jnp.einsum("...ir,...ro->...io", ab["a"], ab["b"]) * spec.scale
         set_kernel(merged, path, kernel + delta.astype(kernel.dtype))
+        if spec.disentangled and name in ("norm1.linear", "norm2.linear"):
+            # expose the pre-merge weights so the disentangled block keeps
+            # video/text modulation on the base path
+            node = merged
+            for p in path[:-1]:
+                node = node[p]
+            # beside the (merged) "linear" leaf, as block_forward expects
+            node["base_linear"] = {"kernel": kernel, "bias": node[path[-1]]["bias"]}
     return merged
 
 
@@ -158,6 +171,10 @@ def make_lora_train_step(
     the fast path for on-TPU LoRA training."""
     import optax
 
+    if spec.disentangled and not cfg.disentangled_modulation:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, disentangled_modulation=True)
     alphas = jnp.asarray(compute_alphas_cumprod(scheduler_cfg or SchedulerConfig()))
     tx = optax.adamw(learning_rate)
 

@@ -333,3 +333,54 @@ def test_normalize_peft_default_keys():
     sd = {"transformer.x.lora_A.default.weight": np.zeros(1), "transformer.x.lora_B.default.weight": np.zeros(1)}
     out = normalize_lora_keys(sd)
     assert set(out) == {"x.lora_A.weight", "x.lora_B.weight"}
+
+
+def test_disentangled_modulation_loader_and_forward():
+    """convert_transformer_state_dict picks up stashed base_linear keys, and
+    transformer_forward with disentangled_modulation routes video/text
+    modulation through them (equal when base == merged, different after a
+    simulated merge)."""
+    import dataclasses
+
+    cfg = TransformerConfig.tiny()
+    cfg_d = dataclasses.replace(cfg, disentangled_modulation=True)
+    torch.manual_seed(1)
+    sd = TorchTinyTransformer(cfg).eval().hf_state_dict()
+    for i in range(cfg.num_layers):
+        for n in ("norm1", "norm2"):
+            for wb in ("weight", "bias"):
+                sd[f"transformer_blocks.{i}.{n}.base_linear.{wb}"] = sd[
+                    f"transformer_blocks.{i}.{n}.linear.{wb}"
+                ].copy()
+
+    rng = np.random.RandomState(1)
+    B, Fv, H, W = 1, 2, 8, 8
+    video = jnp.asarray(rng.randn(B, Fv, H, W, cfg.in_channels).astype(np.float32))
+    ref = jnp.asarray(rng.randn(B, 1, H, W, cfg.in_channels).astype(np.float32))
+    text = jnp.asarray(rng.randn(B, cfg.max_text_seq_length, cfg.text_embed_dim).astype(np.float32))
+    t = jnp.asarray([500.0])
+    cos, sin, tok = _tiny_rope_tables(cfg, Fv, H, W)
+    cs, sn = build_segmented_rope(
+        cfg.max_text_seq_length, cos[:tok], sin[:tok], cos[tok : tok * (Fv + 1)], sin[tok : tok * (Fv + 1)]
+    )
+
+    params = convert_transformer_state_dict(sd, cfg_d)
+    assert "base_linear" in params["blocks"]["norm1"]
+    out_plain = transformer_forward(params, cfg, video, ref, text, t, cs, sn)
+    out_disent = transformer_forward(params, cfg_d, video, ref, text, t, cs, sn)
+    # base == merged -> identical
+    np.testing.assert_allclose(np.asarray(out_disent), np.asarray(out_plain), atol=1e-6)
+
+    # simulate a LoRA merge on the live modulation linears only
+    for i in range(cfg.num_layers):
+        for n in ("norm1", "norm2"):
+            sd[f"transformer_blocks.{i}.{n}.linear.weight"] = (
+                sd[f"transformer_blocks.{i}.{n}.linear.weight"] + 0.05
+            )
+    params2 = convert_transformer_state_dict(sd, cfg_d)
+    out_m_plain = transformer_forward(params2, cfg, video, ref, text, t, cs, sn)
+    out_m_disent = transformer_forward(params2, cfg_d, video, ref, text, t, cs, sn)
+    # merged != base -> the switch changes the output, and neither matches
+    # the all-merged forward (video/text follow base now)
+    assert float(jnp.abs(out_m_disent - out_m_plain).max()) > 1e-4
+    assert float(jnp.abs(out_m_disent - out_plain).max()) > 1e-4

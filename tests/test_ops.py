@@ -195,3 +195,37 @@ def test_joint_attention_matches_torch_sdpa():
     attn = attn.permute(0, 2, 1, 3).reshape(B, S, D).numpy()
     expected = attn @ np.asarray(params["to_out"]["kernel"]) + np.asarray(params["to_out"]["bias"])
     np.testing.assert_allclose(np.asarray(out), expected, atol=2e-5)
+
+
+def test_adaln_disentangled_switch():
+    """base_linear: video/text streams follow the base modulation, the ref
+    stream follows the merged one (intended enable_lora semantics)."""
+    rng = np.random.RandomState(5)
+    B, D, Td = 2, 12, 8
+    video = jnp.asarray(rng.randn(B, 7, D).astype(np.float32))
+    text = jnp.asarray(rng.randn(B, 3, D).astype(np.float32))
+    ref = jnp.asarray(rng.randn(B, 5, D).astype(np.float32))
+    temb = jnp.asarray(rng.randn(B, Td).astype(np.float32))
+    norm = {"weight": jnp.asarray(rng.randn(D).astype(np.float32)),
+            "bias": jnp.asarray(rng.randn(D).astype(np.float32))}
+    base = {"kernel": jnp.asarray(rng.randn(Td, 6 * D).astype(np.float32) * 0.1),
+            "bias": jnp.asarray(rng.randn(6 * D).astype(np.float32) * 0.1)}
+    merged = {"kernel": base["kernel"] + 0.05, "bias": base["bias"] - 0.02}
+
+    dv, dt_, dr, dgv, dgt, dgr = ada_layer_norm_zero_3stream(
+        {"linear": merged, "norm": norm}, video, text, ref, temb, base_linear=base
+    )
+    bv, bt, br, bgv, bgt, bgr = ada_layer_norm_zero_3stream(
+        {"linear": base, "norm": norm}, video, text, ref, temb
+    )
+    mv, mt, mr, mgv, mgt, mgr = ada_layer_norm_zero_3stream(
+        {"linear": merged, "norm": norm}, video, text, ref, temb
+    )
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(bv), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dt_), np.asarray(bt), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dgv), np.asarray(bgv), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dgt), np.asarray(bgt), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dr), np.asarray(mr), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dgr), np.asarray(mgr), atol=1e-6)
+    # the switch is not a no-op when base != merged
+    assert float(jnp.abs(dr - br).max()) > 1e-3

@@ -107,3 +107,41 @@ def test_train_step_backend_plumbing():
     _, _, loss_xla = step_xla(lora, opt_state, batch, rng)
     _, _, loss_chk = step_chk(lora, opt_state, batch, rng)
     np.testing.assert_allclose(float(loss_xla), float(loss_chk), rtol=2e-5)
+
+
+def test_disentangled_lora_training():
+    """spec.disentangled: norm-linear adapters modulate the ref stream only.
+    With ONLY norm-linear targets adapted, a disentangled merged model must
+    equal the base model on the video/text modulation path when B=0, and the
+    train step must run and move the adapters."""
+    import dataclasses
+
+    cfg, base, _, _, batch = _setup()
+    spec = LoRASpec(rank=4, alpha=8.0, targets=("norm1.linear", "norm2.linear"),
+                    disentangled=True)
+    lora = init_lora_params(jax.random.PRNGKey(1), base, spec)
+    # non-zero B so merged != base
+    lora = jax.tree.map(lambda x: x + 0.05, lora)
+    merged = merge_lora_params(base, lora, spec)
+    assert "base_linear" in merged["blocks"]["norm1"]
+    np.testing.assert_array_equal(
+        np.asarray(merged["blocks"]["norm1"]["base_linear"]["kernel"]),
+        np.asarray(base["blocks"]["norm1"]["linear"]["kernel"]),
+    )
+
+    cfg_d = dataclasses.replace(cfg, disentangled_modulation=True)
+    t = jnp.array([100, 500])
+    out_d = transformer_forward(merged, cfg_d, batch["video_latents"], batch["ref_latents"], batch["text_embeds"], t)
+    out_base = transformer_forward(base, cfg, batch["video_latents"], batch["ref_latents"], batch["text_embeds"], t)
+    out_merged_plain = transformer_forward(merged, cfg, batch["video_latents"], batch["ref_latents"], batch["text_embeds"], t)
+    # ref modulation differs -> disentangled != base; video/text on base
+    # path -> disentangled != fully-merged either
+    assert float(jnp.abs(out_d - out_base).max()) > 1e-5
+    assert float(jnp.abs(out_d - out_merged_plain).max()) > 1e-5
+
+    init_opt, train_step = make_lora_train_step(base, cfg, spec, SchedulerConfig(), 1e-2)
+    lora0 = init_lora_params(jax.random.PRNGKey(2), base, spec)
+    opt_state = init_opt(lora0)
+    lora1, _, loss = train_step(lora0, opt_state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss))
+    assert float(jnp.abs(lora1["norm1.linear"]["b"]).max()) > 0
