@@ -28,15 +28,29 @@ from s2v_tpu.config import TransformerConfig
 
 def make_mesh(axis_sizes: Dict[str, int], devices=None) -> Mesh:
     """e.g. ``make_mesh({"data": 1, "model": 4, "seq": 2})``; total must
-    equal the device count used."""
-    devices = devices if devices is not None else jax.devices()
+    equal the device count used.
+
+    On real TPU slices the devices are ordered by ``mesh_utils`` so the
+    innermost (fastest-collective) axes land on ICI-adjacent chips; a naive
+    ``jax.devices()`` reshape would scatter a TP axis across the torus.
+    Multi-host meshes go through :func:`s2v_tpu.parallel.multihost.make_hybrid_mesh`.
+    """
+    devices = list(devices) if devices is not None else jax.devices()
     names = list(axis_sizes.keys())
     shape = [axis_sizes[n] for n in names]
     n = int(np.prod(shape))
     if n > len(devices):
         raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
-    arr = np.asarray(devices[:n]).reshape(shape)
-    return Mesh(arr, axis_names=names)
+    devices = devices[:n]
+    if devices[0].platform == "tpu" and n > 1:
+        try:
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_device_mesh(shape, devices=devices)
+            return Mesh(arr, axis_names=names)
+        except Exception:
+            pass  # odd topologies: fall back to enumeration order
+    return Mesh(np.asarray(devices).reshape(shape), axis_names=names)
 
 
 def transformer_param_specs(cfg: TransformerConfig, model_axis: str = "model"):

@@ -186,3 +186,34 @@ def test_temporal_sharded_vae_rejects_ragged():
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh({"model": 16})
+
+
+def test_hybrid_mesh_single_process_layout():
+    """make_hybrid_mesh: named DCN (outer) + ICI (inner) axes; a dp-over-DCN
+    x tp-over-ICI denoise matches single-device."""
+    from s2v_tpu.parallel import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh({"data": 2}, {"model": 4})
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.shape == (2, 4)
+
+    cfg, params, lat, ref, emb, cs, sn = _setup()
+    sched = DenoiseSchedule.create(SchedulerConfig(), 2, 6.0)
+    expected = denoise(params, cfg, sched, lat, ref, emb, cs, sn, do_cfg=True)
+    specs = transformer_param_specs(cfg, "model")
+    sharded = shard_params(params, mesh, specs)
+    with mesh_context(mesh, default_logical_map(mesh)):
+        got = jax.jit(
+            lambda p, l, r, e: denoise(p, cfg, sched, l, r, e, cs, sn, do_cfg=True)
+        )(sharded, lat, ref, emb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4, rtol=1e-4)
+
+
+def test_hybrid_mesh_validation_and_bootstrap_noop():
+    from s2v_tpu.parallel import initialize_distributed, make_hybrid_mesh
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_hybrid_mesh({"data": 3}, {"model": 4})
+    # single-process: a no-op that reports False
+    assert initialize_distributed() is False
