@@ -58,6 +58,11 @@ def get_args(argv=None):
     p.add_argument("--disentangled_modulation", action="store_true", default=False,
                    help="intended (non-inert) enable_lora adaLN semantics: "
                         "video/text modulated by base weights, ref by LoRA-merged")
+    # reference src/inference.py:191 loads fp16 for non-"5b" checkpoints;
+    # on TPU fp16 has no native MXU support and a narrower exponent range
+    # than bf16, so both model families deliberately default to bf16 here
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
     p.add_argument("--profile_dir", type=str, default=None, help="jax.profiler trace output dir")
     return p.parse_args(argv)
 
@@ -69,6 +74,7 @@ def main(args=None):
     os.makedirs(args.output_dir, exist_ok=True)
 
     import jax
+    import jax.numpy as jnp
 
     from s2v_tpu.pipelines.s2v import S2VPipeline
     from s2v_tpu.utils.video import export_to_video, to_uint8_frames
@@ -82,6 +88,7 @@ def main(args=None):
         quantize_int8=args.quantize_int8,
         text_encoder_device=args.text_encoder_device,
         disentangled_modulation=args.disentangled_modulation,
+        dtype={"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype],
     )
     pipe.vae_tiling = bool(args.enable_tiling)
     pipe.vae_slicing = bool(args.enable_slicing)
