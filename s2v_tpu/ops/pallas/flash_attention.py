@@ -47,7 +47,14 @@ NEG_INF = -1e30
 _LANES = 128
 
 
-def _flash_kernel(q_ref, kt_ref, v_ref, o_ref, m_scratch, acc_scratch):
+def _flash_kernel(q_ref, kt_ref, v_ref, o_ref, *rest):
+    # pallas passes refs as (inputs..., outputs..., scratch...): with the
+    # training variant the lse output ref precedes the scratch refs
+    if len(rest) == 3:
+        lse_ref, m_scratch, acc_scratch = rest
+    else:
+        lse_ref = None
+        m_scratch, acc_scratch = rest
     ki = pl.program_id(2)
     n_k = pl.num_programs(2)
 
@@ -85,10 +92,13 @@ def _flash_kernel(q_ref, kt_ref, v_ref, o_ref, m_scratch, acc_scratch):
         l = acc_scratch[:, -1:]
         l = jnp.where(l == 0.0, 1.0, l)  # fully-masked (padded-query) rows
         o_ref[0] = (acc_scratch[:, :-1] / l).astype(o_ref.dtype)
+        if lse_ref is not None:
+            # log-sum-exp per row (training residual for the backward pass)
+            lse_ref[0] = m_scratch[:, :1] + jnp.log(l)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "scale", "interpret")
+    jax.jit, static_argnames=("block_q", "block_k", "scale", "interpret", "return_lse")
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -98,6 +108,7 @@ def flash_attention(
     block_k: int = 1024,  # larger combos exceed VMEM)
     scale: Optional[float] = None,
     interpret: bool = False,
+    return_lse: bool = False,
 ) -> jnp.ndarray:
     """Full (non-causal) self attention.
 
@@ -139,6 +150,15 @@ def flash_attention(
     ones = jnp.zeros((b * h, s_pad, 1), v.dtype).at[:, :s].set(1.0)
     v_aug = jnp.concatenate([vb, ones], axis=-1)  # [BH, s_pad, d+1]
 
+    out_specs = pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0))
+    out_shape = jax.ShapeDtypeStruct((b * h, s, d), q.dtype)
+    if return_lse:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((1, block_q, 1), lambda bh, qi, ki: (bh, qi, 0)),
+        ]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((b * h, s, 1), jnp.float32)]
+
     out = pl.pallas_call(
         _flash_kernel,
         grid=(b * h, n_q, n_k),
@@ -147,8 +167,8 @@ def flash_attention(
             pl.BlockSpec((1, d + 1, block_k), lambda bh, qi, ki: (bh, 0, ki)),
             pl.BlockSpec((1, block_k, d + 1), lambda bh, qi, ki: (bh, ki, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),  # m
             pltpu.VMEM((block_q, d + 1), jnp.float32),  # acc | l
@@ -158,4 +178,10 @@ def flash_attention(
         ),
         interpret=interpret,
     )(q_aug, kt_aug, v_aug)
+    if return_lse:
+        o, lse = out
+        return (
+            o.reshape(b, h, s, d).transpose(0, 2, 1, 3),
+            lse[..., 0].reshape(b, h, s),  # [B, H, S]
+        )
     return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
