@@ -251,6 +251,7 @@ def transformer_forward(
     rope_sin: Optional[jnp.ndarray] = None,
     pos_embedding: Optional[jnp.ndarray] = None,  # [S_text+S_video, D] sincos (2b)
     attention_backend: str = "xla",
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Predict the denoising target; returns ``[B, F, H, W, out_channels]``.
 
@@ -283,7 +284,10 @@ def transformer_forward(
         joint = joint + pos_embedding.astype(joint.dtype)[None]
         text, video = joint[:, :t_len], joint[:, t_len:]
 
-    # 3. transformer blocks via scan over the stacked layer axis
+    # 3. transformer blocks via scan over the stacked layer axis.
+    # remat=True (training): only the per-layer stream carries are saved;
+    # block internals (attention q/k/v/o, FF activations) are recomputed in
+    # the backward sweep — O(1-layer) instead of O(42-layer) activations.
     def scan_body(carry, layer_params):
         v, t, r = carry
         v, t, r = block_forward(
@@ -291,6 +295,8 @@ def transformer_forward(
         )
         return (v, t, r), None
 
+    if remat:
+        scan_body = jax.checkpoint(scan_body)
     (video, text, ref), _ = jax.lax.scan(scan_body, (video, text, ref), params["blocks"])
 
     # 4. final norm over [text | video] (ref stream is discarded past here,

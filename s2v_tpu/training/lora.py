@@ -127,6 +127,7 @@ def lora_loss_fn(
     alphas_cumprod: jnp.ndarray,
     rng: jnp.ndarray,
     attention_backend: str = "xla",
+    remat: bool = True,
 ):
     """v-prediction MSE on noised video latents (the CogVideoX objective).
 
@@ -151,6 +152,7 @@ def lora_loss_fn(
         batch.get("rope_cos"),
         batch.get("rope_sin"),
         attention_backend=attention_backend,
+        remat=remat,
     )
     return jnp.mean(jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32)))
 
@@ -162,13 +164,15 @@ def make_lora_train_step(
     scheduler_cfg: Optional[SchedulerConfig] = None,
     learning_rate: float = 1e-4,
     attention_backend: str = "xla",
+    remat: bool = True,
 ):
     """Returns (init_opt_state, train_step) with train_step jitted:
     ``(lora, opt_state, batch, rng) -> (lora, opt_state, loss)``.
 
-    ``attention_backend="pallas"`` runs the flash kernel forward with a
-    memory-bounded recompute backward (``flash_attention_trainable``) —
-    the fast path for on-TPU LoRA training."""
+    ``attention_backend="pallas"`` uses the flash kernels both ways
+    (forward + the hand-written backward) — the fast path for on-TPU LoRA
+    training.  ``remat`` (default on) checkpoints the block scan so
+    activation memory is one layer deep."""
     import optax
 
     if spec.disentangled and not cfg.disentangled_modulation:
@@ -184,7 +188,7 @@ def make_lora_train_step(
     @jax.jit
     def train_step(lora_params, opt_state, batch, rng):
         loss, grads = jax.value_and_grad(lora_loss_fn)(
-            lora_params, base_params, cfg, spec, batch, alphas, rng, attention_backend
+            lora_params, base_params, cfg, spec, batch, alphas, rng, attention_backend, remat
         )
         updates, opt_state = tx.update(grads, opt_state, lora_params)
         lora_params = optax.apply_updates(lora_params, updates)

@@ -145,3 +145,17 @@ def test_disentangled_lora_training():
     lora1, _, loss = train_step(lora0, opt_state, batch, jax.random.PRNGKey(3))
     assert np.isfinite(float(loss))
     assert float(jnp.abs(lora1["norm1.linear"]["b"]).max()) > 0
+
+
+def test_remat_grads_identical():
+    """Checkpointing the block scan must not change gradients."""
+    cfg, base, spec, lora, batch = _setup()
+    rng = jax.random.PRNGKey(13)
+    from s2v_tpu.training.lora import lora_loss_fn
+    from s2v_tpu.schedulers.ddim import compute_alphas_cumprod
+
+    alphas = jnp.asarray(compute_alphas_cumprod(SchedulerConfig()))
+    g_plain = jax.grad(lora_loss_fn)(lora, base, cfg, spec, batch, alphas, rng, "xla", False)
+    g_remat = jax.grad(lora_loss_fn)(lora, base, cfg, spec, batch, alphas, rng, "xla", True)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5)
