@@ -217,3 +217,29 @@ def test_hybrid_mesh_validation_and_bootstrap_noop():
         make_hybrid_mesh({"data": 3}, {"model": 4})
     # single-process: a no-op that reports False
     assert initialize_distributed() is False
+
+
+def test_ring_attention_grads_match_xla():
+    """Sequence-parallel training path: jax.grad through the shard_map +
+    ppermute ring must equal single-device attention gradients (incl. a
+    ragged tail)."""
+    from s2v_tpu.parallel.ring_attention import ring_attention
+
+    mesh = make_mesh({"seq": 8})
+    rng = np.random.RandomState(0)
+    b, s, h, d = 1, 136, 2, 64
+    q = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+
+    with mesh_context(mesh, {"sp": "seq"}):
+        g = jax.grad(
+            lambda q, k, v: jnp.sum(ring_attention(q, k, v, mesh=mesh, axis_name="seq") ** 2),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+    ref = jax.grad(
+        lambda q, k, v: jnp.sum(jax.nn.dot_product_attention(q, k, v) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, r in zip(g, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=3e-5, rtol=1e-4)
