@@ -9,6 +9,8 @@ MODEL=${MODEL:-/path/to/CogVideoX-5b-snapshot}
 LORA=${LORA:-/path/to/s2v_lora_checkpoint}
 SOCK=${SOCK:-/tmp/s2v_tpu.sock}
 
+rm -f /tmp/s2v_ready  # a stale ready file would defeat the wait loop
+
 # 1. daemon (stays up; --warmup compiles the 49x480x720 @50-step program
 #    before the first request arrives)
 python -m s2v_tpu.serve \

@@ -70,6 +70,10 @@ int encode_and_mux(MuxCtx* c, AVFrame* frame) {
     return -1;
   }
   AVPacket* pkt = av_packet_alloc();
+  if (!pkt) {
+    set_error("av_packet_alloc failed");
+    return -1;
+  }
   while (true) {
     ret = avcodec_receive_packet(c->enc, pkt);
     if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) break;
@@ -181,6 +185,11 @@ void* s2v_mp4_open(const char* path, int width, int height, int fps, int crf) {
   c->header_written = true;
 
   c->yuv = av_frame_alloc();
+  if (!c->yuv) {
+    set_error("av_frame_alloc failed");
+    free_ctx(c);
+    return nullptr;
+  }
   c->yuv->format = AV_PIX_FMT_YUV420P;
   c->yuv->width = width;
   c->yuv->height = height;

@@ -20,6 +20,16 @@ import os
 import time
 
 
+def _str2bool(v):
+    if isinstance(v, bool):
+        return v
+    if str(v).lower() in ("true", "1", "yes", "y"):
+        return True
+    if str(v).lower() in ("false", "0", "no", "n"):
+        return False
+    raise ValueError(f"expected a boolean, got {v!r}")
+
+
 def get_args(argv=None):
     p = argparse.ArgumentParser(description="TPU-native disentangled subject-to-video inference")
     p.add_argument("--pretrained_model_name_or_path", type=str, default="THUDM/CogVideoX-5b",
@@ -40,8 +50,8 @@ def get_args(argv=None):
     p.add_argument("--max_num_frames", type=int, default=49)
     p.add_argument("--skip_frames_start", type=int, default=0)
     p.add_argument("--skip_frames_end", type=int, default=0)
-    p.add_argument("--enable_slicing", default=True)
-    p.add_argument("--enable_tiling", default=True)
+    p.add_argument("--enable_slicing", type=_str2bool, default=True)
+    p.add_argument("--enable_tiling", type=_str2bool, default=True)
     p.add_argument("--hub_model_id", type=str, default=None)
     p.add_argument("--local_reference_scale", type=float, default=1.0)  # inert in reference too
     p.add_argument("--checkpoint_path", type=str, default=None, help="S2V LoRA checkpoint dir")
@@ -49,7 +59,8 @@ def get_args(argv=None):
     # TPU-specific extras
     p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--use_dpm", action="store_true", default=False)
-    p.add_argument("--attention_backend", type=str, default="xla", choices=["xla", "pallas", "chunked"])
+    p.add_argument("--attention_backend", type=str, default="xla",
+                   choices=["xla", "pallas", "chunked", "ring"])
     p.add_argument("--quantize_int8", action="store_true", default=False,
                    help="int8 weight+dynamic-activation serving fast path (~8%% faster, tiny quality cost)")
     p.add_argument("--text_encoder_device", type=str, default="auto",

@@ -209,7 +209,7 @@ class S2VPipeline:
         host-committed) and only the resulting [T, d_model] embeddings move
         to the accelerator — the TPU equivalent of the reference's model
         CPU offload for the text encoder."""
-        missing = [t for t in texts if (t, max_length) not in self._prompt_embed_cache]
+        missing = list(dict.fromkeys(t for t in texts if (t, max_length) not in self._prompt_embed_cache))
         if missing:
             ids = jnp.asarray(self.tokenizer.encode(missing, max_length))
             if self.t5_on_host:
@@ -219,8 +219,13 @@ class S2VPipeline:
                 emb = jax.device_put(emb, jax.devices()[0])
             else:
                 emb = t5_encode(self.t5_params, self.t5_cfg, ids)
-            while len(self._prompt_embed_cache) + len(missing) > 32:  # FIFO cap
-                self._prompt_embed_cache.pop(next(iter(self._prompt_embed_cache)))
+            # FIFO cap; never evict keys needed by THIS call
+            needed = {(t, max_length) for t in texts}
+            for key_ in list(self._prompt_embed_cache):
+                if len(self._prompt_embed_cache) + len(missing) <= 32:
+                    break
+                if key_ not in needed:
+                    self._prompt_embed_cache.pop(key_)
             for t, e in zip(missing, emb):
                 self._prompt_embed_cache[(t, max_length)] = e
         return jnp.stack([self._prompt_embed_cache[(t, max_length)] for t in texts], axis=0)

@@ -20,6 +20,16 @@ import os
 import sys
 
 
+def _str2bool(v):
+    if isinstance(v, bool):
+        return v
+    if str(v).lower() in ("true", "1", "yes", "y"):
+        return True
+    if str(v).lower() in ("false", "0", "no", "n"):
+        return False
+    raise ValueError(f"expected a boolean, got {v!r}")
+
+
 def get_args(argv=None):
     p = argparse.ArgumentParser(description="s2v_tpu serving daemon")
     p.add_argument("--socket", type=str, default="/tmp/s2v_tpu.sock")
@@ -34,8 +44,8 @@ def get_args(argv=None):
     p.add_argument("--text_encoder_device", type=str, default="auto",
                    choices=["auto", "device", "host"],
                    help="host keeps T5 in host RAM (cpu-offload equivalent)")
-    p.add_argument("--enable_tiling", default=True)
-    p.add_argument("--enable_slicing", default=True)
+    p.add_argument("--enable_tiling", type=_str2bool, default=True)
+    p.add_argument("--enable_slicing", type=_str2bool, default=True)
     p.add_argument("--fps", type=int, default=8)
     p.add_argument("--ready_file", type=str, default=None,
                    help="touched once the socket is listening (for supervisors)")

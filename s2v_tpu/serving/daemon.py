@@ -62,6 +62,18 @@ class ServingDaemon:
 
     # -- request handlers ------------------------------------------------
 
+    def _jit_entries(self) -> int:
+        """Total compiled-executable count, counting retraces *inside* each
+        cached jit (a new ref-latent shape at a cached geometry retraces
+        without growing the dict)."""
+        total = 0
+        for f in self.pipe._compiled_denoise.values():
+            try:
+                total += f._cache_size()
+            except Exception:
+                total += 1
+        return total
+
     def _gen_kwargs(self, req: dict) -> dict:
         kwargs = {}
         for k, coerce in _GEN_KEYS.items():
@@ -111,10 +123,10 @@ class ServingDaemon:
             )
 
         t0 = time.time()
-        cached_before = len(self.pipe._compiled_denoise)
+        cached_before = self._jit_entries()
         video = self.pipe.generate(prompt=prompt or "warmup", ref_image=ref, **kwargs)
         seconds = time.time() - t0
-        compiled = len(self.pipe._compiled_denoise) > cached_before
+        compiled = self._jit_entries() > cached_before
 
         resp = {
             "status": "ok",
@@ -151,26 +163,32 @@ class ServingDaemon:
             shutdown = False
             while not shutdown:
                 conn, _ = srv.accept()
-                with conn, conn.makefile("rwb") as stream:
-                    for line in stream:
-                        line = line.strip()
-                        if not line:
-                            continue
-                        try:
-                            req = json.loads(line)
-                            resp = self.handle(req)
-                        except Exception as e:  # keep the daemon alive
-                            resp = {
-                                "status": "error",
-                                "error": f"{type(e).__name__}: {e}",
-                                "traceback": traceback.format_exc(limit=8),
-                            }
-                        self.requests_served += 1
-                        stream.write((json.dumps(resp) + "\n").encode())
-                        stream.flush()
-                        if resp.get("shutdown"):
-                            shutdown = True
-                            break
+                # a dead/idle client must not wedge the single-worker loop:
+                # reads between requests time out and we move to accept()
+                conn.settimeout(30.0)
+                try:
+                    with conn, conn.makefile("rwb") as stream:
+                        for line in stream:
+                            line = line.strip()
+                            if not line:
+                                continue
+                            try:
+                                req = json.loads(line)
+                                resp = self.handle(req)
+                            except Exception as e:  # keep the daemon alive
+                                resp = {
+                                    "status": "error",
+                                    "error": f"{type(e).__name__}: {e}",
+                                    "traceback": traceback.format_exc(limit=8),
+                                }
+                            self.requests_served += 1
+                            stream.write((json.dumps(resp) + "\n").encode())
+                            stream.flush()
+                            if resp.get("shutdown"):
+                                shutdown = True
+                                break
+                except (TimeoutError, OSError):
+                    pass  # dead/idle client: drop it, go back to accept()
         finally:
             srv.close()
             if os.path.exists(self.socket_path):

@@ -29,10 +29,15 @@ def _load_lib() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    # always invoke make: it rebuilds on source staleness and is a ~ms no-op
+    # otherwise; a missing toolchain only matters if the .so is also absent
+    try:
         subprocess.run(
             ["make", "-C", _NATIVE_DIR, "libmp4_muxer.so"], check=True, capture_output=True
         )
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
+            raise
     lib = ctypes.CDLL(_LIB_PATH)
     lib.s2v_mp4_open.restype = ctypes.c_void_p
     lib.s2v_mp4_open.argtypes = [

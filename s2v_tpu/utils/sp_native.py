@@ -24,8 +24,12 @@ def _build_lib() -> str:
 
 
 def _load_lib() -> ctypes.CDLL:
-    if not os.path.exists(_LIB_PATH):
+    # always invoke make: rebuilds on source staleness, ~ms no-op otherwise
+    try:
         _build_lib()
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
+            raise
     lib = ctypes.CDLL(_LIB_PATH)
     lib.sp_load.restype = ctypes.c_void_p
     lib.sp_load.argtypes = [ctypes.c_char_p]

@@ -277,3 +277,23 @@ def test_t5_host_offload_and_prompt_cache():
     np.testing.assert_array_equal(
         np.asarray(emb_cached[0], np.float32), np.asarray(emb_host[1], np.float32)
     )
+
+
+def test_prompt_cache_eviction_never_drops_needed_keys():
+    """Regression: with a full cache, encoding [cached-oldest, new] must not
+    evict the oldest (still-needed) entry mid-call, and >cap unique prompts
+    in one call must not crash."""
+    pipe = _tiny_pipeline()
+    ml = pipe.transformer_cfg.max_text_seq_length
+    # fill the cache to the 32-entry cap
+    pipe._encode_texts([f"p{i}" for i in range(32)], ml)
+    assert len(pipe._prompt_embed_cache) == 32
+    # oldest entry (p0) is needed by this call alongside a new prompt
+    out = pipe._encode_texts(["p0", "brand new"], ml)
+    assert out.shape[0] == 2
+    # duplicates are encoded once and stacked twice
+    out2 = pipe._encode_texts(["dup", "dup"], ml)
+    np.testing.assert_array_equal(np.asarray(out2[0]), np.asarray(out2[1]))
+    # a single call larger than the cap survives (cap is soft within a call)
+    out3 = pipe._encode_texts([f"big{i}" for i in range(35)], ml)
+    assert out3.shape[0] == 35
