@@ -16,6 +16,8 @@ Protocol: newline-delimited JSON request/response pairs.
   {"op": "warmup",   ...generate-kwargs}            # compile without export
   {"op": "generate", "prompt": ..., "ref_img_path": ...,
    "output_path": ..., ...generate-kwargs}
+  # "prompt" may be a list of strings: one batched denoise, one mp4 per
+  # prompt (output_path gets _0/_1/... suffixes), subject image shared
   {"op": "shutdown"}
 
 Responses: {"status": "ok", ...} | {"status": "error", "error": msg}.
@@ -58,6 +60,7 @@ class ServingDaemon:
         self.fps = fps
         self.requests_served = 0
         self.clips_generated = 0
+        self._latencies: list = []  # generate seconds, compile excluded
         self._t_start = time.time()
 
     # -- request handlers ------------------------------------------------
@@ -86,12 +89,15 @@ class ServingDaemon:
         if op == "ping":
             return {"status": "ok", "pong": True}
         if op == "stats":
+            lat = sorted(self._latencies)
+            pct = lambda p: round(lat[min(len(lat) - 1, int(p * len(lat)))], 2) if lat else None
             return {
                 "status": "ok",
                 "requests_served": self.requests_served,
                 "clips_generated": self.clips_generated,
                 "compiled_configs": len(self.pipe._compiled_denoise),
                 "uptime_s": round(time.time() - self._t_start, 1),
+                "generate_latency_s": {"p50": pct(0.5), "p90": pct(0.9), "max": pct(1.0)},
             }
         if op == "shutdown":
             return {"status": "ok", "shutdown": True}
@@ -127,6 +133,8 @@ class ServingDaemon:
         video = self.pipe.generate(prompt=prompt or "warmup", ref_image=ref, **kwargs)
         seconds = time.time() - t0
         compiled = self._jit_entries() > cached_before
+        if export and not compiled:
+            self._latencies = self._latencies[-999:] + [seconds]
 
         resp = {
             "status": "ok",

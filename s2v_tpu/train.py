@@ -19,6 +19,8 @@ import argparse
 import os
 import time
 
+import numpy as np
+
 
 def get_args(argv=None):
     p = argparse.ArgumentParser(description="TPU-native S2V LoRA trainer")
@@ -42,6 +44,9 @@ def get_args(argv=None):
     p.add_argument("--disentangled_modulation", action="store_true", default=False,
                    help="train norm1/norm2 LoRA with the intended enable_lora "
                         "semantics (ref-stream-only modulation adapters)")
+    p.add_argument("--resume_from_checkpoint", type=str, default=None,
+                   help="train-state dir written by --checkpointing_steps "
+                        "(adapters + optimizer state + step; orbax)")
     return p.parse_args(argv)
 
 
@@ -79,13 +84,32 @@ def main(args=None):
     opt_state = init_opt(lora)
 
     def save(step):
+        # reference-compatible adapter export (the artifact inference loads)
         sd = export_lora_to_reference_format(lora, spec, pipe.transformer_cfg)
         path = os.path.join(args.output_dir, "pytorch_lora_weights_transformer.safetensors")
         save_safetensors(sd, path)
-        log.info("step %d: saved %s", step, path)
+        # full resumable train state (the reference's Accelerate checkpoint
+        # dirs carry optimizer.bin etc. alongside the adapters — README:71-78)
+        from s2v_tpu.loaders.orbax_io import save_params_orbax
+
+        state_dir = os.path.join(os.path.abspath(args.output_dir), f"train_state_{step}")
+        save_params_orbax(
+            {"lora": lora, "opt_state": opt_state, "step": np.asarray(step, np.int32)},
+            state_dir,
+        )
+        log.info("step %d: saved %s (+ %s)", step, path, state_dir)
 
     step = 0
     epoch = 0
+    if args.resume_from_checkpoint:
+        from s2v_tpu.loaders.orbax_io import load_params_orbax
+
+        state = load_params_orbax(
+            os.path.abspath(os.path.expanduser(args.resume_from_checkpoint)),
+            target={"lora": lora, "opt_state": opt_state, "step": np.asarray(0, np.int32)},
+        )
+        lora, opt_state, step = state["lora"], state["opt_state"], int(state["step"])
+        log.info("resumed from %s at step %d", args.resume_from_checkpoint, step)
     t0 = time.perf_counter()
     while step < args.max_train_steps:
         for batch in latent_batches(dataset, pipe, args.train_batch_size, seed=args.seed + epoch):
@@ -101,7 +125,8 @@ def main(args=None):
             if step >= args.max_train_steps:
                 break
         epoch += 1
-    save(step)
+    if step % args.checkpointing_steps != 0 and step < args.max_train_steps:
+        save(step)  # loop already saved on checkpoint boundaries / at the end
     log.info("training complete")
 
 

@@ -113,3 +113,16 @@ def test_socket_roundtrip(daemon, tmp_path):
     assert request(daemon.socket_path, {"op": "shutdown"})["shutdown"] is True
     t.join(timeout=10)
     assert not t.is_alive()
+
+
+def test_multi_prompt_batch_and_stats(daemon, tmp_path):
+    ref = _ref_png(tmp_path)
+    r = daemon.handle(
+        {"op": "generate", "prompt": ["a pig", "a dog"], "ref_img_path": ref,
+         "output_path": str(tmp_path / "multi.mp4"), "seed": 5, **_GEO}
+    )
+    assert r["status"] == "ok", r
+    assert len(r["outputs"]) == 2
+    assert all(os.path.exists(p) for p in r["outputs"])
+    stats = daemon.handle({"op": "stats"})
+    assert "generate_latency_s" in stats
