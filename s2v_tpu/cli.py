@@ -74,6 +74,14 @@ def get_args(argv=None):
     # than bf16, so both model families deliberately default to bf16 here
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--adaptive_threshold", type=float, default=0.0,
+                   help="opt-in step-skipping fast path (bounded-difference "
+                        "criterion, arXiv:2410.09873-style); 0 = exact loop. "
+                        "Try 0.01-0.02")
+    p.add_argument("--segment_steps", type=int, default=0,
+                   help=">0: run the denoise loop in host-stepped segments of N "
+                        "steps (enables interrupt/callbacks; required on relays "
+                        "that cap single-execution wall time)")
     p.add_argument("--profile_dir", type=str, default=None, help="jax.profiler trace output dir")
     return p.parse_args(argv)
 
@@ -119,6 +127,8 @@ def main(args=None):
         use_dynamic_cfg=args.use_dynamic_cfg,
         use_dpm=args.use_dpm,
         seed=args.seed,
+        adaptive_threshold=args.adaptive_threshold,
+        segment_steps=args.segment_steps,
     )
     if args.profile_dir:
         jax.profiler.stop_trace()

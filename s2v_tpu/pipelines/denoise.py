@@ -143,6 +143,37 @@ def _build_step_fn(
     two B forwards — identical math and FLOPs, half the activation memory
     (the single-chip configuration for the 5B model).
     """
+    eps_fn, update_fn = _build_eps_update_fns(
+        params, cfg, schedule, ref_latents, prompt_embeds, rope_cos, rope_sin,
+        do_cfg, rng_key, attention_backend, pos_embedding, cfg_mode, cond_latents,
+    )
+
+    def step(i, carry):
+        latents, old_x0 = carry
+        return update_fn(i, latents, old_x0, eps_fn(i, latents))
+
+    return step
+
+
+def _build_eps_update_fns(
+    params,
+    cfg: TransformerConfig,
+    schedule: DenoiseSchedule,
+    ref_latents,
+    prompt_embeds,
+    rope_cos,
+    rope_sin,
+    do_cfg,
+    rng_key,
+    attention_backend,
+    pos_embedding,
+    cfg_mode,
+    cond_latents,
+):
+    """The step body split into ``eps_fn(i, latents) -> noise_pred`` (the
+    CFG-mixed transformer forward) and ``update_fn(i, latents, old_x0,
+    noise_pred) -> (new_latents, x0)`` (the scheduler update) — separated so
+    the adaptive loop can skip the forward while still stepping."""
     timesteps = jnp.asarray(schedule.timesteps, jnp.int32)
     alpha_t = jnp.asarray(schedule.alpha_t)
     alpha_prev = jnp.asarray(schedule.alpha_prev)
@@ -157,8 +188,7 @@ def _build_step_fn(
     if do_cfg and not batched_cfg:
         emb_uncond, emb_cond = jnp.split(prompt_embeds, 2, axis=0)
 
-    def step(i, carry):
-        latents, old_x0 = carry
+    def eps_fn(i, latents):
         b = latents.shape[0]
         t = jnp.full((2 * b if batched_cfg else b,), timesteps[i], jnp.int32)
 
@@ -179,14 +209,14 @@ def _build_step_fn(
         if batched_cfg:
             noise_pred = fwd(jnp.concatenate([latents, latents], axis=0), prompt_embeds)
             uncond, cond = jnp.split(noise_pred, 2, axis=0)
-            noise_pred = uncond + guidance[i] * (cond - uncond)
-        elif do_cfg:
+            return uncond + guidance[i] * (cond - uncond)
+        if do_cfg:
             uncond = fwd(latents, emb_uncond)
             cond = fwd(latents, emb_cond)
-            noise_pred = uncond + guidance[i] * (cond - uncond)
-        else:
-            noise_pred = fwd(latents, prompt_embeds)
+            return uncond + guidance[i] * (cond - uncond)
+        return fwd(latents, prompt_embeds)
 
+    def update_fn(i, latents, old_x0, noise_pred):
         if schedule.use_dpm:
             m_i = {k: v[i] for k, v in dpm_mults.items()}
             n1 = jax.random.normal(jax.random.fold_in(key, 2 * i), latents.shape, jnp.float32)
@@ -200,7 +230,7 @@ def _build_step_fn(
             )
         return new_latents.astype(latents.dtype), x0.astype(latents.dtype)
 
-    return step
+    return eps_fn, update_fn
 
 
 def denoise(
@@ -231,6 +261,63 @@ def denoise(
     init = (latents, jnp.zeros_like(latents))
     final, _ = jax.lax.fori_loop(0, len(schedule.timesteps), step, init)
     return final
+
+
+def denoise_adaptive(
+    params,
+    cfg: TransformerConfig,
+    schedule: DenoiseSchedule,
+    latents: jnp.ndarray,
+    ref_latents: jnp.ndarray,
+    prompt_embeds: jnp.ndarray,
+    rope_cos: Optional[jnp.ndarray],
+    rope_sin: Optional[jnp.ndarray],
+    threshold: float,
+    do_cfg: bool = True,
+    rng_key: Optional[jnp.ndarray] = None,
+    attention_backend: str = "xla",
+    pos_embedding: Optional[jnp.ndarray] = None,
+    cfg_mode: str = "batched",
+    cond_latents: Optional[jnp.ndarray] = None,
+):
+    """Training-free adaptive step skipping (opt-in serving fast path; NOT
+    the reference algorithm — the exact loop is :func:`denoise`).
+
+    Bounded-difference criterion in the spirit of AdaptiveDiffusion
+    (arXiv:2410.09873, PAPERS.md): the latent trajectory's third-order
+    difference bounds how much the noise prediction is changing; when
+    ``mean|Δ²x| < threshold * mean|Δx|`` the transformer forward is skipped
+    and the previous (CFG-mixed) prediction is reused — the scheduler still
+    advances every step.  Steps 0, 1 and the final step always compute.
+
+    Returns ``(final_latents, n_skipped)``.
+    """
+    n = len(schedule.timesteps)
+    eps_fn, update_fn = _build_eps_update_fns(
+        params, cfg, schedule, ref_latents, prompt_embeds, rope_cos, rope_sin,
+        do_cfg, rng_key, attention_backend, pos_embedding, cfg_mode, cond_latents,
+    )
+    thr = jnp.asarray(threshold, jnp.float32)
+
+    def step(i, carry):
+        lat, old_x0, prev_eps, prev_lat, prev_d1, skips = carry
+        d1 = (lat - prev_lat).astype(jnp.float32)
+        d2 = jnp.mean(jnp.abs(d1 - prev_d1))
+        rel = jnp.mean(jnp.abs(d1))
+        skip = jnp.logical_and(
+            jnp.logical_and(i >= 2, i < n - 1), d2 < thr * rel
+        )
+        eps = jax.lax.cond(skip, lambda: prev_eps, lambda: eps_fn(i, lat))
+        new_lat, x0 = update_fn(i, lat, old_x0, eps)
+        return (new_lat, x0, eps, lat, d1, skips + skip.astype(jnp.int32))
+
+    zero_eps = jnp.zeros(latents.shape, jnp.float32)
+    init = (
+        latents, jnp.zeros_like(latents), zero_eps, latents,
+        jnp.zeros(latents.shape, jnp.float32), jnp.asarray(0, jnp.int32),
+    )
+    final, _, _, _, _, skips = jax.lax.fori_loop(0, n, step, init)
+    return final, skips
 
 
 def make_segmented_denoise(

@@ -299,6 +299,9 @@ class S2VPipeline:
         ref_latents: Optional[jnp.ndarray] = None,
         output_type: str = "np",
         cfg_mode: str = "auto",  # auto: sequential on 1 device, batched on >1
+        adaptive_threshold: float = 0.0,  # >0: opt-in step-skipping fast path
+        segment_steps: int = 0,  # >0: host-stepped segments of this many steps
+        callback_on_segment_end=None,  # f(step_index, latents) between segments
     ):
         """Generate a clip; returns [B, T, H, W, 3] float in [0,1] (np) or
         the final latents (output_type="latent")."""
@@ -383,19 +386,78 @@ class S2VPipeline:
         cache_key = (
             num_inference_steps, float(guidance_scale), use_dynamic_cfg, use_dpm,
             do_cfg, cfg_mode, height, width, num_frames, batch,
+            float(adaptive_threshold),
         )
+        if segment_steps > 0:
+            # Host-stepped segments: one executable serves every segment
+            # (bounds are traced scalars).  Needed (a) for interrupt /
+            # per-segment callbacks (reference callback_on_step_end) and
+            # (b) on relays that cap single-execution wall time — the
+            # fused 50-step program is one ~7-min device launch.
+            from s2v_tpu.pipelines.denoise import _build_step_fn
+
+            seg_key = ("seg",) + cache_key
+            run_seg = self._compiled_denoise.get(seg_key)
+            if run_seg is None:
+                def _segment(p, carry, ref, emb, rng, i0, i1):
+                    step = _build_step_fn(
+                        p, cfg, schedule, ref, emb, rope_cos, rope_sin,
+                        do_cfg, rng, self.attention_backend, pos_embedding,
+                        cfg_mode, None,
+                    )
+                    return jax.lax.fori_loop(i0, i1, step, carry)
+
+                run_seg = jax.jit(_segment)
+                self._compiled_denoise[seg_key] = run_seg
+            with phase("denoise", log=True):
+                carry = (latents, jnp.zeros_like(latents))
+                for i0 in range(0, num_inference_steps, segment_steps):
+                    i1 = min(i0 + segment_steps, num_inference_steps)
+                    carry = run_seg(
+                        self.transformer_params, carry, ref_latents, prompt_embeds,
+                        k_dpm, i0, i1,
+                    )
+                    jax.block_until_ready(carry)
+                    if callback_on_segment_end is not None:
+                        if callback_on_segment_end(i1, carry[0]) is False:
+                            break  # cooperative interrupt (reference :242-243)
+                final = carry[0]
+            if output_type == "latent":
+                return final
+            with phase("vae-decode", log=True):
+                return self.decode_latents(final)
+
         run = self._compiled_denoise.get(cache_key)
         if run is None:
-            run = jax.jit(
-                lambda p, lat, ref, emb, rng: denoise(
-                    p, cfg, schedule, lat, ref, emb, rope_cos, rope_sin,
-                    do_cfg=do_cfg, rng_key=rng, attention_backend=self.attention_backend,
-                    pos_embedding=pos_embedding, cfg_mode=cfg_mode,
+            if adaptive_threshold > 0.0:
+                from s2v_tpu.pipelines.denoise import denoise_adaptive
+
+                run = jax.jit(
+                    lambda p, lat, ref, emb, rng: denoise_adaptive(
+                        p, cfg, schedule, lat, ref, emb, rope_cos, rope_sin,
+                        threshold=adaptive_threshold,
+                        do_cfg=do_cfg, rng_key=rng, attention_backend=self.attention_backend,
+                        pos_embedding=pos_embedding, cfg_mode=cfg_mode,
+                    )
                 )
-            )
+            else:
+                run = jax.jit(
+                    lambda p, lat, ref, emb, rng: denoise(
+                        p, cfg, schedule, lat, ref, emb, rope_cos, rope_sin,
+                        do_cfg=do_cfg, rng_key=rng, attention_backend=self.attention_backend,
+                        pos_embedding=pos_embedding, cfg_mode=cfg_mode,
+                    )
+                )
             self._compiled_denoise[cache_key] = run
         with phase("denoise", log=True):
             final = run(self.transformer_params, latents, ref_latents, prompt_embeds, k_dpm)
+            if adaptive_threshold > 0.0:
+                final, skips = final
+                from s2v_tpu.utils.logging import get_logger
+
+                get_logger("s2v_tpu.pipeline").info(
+                    "adaptive denoise skipped %d/%d forwards", int(skips), num_inference_steps
+                )
             final.block_until_ready()
 
         if output_type == "latent":

@@ -50,6 +50,8 @@ _GEN_KEYS = {
     "num_videos_per_prompt": int,
     "seed": int,
     "cfg_mode": str,
+    "adaptive_threshold": float,
+    "segment_steps": int,
 }
 
 

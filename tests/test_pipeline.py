@@ -297,3 +297,76 @@ def test_prompt_cache_eviction_never_drops_needed_keys():
     # a single call larger than the cap survives (cap is soft within a call)
     out3 = pipe._encode_texts([f"big{i}" for i in range(35)], ml)
     assert out3.shape[0] == 35
+
+
+def test_adaptive_denoise_threshold_zero_matches_exact():
+    """threshold -> 0 never skips: result bit-matches the exact loop."""
+    from s2v_tpu.pipelines.denoise import denoise_adaptive
+
+    cfg = TransformerConfig.tiny()
+    params = init_transformer_params(jax.random.PRNGKey(1), cfg)
+    B, F, H, W = 1, 2, 8, 8
+    lat0 = jax.random.normal(jax.random.PRNGKey(2), (B, F, H, W, cfg.in_channels), jnp.float32)
+    ref = jax.random.normal(jax.random.PRNGKey(3), (B, 1, H, W, cfg.in_channels), jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(4), (2 * B, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32)
+    gh, gw = H // 2, W // 2
+    cos, sin = get_3d_rotary_pos_embed(cfg.attention_head_dim, ((0, 0), (gh, gw)), (gh, gw), F + 1)
+    tok = gh * gw
+    cs, sn = build_segmented_rope(cfg.max_text_seq_length, cos[:tok], sin[:tok], cos[tok:tok*(F+1)], sin[tok:tok*(F+1)])
+    sched = DenoiseSchedule.create(SchedulerConfig(), 6, 6.0)
+
+    exact = denoise(params, cfg, sched, lat0, ref, emb, cs, sn, do_cfg=True)
+    got, skips = denoise_adaptive(params, cfg, sched, lat0, ref, emb, cs, sn, threshold=0.0, do_cfg=True)
+    assert int(skips) == 0
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(exact))
+
+    # a huge threshold skips everything skippable (steps 2..n-2) and stays finite
+    got2, skips2 = denoise_adaptive(params, cfg, sched, lat0, ref, emb, cs, sn, threshold=1e9, do_cfg=True)
+    assert int(skips2) == 6 - 3  # steps 0,1 and the last always compute
+    assert bool(jnp.isfinite(got2).all())
+    # moderate threshold: output stays close to exact
+    got3, skips3 = denoise_adaptive(params, cfg, sched, lat0, ref, emb, cs, sn, threshold=0.02, do_cfg=True)
+    assert bool(jnp.isfinite(got3).all())
+
+
+def test_generate_adaptive_threshold_flag():
+    pipe = _tiny_pipeline()
+    from PIL import Image
+    import tempfile, os as _os
+
+    img = (np.random.RandomState(0).rand(32, 32, 3) * 255).astype("uint8")
+    with tempfile.TemporaryDirectory() as d:
+        p = _os.path.join(d, "ref.png")
+        Image.fromarray(img).save(p)
+        v_exact = pipe.generate(prompt="a pig", ref_image=p, height=32, width=32,
+                                num_frames=5, num_inference_steps=4, seed=1)
+        v_adapt = pipe.generate(prompt="a pig", ref_image=p, height=32, width=32,
+                                num_frames=5, num_inference_steps=4, seed=1,
+                                adaptive_threshold=1e9)
+    assert v_exact.shape == v_adapt.shape
+    assert np.isfinite(v_adapt).all()
+
+
+def test_generate_segment_steps_matches_fused():
+    """Host-stepped segmented generate == fused-loop generate bitwise; the
+    segment callback fires and can interrupt."""
+    from PIL import Image
+    import tempfile, os as _os
+
+    pipe = _tiny_pipeline()
+    img = (np.random.RandomState(0).rand(32, 32, 3) * 255).astype("uint8")
+    with tempfile.TemporaryDirectory() as d:
+        p = _os.path.join(d, "ref.png")
+        Image.fromarray(img).save(p)
+        kw = dict(prompt="a pig", ref_image=p, height=32, width=32,
+                  num_frames=5, num_inference_steps=4, seed=1, output_type="latent")
+        fused = pipe.generate(**kw)
+        seen = []
+        seg = pipe.generate(**kw, segment_steps=3,
+                            callback_on_segment_end=lambda i, lat: seen.append(i))
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(seg))
+        assert seen == [3, 4]
+        # cooperative interrupt: stop after the first segment
+        stopped = pipe.generate(**kw, segment_steps=2,
+                                callback_on_segment_end=lambda i, lat: False)
+        assert np.isfinite(np.asarray(stopped)).all()
