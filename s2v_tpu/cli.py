@@ -60,7 +60,9 @@ def get_args(argv=None):
     p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--use_dpm", action="store_true", default=False)
     p.add_argument("--attention_backend", type=str, default="xla",
-                   choices=["xla", "pallas", "chunked", "ring"])
+                   choices=["xla", "pallas", "chunked", "ring", "windowed", "windowed_xla"])
+    p.add_argument("--attention_window", type=int, default=2,
+                   help="half-width (latent frames) for --attention_backend windowed")
     p.add_argument("--quantize_int8", action="store_true", default=False,
                    help="int8 weight+dynamic-activation serving fast path (~8%% faster, tiny quality cost)")
     p.add_argument("--text_encoder_device", type=str, default="auto",
@@ -111,6 +113,12 @@ def main(args=None):
     )
     pipe.vae_tiling = bool(args.enable_tiling)
     pipe.vae_slicing = bool(args.enable_slicing)
+    if args.attention_backend in ("windowed", "windowed_xla"):
+        import dataclasses
+
+        pipe.transformer_cfg = dataclasses.replace(
+            pipe.transformer_cfg, attention_window_frames=args.attention_window
+        )
     print(f"[s2v_tpu] models loaded in {time.perf_counter() - t0:.1f}s on {jax.devices()}")
 
     if args.profile_dir:

@@ -61,6 +61,9 @@ class TransformerConfig:
     # so the effective (and default) behaviour is merged modulation for all
     # three streams.  Set True only with unmerged LoRA params present.
     disentangled_modulation: bool = False
+    # sliding-window half-width in latent frames for the opt-in
+    # ``attention_backend="windowed"`` approximate path (2w+1-frame window)
+    attention_window_frames: int = 2
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
 

@@ -212,6 +212,11 @@ def block_forward(
         base_linear=p["norm1"].get("base_linear") if disent else None,
     )
     x = jnp.concatenate([t_n, r_n, v_n], axis=1)
+    window = None
+    if attention_backend in ("windowed", "windowed_xla"):
+        # opt-in sliding-temporal-window path: text+ref are the global
+        # segment; the ref stream is one frame, so tokens/frame = r_len
+        window = (t_len + r_len, r_len, cfg.attention_window_frames)
     attn = joint_attention(
         p["attn"],
         x,
@@ -220,6 +225,7 @@ def block_forward(
         rope_sin,
         cfg.qk_norm_eps,
         backend=attention_backend,
+        window=window,
     )
     a_t = attn[:, :t_len]
     a_r = attn[:, t_len : t_len + r_len]

@@ -53,6 +53,7 @@ def joint_attention(
     rope_sin: Optional[jnp.ndarray] = None,
     qk_norm_eps: float = 1e-6,
     backend: str = "xla",
+    window: Optional[Tuple[int, int, int]] = None,  # (global_len, tokens_per_frame, w)
 ) -> jnp.ndarray:
     """Full-sequence self attention with segment-aware RoPE.
 
@@ -60,6 +61,9 @@ def joint_attention(
     concatenated.  ``rope_cos/sin``: ``[S, D_head/2]`` segmented tables from
     :func:`s2v_tpu.ops.rope.build_segmented_rope` (identity on the text span),
     or None to skip RoPE entirely (sincos/2b models).
+
+    ``backend="windowed"`` (requires ``window``) is the opt-in approximate
+    sliding-temporal-window path (ops/windowed_attention.py).
     """
     b, s, d = x.shape
     q, k, v = qkv_projections(params, x, num_heads)  # [B, S, H, hd]
@@ -82,6 +86,14 @@ def joint_attention(
         out = flash_attention_trainable(q, k, v)  # [B, S, H, hd]
     elif backend == "chunked":
         out = chunked_attention(q, k, v)
+    elif backend in ("windowed", "windowed_xla"):
+        if window is None:
+            raise ValueError("windowed attention needs window=(global_len, tpf, w)")
+        from s2v_tpu.ops.windowed_attention import windowed_attention
+
+        g_len, tpf, w = window
+        attn_fn = None if backend == "windowed" else jax.nn.dot_product_attention
+        out = windowed_attention(q, k, v, g_len, tpf, w, attention_fn=attn_fn)
     elif backend == "ring":
         # sequence-parallel exact attention over the active mesh's seq axis
         from s2v_tpu.parallel.context import active_mesh, active_axis

@@ -112,9 +112,10 @@ def flash_attention(
 ) -> jnp.ndarray:
     """Full (non-causal) self attention.
 
-    q/k/v: ``[B, S, H, d]`` (the layout the transformer produces);
-    returns ``[B, S, H, d]``.  Matches ``jax.nn.dot_product_attention`` /
-    torch SDPA semantics with the default ``1/sqrt(d)`` scale.
+    q: ``[B, Sq, H, d]``; k/v: ``[B, Skv, H, d]`` (Skv may differ — e.g.
+    the windowed path's text/ref queries over the full sequence); returns
+    ``[B, Sq, H, d]``.  Matches ``jax.nn.dot_product_attention`` / torch
+    SDPA semantics with the default ``1/sqrt(d)`` scale.
 
     Internal layout is ``[B*H, S, d]`` (TPU block tiling requires the last
     two block dims be (8k, 128k)-aligned or full, which rules out blocking a
@@ -122,10 +123,11 @@ def flash_attention(
     layer vs ~140 ms of attention compute at full geometry.
     """
     b, s, h, d = q.shape
+    s_kv = k.shape[1]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
 
-    s_pad = int(pl.cdiv(s, block_k)) * block_k
+    s_pad = int(pl.cdiv(s_kv, block_k)) * block_k
     n_q = pl.cdiv(s, block_q)
     n_k = s_pad // block_k
 
@@ -137,17 +139,17 @@ def flash_attention(
     )  # [BH, S, d+1]
 
     # kt_aug: K^T zero-padded to s_pad | indicator row (1 on padded keys)
-    ktb = k.transpose(0, 2, 3, 1).reshape(b * h, d, s)
-    ktb = jnp.pad(ktb, ((0, 0), (0, 0), (0, s_pad - s)))
-    indicator = jnp.zeros((1, 1, s_pad), k.dtype).at[:, :, s:].set(1.0)
+    ktb = k.transpose(0, 2, 3, 1).reshape(b * h, d, s_kv)
+    ktb = jnp.pad(ktb, ((0, 0), (0, 0), (0, s_pad - s_kv)))
+    indicator = jnp.zeros((1, 1, s_pad), k.dtype).at[:, :, s_kv:].set(1.0)
     kt_aug = jnp.concatenate(
         [ktb, jnp.broadcast_to(indicator, (b * h, 1, s_pad))], axis=1
     )  # [BH, d+1, s_pad]
 
     # v_aug: V zero-padded | ones column (accumulates l)
-    vb = v.transpose(0, 2, 1, 3).reshape(b * h, s, d)
-    vb = jnp.pad(vb, ((0, 0), (0, s_pad - s), (0, 0)))
-    ones = jnp.zeros((b * h, s_pad, 1), v.dtype).at[:, :s].set(1.0)
+    vb = v.transpose(0, 2, 1, 3).reshape(b * h, s_kv, d)
+    vb = jnp.pad(vb, ((0, 0), (0, s_pad - s_kv), (0, 0)))
+    ones = jnp.zeros((b * h, s_pad, 1), v.dtype).at[:, :s_kv].set(1.0)
     v_aug = jnp.concatenate([vb, ones], axis=-1)  # [BH, s_pad, d+1]
 
     out_specs = pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0))

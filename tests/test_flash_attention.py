@@ -51,3 +51,17 @@ def test_bf16_inputs():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(expected, np.float32), atol=3e-2
     )
+
+
+def test_cross_length_q_kv():
+    """Sq != Skv (windowed path's global-query pass)."""
+    import numpy as np
+    rng = np.random.RandomState(5)
+    b, sq, skv, h, d = 1, 70, 200, 2, 64
+    q = jnp.asarray(rng.randn(b, sq, h, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, skv, h, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, skv, h, d).astype(np.float32))
+    from s2v_tpu.ops.pallas.flash_attention import flash_attention
+    got = flash_attention(q, k, v, block_q=64, block_k=64, interpret=True)
+    ref = jax.nn.dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)

@@ -1,0 +1,69 @@
+"""Sliding-temporal-window attention (opt-in approximate path)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from s2v_tpu.ops.windowed_attention import (
+    windowed_attention,
+    windowed_attention_reference,
+)
+
+
+def _data(b=1, g=10, tpf=16, f=5, h=2, d=64, seed=0):
+    rng = np.random.RandomState(seed)
+    s = g + f * tpf
+    mk = lambda: jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+    return mk(), mk(), mk(), g, tpf, f
+
+
+def test_windowed_matches_masked_reference():
+    q, k, v, g, tpf, f = _data()
+    for w in [0, 1, 2]:
+        got = windowed_attention(q, k, v, g, tpf, w, attention_fn=jax.nn.dot_product_attention)
+        ref = windowed_attention_reference(q, k, v, g, tpf, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5, rtol=1e-4,
+                                   err_msg=f"w={w}")
+
+
+def test_full_window_equals_exact_attention():
+    q, k, v, g, tpf, f = _data(seed=1)
+    got = windowed_attention(q, k, v, g, tpf, f, attention_fn=jax.nn.dot_product_attention)
+    exact = jax.nn.dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact), atol=3e-5, rtol=1e-4)
+
+
+def test_windowed_backend_in_transformer():
+    """backend='windowed_xla' runs through the full transformer and, with a
+    window covering all frames, matches the exact xla backend."""
+    from s2v_tpu.config import TransformerConfig
+    from s2v_tpu.models.transformer import init_transformer_params, transformer_forward
+    from s2v_tpu.ops.rope import build_segmented_rope, get_3d_rotary_pos_embed
+    import dataclasses
+
+    cfg = TransformerConfig.tiny()
+    params = init_transformer_params(jax.random.PRNGKey(0), cfg)
+    B, F, H, W = 1, 3, 8, 8
+    key = jax.random.PRNGKey(1)
+    video = jax.random.normal(key, (B, F, H, W, cfg.in_channels))
+    ref = jax.random.normal(key, (B, 1, H, W, cfg.in_channels))
+    text = jax.random.normal(key, (B, cfg.max_text_seq_length, cfg.text_embed_dim))
+    t = jnp.array([500.0])
+    gh, gw = H // 2, W // 2
+    cos, sin = get_3d_rotary_pos_embed(cfg.attention_head_dim, ((0, 0), (gh, gw)), (gh, gw), F + 1)
+    tok = gh * gw
+    cs, sn = build_segmented_rope(cfg.max_text_seq_length, cos[:tok], sin[:tok],
+                                  cos[tok:tok*(F+1)], sin[tok:tok*(F+1)])
+
+    exact = transformer_forward(params, cfg, video, ref, text, t, cs, sn, attention_backend="xla")
+    cfg_full = dataclasses.replace(cfg, attention_window_frames=F)
+    full_win = transformer_forward(params, cfg_full, video, ref, text, t, cs, sn,
+                                   attention_backend="windowed_xla")
+    np.testing.assert_allclose(np.asarray(full_win), np.asarray(exact), atol=1e-4, rtol=1e-4)
+
+    # a narrow window is a different (approximate) program but stays finite
+    cfg_w1 = dataclasses.replace(cfg, attention_window_frames=0)
+    approx = transformer_forward(params, cfg_w1, video, ref, text, t, cs, sn,
+                                 attention_backend="windowed_xla")
+    assert bool(jnp.isfinite(approx).all())
+    assert float(jnp.abs(approx - exact).max()) > 1e-6  # actually approximate
