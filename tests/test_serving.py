@@ -126,3 +126,26 @@ def test_multi_prompt_batch_and_stats(daemon, tmp_path):
     assert all(os.path.exists(p) for p in r["outputs"])
     stats = daemon.handle({"op": "stats"})
     assert "generate_latency_s" in stats
+
+
+def test_serve_client_mode_exit_codes(daemon, tmp_path):
+    """python -m s2v_tpu.serve --request: 0 on ok, 1 on error response."""
+    import threading
+
+    d2 = type(daemon)(daemon.pipe, str(tmp_path / "cli.sock"))
+    t = threading.Thread(target=d2.serve_forever, daemon=True)
+    t.start()
+    import time as _time
+
+    for _ in range(100):
+        if os.path.exists(d2.socket_path):
+            break
+        _time.sleep(0.05)
+    from s2v_tpu.serve import main as serve_main
+    from s2v_tpu.serve import get_args as serve_args
+
+    rc_ok = serve_main(serve_args(["--socket", d2.socket_path, "--request", '{"op":"ping"}']))
+    rc_err = serve_main(serve_args(["--socket", d2.socket_path, "--request", '{"op":"bogus"}']))
+    serve_main(serve_args(["--socket", d2.socket_path, "--request", '{"op":"shutdown"}']))
+    assert rc_ok == 0 and rc_err == 1
+    t.join(timeout=10)
