@@ -60,7 +60,8 @@ def get_args(argv=None):
     p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--use_dpm", action="store_true", default=False)
     p.add_argument("--attention_backend", type=str, default="xla",
-                   choices=["xla", "pallas", "chunked", "ring", "windowed", "windowed_xla"])
+                   choices=["xla", "pallas", "chunked", "ring", "windowed",
+                            "windowed_gather", "windowed_xla"])
     p.add_argument("--attention_window", type=int, default=2,
                    help="half-width (latent frames) for --attention_backend windowed")
     p.add_argument("--quantize_int8", action="store_true", default=False,
@@ -113,7 +114,7 @@ def main(args=None):
     )
     pipe.vae_tiling = bool(args.enable_tiling)
     pipe.vae_slicing = bool(args.enable_slicing)
-    if args.attention_backend in ("windowed", "windowed_xla"):
+    if args.attention_backend in ("windowed", "windowed_gather", "windowed_xla"):
         import dataclasses
 
         pipe.transformer_cfg = dataclasses.replace(

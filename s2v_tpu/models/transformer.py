@@ -213,7 +213,7 @@ def block_forward(
     )
     x = jnp.concatenate([t_n, r_n, v_n], axis=1)
     window = None
-    if attention_backend in ("windowed", "windowed_xla"):
+    if attention_backend in ("windowed", "windowed_gather", "windowed_xla"):
         # opt-in sliding-temporal-window path: text+ref are the global
         # segment; the ref stream is one frame, so tokens/frame = r_len
         window = (t_len + r_len, r_len, cfg.attention_window_frames)

@@ -18,13 +18,13 @@ no new kernel.
 FLOP count at the 5b geometry (13 frames x 1,350 tokens, 226 text):
 window 2 -> 48% of full attention, window 1 -> 35%.
 
-Measured on v5e at that geometry (per layer, vs 93 ms exact Pallas):
-w=1 -> 84 ms, w=2 -> 97 ms — the KV window materialization (5x data
-duplication + kernel-side relayout) eats most of the FLOP savings at only
-13 frames.  The ratio improves with clip length (window cost is O(F),
-exact is O(F^2)); a banded-grid in-kernel variant that skips the
-duplication is future work.  For single-chip latency at 13 frames, prefer
-the adaptive step-skipping path (pipelines/denoise.py:denoise_adaptive).
+NOTE: this gather-based path (materialized per-frame KV windows) is the
+kernel-free fallback; the primary TPU implementation is the in-kernel
+banded variant (ops/pallas/banded_attention.py), which walks the window
+via the k-axis index_map with no KV duplication.  Measured on v5e, B=2,
+per layer (gather vs banded vs 123 ms exact Pallas): w=1 110 vs 92 ms,
+w=2 149 vs 108 ms at 13 frames; at 39 frames banded is 3.4x (w=1) /
+2.8x (w=2) faster than exact.
 """
 
 from __future__ import annotations

@@ -67,3 +67,24 @@ def test_windowed_backend_in_transformer():
                                  attention_backend="windowed_xla")
     assert bool(jnp.isfinite(approx).all())
     assert float(jnp.abs(approx - exact).max()) > 1e-6  # actually approximate
+
+
+def test_banded_kernel_matches_masked_reference():
+    """In-kernel banded variant (interpret mode on CPU) == masked reference."""
+    from s2v_tpu.ops.pallas.banded_attention import banded_flash_attention
+
+    q, k, v, g, tpf, f = _data(seed=2)
+    for w in [0, 1, 2]:
+        got = banded_flash_attention(q, k, v, g, tpf, w, interpret=True)
+        ref = windowed_attention_reference(q, k, v, g, tpf, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5, rtol=1e-4,
+                                   err_msg=f"w={w}")
+
+
+def test_banded_kernel_full_window_equals_exact():
+    from s2v_tpu.ops.pallas.banded_attention import banded_flash_attention
+
+    q, k, v, g, tpf, f = _data(seed=3)
+    got = banded_flash_attention(q, k, v, g, tpf, f, interpret=True)
+    exact = jax.nn.dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact), atol=3e-5, rtol=1e-4)
