@@ -292,6 +292,46 @@ def denoise_adaptive(
 
     Returns ``(final_latents, n_skipped)``.
     """
+    step = _build_adaptive_step_fn(
+        params, cfg, schedule, ref_latents, prompt_embeds, rope_cos, rope_sin,
+        threshold, do_cfg, rng_key, attention_backend, pos_embedding, cfg_mode,
+        cond_latents,
+    )
+    init = adaptive_init_carry(latents)
+    final, _, _, _, _, skips = jax.lax.fori_loop(
+        0, len(schedule.timesteps), step, init
+    )
+    return final, skips
+
+
+def adaptive_init_carry(latents):
+    """Initial carry for the adaptive step: ``(latents, old_x0, prev_eps,
+    prev_lat, prev_d1, n_skipped)``.  Shared by the fused loop and the
+    host-stepped segmented loop (the state crosses segment boundaries)."""
+    zero = jnp.zeros(latents.shape, jnp.float32)
+    return (latents, jnp.zeros_like(latents), zero, latents, zero,
+            jnp.asarray(0, jnp.int32))
+
+
+def _build_adaptive_step_fn(
+    params,
+    cfg: TransformerConfig,
+    schedule: DenoiseSchedule,
+    ref_latents,
+    prompt_embeds,
+    rope_cos,
+    rope_sin,
+    threshold,
+    do_cfg,
+    rng_key,
+    attention_backend,
+    pos_embedding,
+    cfg_mode,
+    cond_latents,
+):
+    """Per-step body of the adaptive (step-skipping) loop over the carry
+    from :func:`adaptive_init_carry`; usable in ``fori_loop`` with traced
+    bounds, so segments resume mid-trajectory."""
     n = len(schedule.timesteps)
     eps_fn, update_fn = _build_eps_update_fns(
         params, cfg, schedule, ref_latents, prompt_embeds, rope_cos, rope_sin,
@@ -311,13 +351,7 @@ def denoise_adaptive(
         new_lat, x0 = update_fn(i, lat, old_x0, eps)
         return (new_lat, x0, eps, lat, d1, skips + skip.astype(jnp.int32))
 
-    zero_eps = jnp.zeros(latents.shape, jnp.float32)
-    init = (
-        latents, jnp.zeros_like(latents), zero_eps, latents,
-        jnp.zeros(latents.shape, jnp.float32), jnp.asarray(0, jnp.int32),
-    )
-    final, _, _, _, _, skips = jax.lax.fori_loop(0, n, step, init)
-    return final, skips
+    return step
 
 
 def make_segmented_denoise(

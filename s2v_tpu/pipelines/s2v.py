@@ -394,23 +394,42 @@ class S2VPipeline:
             # per-segment callbacks (reference callback_on_step_end) and
             # (b) on relays that cap single-execution wall time — the
             # fused 50-step program is one ~7-min device launch.
-            from s2v_tpu.pipelines.denoise import _build_step_fn
+            from s2v_tpu.pipelines.denoise import (
+                _build_adaptive_step_fn,
+                _build_step_fn,
+                adaptive_init_carry,
+            )
 
+            adaptive = adaptive_threshold > 0.0
             seg_key = ("seg",) + cache_key
             run_seg = self._compiled_denoise.get(seg_key)
             if run_seg is None:
                 def _segment(p, carry, ref, emb, rng, i0, i1):
-                    step = _build_step_fn(
-                        p, cfg, schedule, ref, emb, rope_cos, rope_sin,
-                        do_cfg, rng, self.attention_backend, pos_embedding,
-                        cfg_mode, None,
-                    )
+                    if adaptive:
+                        # adaptive state (prev eps / latent diffs / skip
+                        # count) rides the carry across segment boundaries
+                        step = _build_adaptive_step_fn(
+                            p, cfg, schedule, ref, emb, rope_cos, rope_sin,
+                            adaptive_threshold, do_cfg, rng,
+                            self.attention_backend, pos_embedding, cfg_mode,
+                            None,
+                        )
+                    else:
+                        step = _build_step_fn(
+                            p, cfg, schedule, ref, emb, rope_cos, rope_sin,
+                            do_cfg, rng, self.attention_backend, pos_embedding,
+                            cfg_mode, None,
+                        )
                     return jax.lax.fori_loop(i0, i1, step, carry)
 
                 run_seg = jax.jit(_segment)
                 self._compiled_denoise[seg_key] = run_seg
             with phase("denoise", log=True):
-                carry = (latents, jnp.zeros_like(latents))
+                carry = (
+                    adaptive_init_carry(latents)
+                    if adaptive
+                    else (latents, jnp.zeros_like(latents))
+                )
                 for i0 in range(0, num_inference_steps, segment_steps):
                     i1 = min(i0 + segment_steps, num_inference_steps)
                     carry = run_seg(
@@ -422,6 +441,13 @@ class S2VPipeline:
                         if callback_on_segment_end(i1, carry[0]) is False:
                             break  # cooperative interrupt (reference :242-243)
                 final = carry[0]
+                if adaptive:
+                    from s2v_tpu.utils.logging import get_logger
+
+                    get_logger("s2v_tpu.pipeline").info(
+                        "adaptive denoise skipped %d/%d forwards",
+                        int(carry[5]), num_inference_steps,
+                    )
             if output_type == "latent":
                 return final
             with phase("vae-decode", log=True):

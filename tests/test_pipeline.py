@@ -370,3 +370,28 @@ def test_generate_segment_steps_matches_fused():
         stopped = pipe.generate(**kw, segment_steps=2,
                                 callback_on_segment_end=lambda i, lat: False)
         assert np.isfinite(np.asarray(stopped)).all()
+
+
+def test_generate_segmented_adaptive_matches_fused_adaptive():
+    """Adaptive state (prev eps, latent diffs, skip count) crosses segment
+    boundaries: segmented adaptive generate == fused adaptive bitwise."""
+    from PIL import Image
+    import tempfile, os as _os
+
+    pipe = _tiny_pipeline()
+    img = (np.random.RandomState(0).rand(32, 32, 3) * 255).astype("uint8")
+    with tempfile.TemporaryDirectory() as d:
+        p = _os.path.join(d, "ref.png")
+        Image.fromarray(img).save(p)
+        kw = dict(prompt="a pig", ref_image=p, height=32, width=32,
+                  num_frames=5, num_inference_steps=6, seed=1,
+                  output_type="latent", adaptive_threshold=0.02)
+        fused = pipe.generate(**kw)
+        seg = pipe.generate(**kw, segment_steps=2)
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(seg))
+        # huge threshold through the segmented path still skips and is finite
+        big = pipe.generate(prompt="a pig", ref_image=p, height=32, width=32,
+                            num_frames=5, num_inference_steps=6, seed=1,
+                            output_type="latent", adaptive_threshold=1e9,
+                            segment_steps=4)
+        assert np.isfinite(np.asarray(big)).all()
