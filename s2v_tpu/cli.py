@@ -91,8 +91,9 @@ def get_args(argv=None):
 
 def main(args=None):
     args = args or get_args()
-    if args.max_num_frames > 49:
-        raise ValueError("num_frames must be <= 49 (static positional embedding table)")
+    # frame-count validation happens in generate(): rotary (5b) models
+    # accept clips beyond the reference's 49-frame cap, sincos (2b) models
+    # keep it (static positional table)
     os.makedirs(args.output_dir, exist_ok=True)
 
     import jax

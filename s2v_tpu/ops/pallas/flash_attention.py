@@ -8,10 +8,15 @@ resolution) — impossible on one chip; this kernel streams K/V blocks
 through VMEM with the online-softmax recurrence so memory is O(S * d) and
 the MXU stays busy on the two block matmuls.
 
-Performance design (all measured on v5e at S=19126, d=64):
+Performance design (all measured on v5e at S=19126, d=64; timed by
+chaining async dispatches with ONE host fetch at the end — a per-call
+scalar fetch through the axon relay adds ~27 ms and understated earlier
+numbers):
   * grid ``(batch*heads, q_blocks, k_blocks)`` with the k axis innermost;
     the (bh, qi) output block is revisited across k steps and the softmax
-    state lives in VMEM scratch; block sizes swept -> (1024, 1024);
+    state lives in VMEM scratch; block sizes swept -> (1024, 2048):
+    62.1/121.5 ms at B=1/2 incl. host-side relayout = 73.7/75.3 TF/s
+    effective (the d=64 contraction caps the MXU at ~98 TF/s);
   * K is fed **pre-transposed** ``[d, S]`` — the plain (1,0)-contraction
     matmul hits a better MXU path than contracting two row-major operands
     (+9%);
@@ -104,8 +109,8 @@ def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    block_q: int = 1536,  # swept on v5e at S=19126, d=64 (60.2 TFLOP/s;
-    block_k: int = 1024,  # larger combos exceed VMEM)
+    block_q: int = 1024,  # swept on v5e at S=19126, d=64 (73.7 TF/s eff
+    block_k: int = 2048,  # incl. relayout; larger combos exceed VMEM)
     scale: Optional[float] = None,
     interpret: bool = False,
     return_lse: bool = False,

@@ -309,8 +309,15 @@ class S2VPipeline:
 
         # input validation (reference check_inputs :372-421 + the static
         # positional-table guard custom_cogvideox_pipe.py:152-155)
+        # The reference caps clips at sample_frames=49 because its RoPE
+        # table is precomputed for 14 frames (custom_cogvideox_pipe.py:
+        # 152-155, 224).  Here rotary tables are derived from the request
+        # shapes, so rotary (5b-family) models accept longer clips — the
+        # BASELINE "longer 8s clip" config; pair with
+        # attention_backend="windowed" for O(F) attention cost.  Sincos
+        # (2b-family) models keep the static-table cap.
         max_frames = cfg.sample_frames
-        if num_frames > max_frames:
+        if num_frames > max_frames and not cfg.use_rotary_positional_embeddings:
             raise ValueError(
                 f"num_frames must be <= {max_frames} (static positional embeddings)"
             )

@@ -202,11 +202,18 @@ def test_generate_sincos_2b_path():
 def test_generate_input_validation():
     pipe = _tiny_pipeline()
     ref = np.zeros((32, 32, 3), np.float32)
+    import dataclasses
     import pytest
 
+    # the 49-frame cap is a static-positional-table constraint: it binds for
+    # sincos (2b-family) models only
+    sincos_pipe = _tiny_pipeline()
+    sincos_pipe.transformer_cfg = dataclasses.replace(
+        sincos_pipe.transformer_cfg, use_rotary_positional_embeddings=False
+    )
     with pytest.raises(ValueError, match="num_frames"):
-        pipe.generate(prompt="x", ref_image=ref, height=32, width=32,
-                      num_frames=999, num_inference_steps=1)
+        sincos_pipe.generate(prompt="x", ref_image=ref, height=32, width=32,
+                             num_frames=999, num_inference_steps=1)
     with pytest.raises(ValueError, match="divisible"):
         pipe.generate(prompt="x", ref_image=ref, height=30, width=32,
                       num_frames=5, num_inference_steps=1)
@@ -395,3 +402,19 @@ def test_generate_segmented_adaptive_matches_fused_adaptive():
                             output_type="latent", adaptive_threshold=1e9,
                             segment_steps=4)
         assert np.isfinite(np.asarray(big)).all()
+
+
+def test_generate_long_clip_rotary():
+    """Rotary (5b-family) models accept clips beyond the reference's
+    49-frame cap (BASELINE 'longer 8s clip' config): RoPE tables derive
+    from request shapes, not a static table.  tiny cfg: sample_frames=9,
+    request 13."""
+    pipe = _tiny_pipeline()
+    assert pipe.transformer_cfg.use_rotary_positional_embeddings
+    assert pipe.transformer_cfg.sample_frames == 9
+    ref = np.zeros((32, 32, 3), np.float32)
+    out = pipe.generate(prompt="a pig", ref_image=ref, height=32, width=32,
+                        num_frames=13, num_inference_steps=1,
+                        output_type="latent", seed=3)
+    assert out.shape == (1, 4, 4, 4, pipe.transformer_cfg.in_channels)
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
