@@ -276,6 +276,24 @@ class S2VPipeline:
         )
         return denormalize_video(np.asarray(frames.astype(jnp.float32)))
 
+    def postprocess_video(self, video01: np.ndarray, output_type: str):
+        """Reference ``VideoProcessor.postprocess_video`` output types
+        (video_processor.py:89-113): "np" -> float array [B, T, H, W, 3] in
+        [0, 1]; "pil" -> per-batch lists of PIL images; "pt" -> torch
+        tensor [B, T, C, H, W]."""
+        if output_type == "np":
+            return video01
+        if output_type == "pil":
+            from PIL import Image
+
+            u8 = (video01 * 255).round().clip(0, 255).astype(np.uint8)
+            return [[Image.fromarray(f) for f in clip] for clip in u8]
+        if output_type == "pt":
+            import torch
+
+            return torch.from_numpy(np.ascontiguousarray(video01)).permute(0, 1, 4, 2, 3)
+        raise ValueError(f"unknown output_type {output_type!r} (np | pil | pt | latent)")
+
     # ------------------------------------------------------------------
     # end to end
     # ------------------------------------------------------------------
@@ -458,7 +476,7 @@ class S2VPipeline:
             if output_type == "latent":
                 return final
             with phase("vae-decode", log=True):
-                return self.decode_latents(final)
+                return self.postprocess_video(self.decode_latents(final), output_type)
 
         run = self._compiled_denoise.get(cache_key)
         if run is None:
@@ -496,4 +514,4 @@ class S2VPipeline:
         if output_type == "latent":
             return final
         with phase("vae-decode", log=True):
-            return self.decode_latents(final)
+            return self.postprocess_video(self.decode_latents(final), output_type)

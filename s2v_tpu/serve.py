@@ -39,7 +39,10 @@ def get_args(argv=None):
     p.add_argument("--checkpoint_path", type=str, default=None, help="S2V LoRA checkpoint dir")
     p.add_argument("--lora_alpha", type=float, default=64)
     p.add_argument("--attention_backend", type=str, default="xla",
-                   choices=["xla", "pallas", "chunked", "ring"])
+                   choices=["xla", "pallas", "chunked", "ring", "windowed",
+                            "windowed_gather", "windowed_xla"])
+    p.add_argument("--attention_window", type=int, default=2,
+                   help="half-width (latent frames) for --attention_backend windowed")
     p.add_argument("--quantize_int8", action="store_true", default=False)
     p.add_argument("--text_encoder_device", type=str, default="auto",
                    choices=["auto", "device", "host"],
@@ -84,6 +87,12 @@ def main(args=None):
     )
     pipe.vae_tiling = bool(args.enable_tiling)
     pipe.vae_slicing = bool(args.enable_slicing)
+    if args.attention_backend in ("windowed", "windowed_gather", "windowed_xla"):
+        import dataclasses
+
+        pipe.transformer_cfg = dataclasses.replace(
+            pipe.transformer_cfg, attention_window_frames=args.attention_window
+        )
     daemon = ServingDaemon(pipe, args.socket, fps=args.fps)
 
     if args.warmup:

@@ -418,3 +418,28 @@ def test_generate_long_clip_rotary():
                         output_type="latent", seed=3)
     assert out.shape == (1, 4, 4, 4, pipe.transformer_cfg.in_channels)
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_generate_output_types():
+    """Reference VideoProcessor.postprocess_video output types: np / pil /
+    pt / latent."""
+    pipe = _tiny_pipeline()
+    ref = np.zeros((32, 32, 3), np.float32)
+    kw = dict(prompt="a pig", ref_image=ref, height=32, width=32,
+              num_frames=5, num_inference_steps=1, seed=4)
+    v_np = pipe.generate(**kw, output_type="np")
+    assert isinstance(v_np, np.ndarray) and v_np.ndim == 5 and v_np.shape[-1] == 3
+
+    v_pil = pipe.generate(**kw, output_type="pil")
+    from PIL import Image
+    assert isinstance(v_pil, list) and isinstance(v_pil[0][0], Image.Image)
+    assert len(v_pil) == 1 and len(v_pil[0]) == v_np.shape[1]
+
+    import torch
+    v_pt = pipe.generate(**kw, output_type="pt")
+    assert isinstance(v_pt, torch.Tensor)
+    assert tuple(v_pt.shape) == (1, v_np.shape[1], 3, 32, 32)
+    np.testing.assert_allclose(v_pt.permute(0, 1, 3, 4, 2).numpy(), v_np, atol=1e-6)
+
+    with pytest.raises(ValueError, match="output_type"):
+        pipe.generate(**kw, output_type="bogus")
