@@ -81,6 +81,11 @@ def get_args(argv=None):
                    help="opt-in step-skipping fast path (bounded-difference "
                         "criterion, arXiv:2410.09873-style); 0 = exact loop. "
                         "Try 0.01-0.02")
+    p.add_argument("--cfg_skip_threshold", type=float, default=0.0,
+                   help="opt-in CFG-skip fast path: skip the uncond forward "
+                        "once the dynamic guidance scale has decayed to "
+                        "g - 1 < threshold (error bounded by (g-1)*|cond-uncond|); "
+                        "0 = exact. Only useful with --use_dynamic_cfg")
     p.add_argument("--segment_steps", type=int, default=0,
                    help=">0: run the denoise loop in host-stepped segments of N "
                         "steps (enables interrupt/callbacks; required on relays "
@@ -138,6 +143,7 @@ def main(args=None):
         use_dpm=args.use_dpm,
         seed=args.seed,
         adaptive_threshold=args.adaptive_threshold,
+        cfg_skip_threshold=args.cfg_skip_threshold,
         segment_steps=args.segment_steps,
     )
     if args.profile_dir:

@@ -134,6 +134,7 @@ def _build_step_fn(
     pos_embedding,
     cfg_mode,
     cond_latents,
+    cfg_skip_threshold: float = 0.0,
 ):
     """Shared per-step body for the fused and segmented loops.
 
@@ -146,6 +147,7 @@ def _build_step_fn(
     eps_fn, update_fn = _build_eps_update_fns(
         params, cfg, schedule, ref_latents, prompt_embeds, rope_cos, rope_sin,
         do_cfg, rng_key, attention_backend, pos_embedding, cfg_mode, cond_latents,
+        cfg_skip_threshold,
     )
 
     def step(i, carry):
@@ -169,6 +171,7 @@ def _build_eps_update_fns(
     pos_embedding,
     cfg_mode,
     cond_latents,
+    cfg_skip_threshold: float = 0.0,
 ):
     """The step body split into ``eps_fn(i, latents) -> noise_pred`` (the
     CFG-mixed transformer forward) and ``update_fn(i, latents, old_x0,
@@ -190,9 +193,12 @@ def _build_eps_update_fns(
 
     def eps_fn(i, latents):
         b = latents.shape[0]
-        t = jnp.full((2 * b if batched_cfg else b,), timesteps[i], jnp.int32)
 
         def fwd(lat_in, emb):
+            # ref / timestep batch follow the latent batch (the CFG-skip
+            # branch runs a B-sized forward inside a batched-CFG loop)
+            ref = ref_in if ref_in.shape[0] == lat_in.shape[0] else ref_latents
+            t = jnp.full((lat_in.shape[0],), timesteps[i], jnp.int32)
             if cond_latents is not None:
                 # I2V conditioning: image latents (frame-0 + zero padding)
                 # concatenated channel-wise each step (reference
@@ -202,10 +208,36 @@ def _build_eps_update_fns(
                     cond = jnp.concatenate([cond, cond], axis=0)
                 lat_in = jnp.concatenate([lat_in, cond.astype(lat_in.dtype)], axis=-1)
             return transformer_forward(
-                params, cfg, lat_in, ref_in, emb, t, rope_cos, rope_sin,
+                params, cfg, lat_in, ref, emb, t, rope_cos, rope_sin,
                 pos_embedding=pos_embedding, attention_backend=attention_backend,
             ).astype(jnp.float32)
 
+        if do_cfg and cfg_skip_threshold > 0.0:
+            # CFG-skip fast path (opt-in): under the dynamic-cosine schedule
+            # (reference :269-274) guidance decays to 1.0 over the loop, and
+            # at g == 1 the mix reduces to the cond prediction exactly —
+            # eps = uncond + g (cond - uncond).  When g - 1 < threshold the
+            # uncond forward is skipped with error bounded by
+            # (g - 1) * |cond - uncond|.  At 50 steps / g=6 the dynamic
+            # schedule has g - 1 < 0.01 for the last ~45% of steps.
+            skip = guidance[i] - 1.0 < cfg_skip_threshold
+            if batched_cfg:
+                _, emb_cond_b = jnp.split(prompt_embeds, 2, axis=0)
+
+                def mixed():
+                    noise_pred = fwd(
+                        jnp.concatenate([latents, latents], axis=0), prompt_embeds
+                    )
+                    uncond, cond = jnp.split(noise_pred, 2, axis=0)
+                    return uncond + guidance[i] * (cond - uncond)
+
+                return jax.lax.cond(skip, lambda: fwd(latents, emb_cond_b), mixed)
+
+            def mixed():
+                uncond = fwd(latents, emb_uncond)
+                return uncond + guidance[i] * (fwd(latents, emb_cond) - uncond)
+
+            return jax.lax.cond(skip, lambda: fwd(latents, emb_cond), mixed)
         if batched_cfg:
             noise_pred = fwd(jnp.concatenate([latents, latents], axis=0), prompt_embeds)
             uncond, cond = jnp.split(noise_pred, 2, axis=0)
@@ -248,6 +280,7 @@ def denoise(
     pos_embedding: Optional[jnp.ndarray] = None,  # sincos table (2b models)
     cfg_mode: str = "batched",  # "batched" (one 2B forward) | "sequential"
     cond_latents: Optional[jnp.ndarray] = None,  # I2V: channel-concat condition
+    cfg_skip_threshold: float = 0.0,  # >0: skip the uncond forward when g-1 < thr
 ) -> jnp.ndarray:
     """Run the full denoise loop; returns final latents [B, F, h, w, C].
 
@@ -257,6 +290,7 @@ def denoise(
     step = _build_step_fn(
         params, cfg, schedule, ref_latents, prompt_embeds, rope_cos, rope_sin,
         do_cfg, rng_key, attention_backend, pos_embedding, cfg_mode, cond_latents,
+        cfg_skip_threshold,
     )
     init = (latents, jnp.zeros_like(latents))
     final, _ = jax.lax.fori_loop(0, len(schedule.timesteps), step, init)
@@ -279,6 +313,7 @@ def denoise_adaptive(
     pos_embedding: Optional[jnp.ndarray] = None,
     cfg_mode: str = "batched",
     cond_latents: Optional[jnp.ndarray] = None,
+    cfg_skip_threshold: float = 0.0,
 ):
     """Training-free adaptive step skipping (opt-in serving fast path; NOT
     the reference algorithm — the exact loop is :func:`denoise`).
@@ -295,7 +330,7 @@ def denoise_adaptive(
     step = _build_adaptive_step_fn(
         params, cfg, schedule, ref_latents, prompt_embeds, rope_cos, rope_sin,
         threshold, do_cfg, rng_key, attention_backend, pos_embedding, cfg_mode,
-        cond_latents,
+        cond_latents, cfg_skip_threshold,
     )
     init = adaptive_init_carry(latents)
     final, _, _, _, _, skips = jax.lax.fori_loop(
@@ -328,6 +363,7 @@ def _build_adaptive_step_fn(
     pos_embedding,
     cfg_mode,
     cond_latents,
+    cfg_skip_threshold: float = 0.0,
 ):
     """Per-step body of the adaptive (step-skipping) loop over the carry
     from :func:`adaptive_init_carry`; usable in ``fori_loop`` with traced
@@ -336,6 +372,7 @@ def _build_adaptive_step_fn(
     eps_fn, update_fn = _build_eps_update_fns(
         params, cfg, schedule, ref_latents, prompt_embeds, rope_cos, rope_sin,
         do_cfg, rng_key, attention_backend, pos_embedding, cfg_mode, cond_latents,
+        cfg_skip_threshold,
     )
     thr = jnp.asarray(threshold, jnp.float32)
 
@@ -366,6 +403,7 @@ def make_segmented_denoise(
     pos_embedding: Optional[jnp.ndarray] = None,
     cfg_mode: str = "batched",
     cond_latents: Optional[jnp.ndarray] = None,
+    cfg_skip_threshold: float = 0.0,
 ):
     """Host-steppable denoise: returns ``run(carry, ref, emb, i0, i1)``.
 
@@ -383,6 +421,7 @@ def make_segmented_denoise(
         step = _build_step_fn(
             params, cfg, schedule, ref_latents, prompt_embeds, rope_cos, rope_sin,
             do_cfg, rng_key, attention_backend, pos_embedding, cfg_mode, cond_latents,
+            cfg_skip_threshold,
         )
         return jax.lax.fori_loop(i0, i1, step, carry)
 

@@ -318,6 +318,7 @@ class S2VPipeline:
         output_type: str = "np",
         cfg_mode: str = "auto",  # auto: sequential on 1 device, batched on >1
         adaptive_threshold: float = 0.0,  # >0: opt-in step-skipping fast path
+        cfg_skip_threshold: float = 0.0,  # >0: skip uncond forwards once dynamic g-1 < thr
         segment_steps: int = 0,  # >0: host-stepped segments of this many steps
         callback_on_segment_end=None,  # f(step_index, latents) between segments
     ):
@@ -411,8 +412,17 @@ class S2VPipeline:
         cache_key = (
             num_inference_steps, float(guidance_scale), use_dynamic_cfg, use_dpm,
             do_cfg, cfg_mode, height, width, num_frames, batch,
-            float(adaptive_threshold),
+            float(adaptive_threshold), float(cfg_skip_threshold),
         )
+        if do_cfg and cfg_skip_threshold > 0.0:
+            # host-computable: the guidance table is fixed per schedule
+            n_skip = int(np.sum(schedule.guidance - 1.0 < cfg_skip_threshold))
+            from s2v_tpu.utils.logging import get_logger
+
+            get_logger("s2v_tpu.pipeline").info(
+                "cfg-skip: uncond forward skipped on %d/%d steps", n_skip,
+                num_inference_steps,
+            )
         if segment_steps > 0:
             # Host-stepped segments: one executable serves every segment
             # (bounds are traced scalars).  Needed (a) for interrupt /
@@ -437,13 +447,13 @@ class S2VPipeline:
                             p, cfg, schedule, ref, emb, rope_cos, rope_sin,
                             adaptive_threshold, do_cfg, rng,
                             self.attention_backend, pos_embedding, cfg_mode,
-                            None,
+                            None, cfg_skip_threshold,
                         )
                     else:
                         step = _build_step_fn(
                             p, cfg, schedule, ref, emb, rope_cos, rope_sin,
                             do_cfg, rng, self.attention_backend, pos_embedding,
-                            cfg_mode, None,
+                            cfg_mode, None, cfg_skip_threshold,
                         )
                     return jax.lax.fori_loop(i0, i1, step, carry)
 
@@ -489,6 +499,7 @@ class S2VPipeline:
                         threshold=adaptive_threshold,
                         do_cfg=do_cfg, rng_key=rng, attention_backend=self.attention_backend,
                         pos_embedding=pos_embedding, cfg_mode=cfg_mode,
+                        cfg_skip_threshold=cfg_skip_threshold,
                     )
                 )
             else:
@@ -497,6 +508,7 @@ class S2VPipeline:
                         p, cfg, schedule, lat, ref, emb, rope_cos, rope_sin,
                         do_cfg=do_cfg, rng_key=rng, attention_backend=self.attention_backend,
                         pos_embedding=pos_embedding, cfg_mode=cfg_mode,
+                        cfg_skip_threshold=cfg_skip_threshold,
                     )
                 )
             self._compiled_denoise[cache_key] = run

@@ -51,6 +51,7 @@ _GEN_KEYS = {
     "seed": int,
     "cfg_mode": str,
     "adaptive_threshold": float,
+    "cfg_skip_threshold": float,
     "segment_steps": int,
 }
 

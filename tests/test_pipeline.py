@@ -443,3 +443,54 @@ def test_generate_output_types():
 
     with pytest.raises(ValueError, match="output_type"):
         pipe.generate(**kw, output_type="bogus")
+
+
+def test_cfg_skip_matches_guidance_one():
+    """CFG-skip (skip the uncond forward when g-1 < thr) is mathematically
+    identical to running those steps with guidance == 1: eps = uncond +
+    1*(cond - uncond) = cond.  Check both cfg modes against that reference."""
+    import dataclasses as dc
+
+    cfg = TransformerConfig.tiny()
+    params = init_transformer_params(jax.random.PRNGKey(1), cfg)
+    B, F, H, W = 1, 2, 8, 8
+    lat0 = jax.random.normal(jax.random.PRNGKey(2), (B, F, H, W, cfg.in_channels), jnp.float32)
+    ref = jax.random.normal(jax.random.PRNGKey(3), (B, 1, H, W, cfg.in_channels), jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(4), (2 * B, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32)
+    gh, gw = H // 2, W // 2
+    cos, sin = get_3d_rotary_pos_embed(cfg.attention_head_dim, ((0, 0), (gh, gw)), (gh, gw), F + 1)
+    tok = gh * gw
+    cs, sn = build_segmented_rope(cfg.max_text_seq_length, cos[:tok], sin[:tok], cos[tok:tok*(F+1)], sin[tok:tok*(F+1)])
+
+    n, thr = 6, 0.05
+    sched = DenoiseSchedule.create(SchedulerConfig(), n, 6.0, use_dynamic_cfg=True)
+    skip_mask = sched.guidance - 1.0 < thr
+    assert skip_mask.any() and not skip_mask.all()  # the test must exercise both branches
+    g_ref = np.where(skip_mask, 1.0, sched.guidance).astype(np.float32)
+    sched_ref = dc.replace(sched, guidance=g_ref)
+
+    expected = denoise(params, cfg, sched_ref, lat0, ref, emb, cs, sn, do_cfg=True)
+    for mode in ("batched", "sequential"):
+        got = denoise(params, cfg, sched, lat0, ref, emb, cs, sn, do_cfg=True,
+                      cfg_mode=mode, cfg_skip_threshold=thr)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5,
+                                   err_msg=mode)
+
+    # threshold 0 stays the exact program
+    exact = denoise(params, cfg, sched, lat0, ref, emb, cs, sn, do_cfg=True)
+    got0 = denoise(params, cfg, sched, lat0, ref, emb, cs, sn, do_cfg=True,
+                   cfg_skip_threshold=0.0)
+    np.testing.assert_array_equal(np.asarray(got0), np.asarray(exact))
+
+
+def test_generate_cfg_skip_flag():
+    pipe = _tiny_pipeline()
+    ref = np.zeros((32, 32, 3), np.float32)
+    kw = dict(prompt="a pig", ref_image=ref, height=32, width=32, num_frames=5,
+              num_inference_steps=6, seed=1, use_dynamic_cfg=True,
+              output_type="latent")
+    out = pipe.generate(**kw, cfg_skip_threshold=0.05)
+    assert np.isfinite(np.asarray(out)).all()
+    # segmented path composes with cfg-skip
+    seg = pipe.generate(**kw, cfg_skip_threshold=0.05, segment_steps=2)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(seg))
