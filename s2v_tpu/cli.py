@@ -131,6 +131,15 @@ def main(args=None):
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
     t1 = time.perf_counter()
+    progress = None
+    if args.segment_steps > 0:
+        # per-segment progress (the reference shows a tqdm bar per denoise
+        # step, pipeline_utils.py:1555; the fused XLA loop has no host
+        # round-trips to hook, but the segmented loop does)
+        def progress(i, _lat, t0=time.perf_counter()):
+            print(f"[s2v_tpu] denoise {i}/{args.num_inference_steps} steps "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+
     video = pipe.generate(
         prompt=args.prompt,
         ref_image=args.ref_img_path,
@@ -145,6 +154,7 @@ def main(args=None):
         adaptive_threshold=args.adaptive_threshold,
         cfg_skip_threshold=args.cfg_skip_threshold,
         segment_steps=args.segment_steps,
+        callback_on_segment_end=progress,
     )
     if args.profile_dir:
         jax.profiler.stop_trace()

@@ -89,8 +89,11 @@ def banded_flash_attention(
     k_tot = gp + n_frames * fp
 
     # ---- exact full attention for the (small) global query segment
+    # (block_q capped at 1024: with the default block_k=2048 the fp32
+    # probability block is block_q*block_k*4 B and must stay within the
+    # ~16 MB scoped-VMEM budget alongside the operand buffers)
     o_glob = flash_attention(
-        q[:, :g], k, v, block_q=min(1536, _round_up(g, 8)), scale=scale,
+        q[:, :g], k, v, block_q=min(1024, _round_up(g, 8)), scale=scale,
         interpret=interpret,
     )
 

@@ -50,10 +50,10 @@ def windowed_attention(
         from s2v_tpu.ops.pallas.flash_attention import flash_attention
 
         def attention_fn(q_, k_, v_):
-            # one q block per (short) query segment: 1576 global / 1350
-            # per-frame queries would otherwise leave a mostly-padded
-            # second 1536-row block
-            bq = min(1536, ((q_.shape[1] + 7) // 8) * 8)
+            # one q block per (short) query segment where it fits; capped at
+            # 1024 so the fp32 probability block (block_q * block_k * 4 B)
+            # stays within the scoped-VMEM budget at block_k=2048
+            bq = min(1024, ((q_.shape[1] + 7) // 8) * 8)
             return flash_attention(q_, k_, v_, block_q=bq)
 
     w_span = min(2 * window_frames + 1, n_frames)
