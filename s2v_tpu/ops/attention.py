@@ -14,6 +14,7 @@ Two execution paths:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -92,10 +93,9 @@ def joint_attention(
         g_len, tpf, w = window
         if backend == "windowed":
             # in-kernel band: no KV duplication; on v5e at the 5b geometry
-            # 92/108 ms (w=1/2) vs 123 ms exact, and 3.4x/2.8x at 39 frames
-            from s2v_tpu.ops.pallas.banded_attention import banded_flash_attention
-
-            out = banded_flash_attention(q, k, v, g_len, tpf, w)
+            # 92/108 ms (w=1/2) vs 123 ms exact, and 3.4x/2.8x at 39 frames.
+            # Differentiable: custom VJP with banded backward kernels.
+            out = banded_attention_trainable(q, k, v, g_len, tpf, w)
         else:
             # gather path: materialized per-frame KV windows (kernel-free
             # "windowed_xla" fallback; "windowed_gather" keeps the old
@@ -153,6 +153,50 @@ def _fat_bwd(residuals, g):
 
     q, k, v, o, lse = residuals
     return flash_attention_bwd(q, k, v, o, lse, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def banded_attention_trainable(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    global_len: int,
+    tokens_per_frame: int,
+    window_frames: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable banded windowed attention: Pallas kernels both ways
+    (forward ops/pallas/banded_attention.py, backward
+    ops/pallas/banded_attention_bwd.py — banded dq, inverse-banded dk/dv).
+    Enables windowed-attention LoRA training on long clips."""
+    from s2v_tpu.ops.pallas.banded_attention import banded_flash_attention
+
+    return banded_flash_attention(
+        q, k, v, global_len, tokens_per_frame, window_frames, interpret=interpret
+    )
+
+
+def _bat_fwd(q, k, v, global_len, tokens_per_frame, window_frames, interpret=False):
+    from s2v_tpu.ops.pallas.banded_attention import banded_flash_attention
+
+    o, lse = banded_flash_attention(
+        q, k, v, global_len, tokens_per_frame, window_frames,
+        interpret=interpret, return_lse=True,
+    )
+    return o, (q, k, v, o, lse)
+
+
+def _bat_bwd(global_len, tokens_per_frame, window_frames, interpret, residuals, g):
+    from s2v_tpu.ops.pallas.banded_attention_bwd import banded_flash_attention_bwd
+
+    q, k, v, o, lse = residuals
+    return banded_flash_attention_bwd(
+        q, k, v, o, lse, g, global_len, tokens_per_frame, window_frames,
+        interpret=interpret,
+    )
+
+
+banded_attention_trainable.defvjp(_bat_fwd, _bat_bwd)
 
 
 def chunked_attention(

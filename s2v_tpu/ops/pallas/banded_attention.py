@@ -54,6 +54,7 @@ def _round_up(x: int, m: int) -> int:
         "window_frames",
         "scale",
         "interpret",
+        "return_lse",
     ),
 )
 def banded_flash_attention(
@@ -65,13 +66,16 @@ def banded_flash_attention(
     window_frames: int,
     scale: Optional[float] = None,
     interpret: bool = False,
+    return_lse: bool = False,
 ) -> jnp.ndarray:
     """Sliding-temporal-window attention, band walked in-kernel.
 
     q/k/v: ``[B, S, H, d]`` in ``[text | ref | video]`` token order with
     ``S = global_len + F * tokens_per_frame``.  Video query frame f attends
     ``[global | frames clamp(f-w .. f+w)]``; text/ref queries attend the
-    full sequence exactly.  Returns ``[B, S, H, d]``.
+    full sequence exactly.  Returns ``[B, S, H, d]`` (with
+    ``return_lse=True``: also the per-row log-sum-exp ``[B, H, S]``, the
+    training residual for the banded backward).
     """
     b, s, h, d = q.shape
     g = global_len
@@ -92,10 +96,11 @@ def banded_flash_attention(
     # (block_q capped at 1024: with the default block_k=2048 the fp32
     # probability block is block_q*block_k*4 B and must stay within the
     # ~16 MB scoped-VMEM budget alongside the operand buffers)
-    o_glob = flash_attention(
+    glob = flash_attention(
         q[:, :g], k, v, block_q=min(1024, _round_up(g, 8)), scale=scale,
-        interpret=interpret,
+        interpret=interpret, return_lse=return_lse,
     )
+    o_glob, lse_glob = glob if return_lse else (glob, None)
 
     # ---- shared frame-padded K/V layout: [global gp | frame0 fp | ... ]
     def fold(x):  # [B, S, H, d] -> [BH, S, d]
@@ -141,6 +146,12 @@ def banded_flash_attention(
         ws = jnp.clip(f - window_frames, 0, n_frames - span)
         return jnp.where(j < n_glob, j, n_glob + ws + (j - n_glob))
 
+    out_specs = pl.BlockSpec((1, fp, d), lambda bh, f, j: (bh, f, 0))
+    out_shape = jax.ShapeDtypeStruct((b * h, n_frames * fp, d), q.dtype)
+    if return_lse:
+        out_specs = [out_specs, pl.BlockSpec((1, fp, 1), lambda bh, f, j: (bh, f, 0))]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((b * h, n_frames * fp, 1), jnp.float32)]
+
     out = pl.pallas_call(
         _flash_kernel,
         grid=(b * h, n_frames, n_k),
@@ -149,8 +160,8 @@ def banded_flash_attention(
             pl.BlockSpec((1, d + 1, fp), lambda bh, f, j: (bh, 0, k_block(bh, f, j))),
             pl.BlockSpec((1, fp, d + 1), lambda bh, f, j: (bh, k_block(bh, f, j), 0)),
         ],
-        out_specs=pl.BlockSpec((1, fp, d), lambda bh, f, j: (bh, f, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_frames * fp, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((fp, _LANES), jnp.float32),  # m
             pltpu.VMEM((fp, d + 1), jnp.float32),  # acc | l
@@ -160,8 +171,15 @@ def banded_flash_attention(
         ),
         interpret=interpret,
     )(q_aug, kt_aug, v_aug)
+    if return_lse:
+        out, lse_vid_pad = out
 
     # unpad frames, restore [B, S, H, d]
     o_vid = out.reshape(b * h, n_frames, fp, d)[:, :, :tpf]
     o_vid = o_vid.reshape(b, h, n_frames * tpf, d).transpose(0, 2, 1, 3)
-    return jnp.concatenate([o_glob, o_vid], axis=1)
+    o = jnp.concatenate([o_glob, o_vid], axis=1)
+    if not return_lse:
+        return o
+    lse_vid = lse_vid_pad.reshape(b * h, n_frames, fp)[:, :, :tpf]
+    lse_vid = lse_vid.reshape(b, h, n_frames * tpf)
+    return o, jnp.concatenate([lse_glob, lse_vid], axis=-1)  # [B, H, S]

@@ -1,0 +1,335 @@
+"""Backward pass for the banded (sliding temporal window) flash attention.
+
+Gradient structure of the band (ops/pallas/banded_attention.py semantics —
+video query frame f attends [global | frames ws(f) .. ws(f)+span), global
+queries attend everything):
+
+  dQ_video : same band as the forward — grid (bh, f, k_step) with the
+             forward's k-axis index_map, kernel body identical to the full
+             backward's dq kernel (flash_attention_bwd._dq_kernel).
+  dK/dV    : four contribution groups
+             (1) all keys <- global queries: one call to the existing FULL
+                 flash_attention_bwd over the 1,576 global query rows (it
+                 also yields dQ_global);
+             (2) video keys <- video queries: the INVERSE band — key frame
+                 fk receives from query frames [f_lo(fk), f_hi(fk)], a
+                 contiguous interval of length <= span + w (window clamping
+                 widens it at the clip edges); grid (bh, fk, jq) with a
+                 per-step whole-block validity predicate (pl.when) — band
+                 blocks are whole frames, so no per-element masks;
+             (3) global keys <- video queries: a full sweep over the F
+                 query frames, standard dkv kernel on the padded layout.
+
+  with ws(f) = clamp(f - w, 0, F - span),
+       f_lo(fk) = 0 if fk < span else fk + w - span + 1,
+       f_hi(fk) = F-1 if fk >= F - span else min(F-1, fk + w)
+  (for small clips where span-1 >= F-span, edge key frames receive from
+  all F query frames — the step count is computed exactly on host).
+
+All video-side work runs on the same frame-padded layout as the forward
+([global gp | F x fp]); padded query rows carry lse = +inf (P = 0) and
+padded keys are masked by the -1e30 feature column x pad-indicator row, so
+the kernels contain no per-element masking at all.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from s2v_tpu.ops.pallas.flash_attention import NEG_INF
+from s2v_tpu.ops.pallas.flash_attention_bwd import (
+    POS_INF,
+    _dq_kernel,
+    _dkv_kernel,
+    flash_attention_bwd,
+)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _dkv_banded_kernel(
+    n_frames, window, span, row_split,
+    k_ref, v_ref, qt_ref, q_ref, dot_ref, do_ref, lse_ref, d_ref,
+    dk_ref, dv_ref, dk_acc, dv_acc,
+):
+    """_dkv_kernel body gated by the inverse-band validity of this
+    (key-frame, query-step) pair.  Key frames may be split into row_split
+    sub-blocks (VMEM budget); validity is a scalar predicate per step —
+    invalid steps skip all compute."""
+    fk = pl.program_id(1) // row_split
+    jq = pl.program_id(2)
+    n_j = pl.num_programs(2)
+
+    @pl.when(jq == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    f_lo = jnp.where(fk < span, 0, fk + window - span + 1)
+    f_hi = jnp.where(fk >= n_frames - span, n_frames - 1,
+                     jnp.minimum(n_frames - 1, fk + window))
+    f = f_lo + jq
+
+    @pl.when(f <= f_hi)
+    def _accumulate():
+        k = k_ref[0]
+        qt = qt_ref[0]
+        zt = jax.lax.dot_general(
+            k, qt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        pt = jnp.exp(zt - lse_ref[0])
+        do = do_ref[0]
+        dv_acc[:] += jax.lax.dot_general(
+            pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        v = v_ref[0]
+        dot = dot_ref[0]
+        dpt = jax.lax.dot_general(
+            v, dot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dst = pt * (dpt - d_ref[0])
+        q = q_ref[0]
+        dk_acc[:] += jax.lax.dot_general(
+            dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(jq == n_j - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("global_len", "tokens_per_frame", "window_frames",
+                     "scale", "interpret"),
+)
+def banded_flash_attention_bwd(
+    q: jnp.ndarray,  # [B, S, H, d]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    o: jnp.ndarray,  # banded forward output
+    lse: jnp.ndarray,  # banded forward log-sum-exp [B, H, S]
+    g: jnp.ndarray,  # dL/dO
+    global_len: int,
+    tokens_per_frame: int,
+    window_frames: int,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (dq, dk, dv), each [B, S, H, d]."""
+    b, s, h, d = q.shape
+    gl = global_len
+    tpf = tokens_per_frame
+    n_frames = (s - gl) // tpf
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    bh = b * h
+
+    span = min(2 * window_frames + 1, n_frames)
+    fp = _round_up(tpf, 128)
+    gp = _round_up(gl, fp)
+    n_glob = gp // fp
+    n_k = n_glob + span
+    # exact max inverse-band width over key frames (static at trace time)
+    import numpy as _np
+
+    _fk = _np.arange(n_frames)
+    _f_lo = _np.where(_fk < span, 0, _fk + window_frames - span + 1)
+    _f_hi = _np.where(_fk >= n_frames - span, n_frames - 1,
+                      _np.minimum(n_frames - 1, _fk + window_frames))
+    n_inv = int((_f_hi - _f_lo + 1).max())
+    k_tot = gp + n_frames * fp
+    sv = n_frames * fp  # padded video query rows
+    # The dq / dkv kernels hold TWO [rows, fp] fp32 temporaries (p and dp)
+    # concurrently; at fp=1408 that is 15.8 MB and overflows the ~16 MB
+    # scoped-VMEM budget.  Split the kernel's *output-side* rows (query rows
+    # for dq, key rows for dkv) into sub-blocks until the pair fits in
+    # ~12 MB; sub-block height must stay a sublane multiple (8).
+    rs = 1
+    while 2 * (fp // rs) * fp * 4 > 12 * 1024 * 1024 or (fp // rs) % 8:
+        rs *= 2
+        assert rs <= fp, "cannot split frame rows to fit VMEM"
+    fq = fp // rs
+
+    # ---- (1) global queries: full backward (also yields their dq)
+    dq_glob, dk_fromG, dv_fromG = flash_attention_bwd(
+        q[:, :gl], k, v, o[:, :gl], lse[..., :gl], g[:, :gl],
+        block_q=min(1024, _round_up(gl, 8)), scale=scale, interpret=interpret,
+    )
+
+    # ---- shared frame-padded layouts (as in the banded forward)
+    def fold(x):  # [B, S, H, d] -> [BH, S, d]
+        return x.transpose(0, 2, 1, 3).reshape(bh, s, d)
+
+    def pad_layout(x):  # [BH, S, d] -> [BH, k_tot, d]
+        glob = jnp.pad(x[:, :gl], ((0, 0), (0, gp - gl), (0, 0)))
+        vid = x[:, gl:].reshape(bh, n_frames, tpf, d)
+        vid = jnp.pad(vid, ((0, 0), (0, 0), (0, fp - tpf), (0, 0)))
+        return jnp.concatenate([glob, vid.reshape(bh, sv, d)], axis=1)
+
+    def pad_vid(x):  # [BH, S_vid, d] -> [BH, sv, d]
+        xv = x.reshape(bh, n_frames, tpf, d)
+        return jnp.pad(xv, ((0, 0), (0, 0), (0, fp - tpf), (0, 0))).reshape(bh, sv, d)
+
+    qb, kb, vb, gb = fold(q), fold(k), fold(v), fold(g)
+    valid = jnp.zeros((k_tot,), jnp.bool_).at[:gl].set(True)
+    valid = valid.at[gp:].set(jnp.tile(jnp.arange(fp) < tpf, n_frames))
+
+    k_pad = pad_layout(kb)
+    v_pad = pad_layout(vb)
+    kt_aug = jnp.concatenate(
+        [k_pad.transpose(0, 2, 1),
+         jnp.broadcast_to(((~valid).astype(k.dtype))[None, None, :], (bh, 1, k_tot))],
+        axis=1,
+    )  # [BH, d+1, k_tot]
+    vt = v_pad.transpose(0, 2, 1)  # [BH, d, k_tot]
+
+    q_s_vid = pad_vid(qb[:, gl:] * jnp.asarray(scale, q.dtype))  # scaled
+    vrow_valid = jnp.tile(jnp.arange(fp) < tpf, n_frames)  # [sv]
+    mask_col = jnp.where(vrow_valid, jnp.asarray(NEG_INF, jnp.float32), 0.0)
+    q_aug_vid = jnp.concatenate(
+        [q_s_vid, jnp.broadcast_to(mask_col.astype(q.dtype)[None, :, None], (bh, sv, 1))],
+        axis=-1,
+    )
+    do_vid = pad_vid(gb[:, gl:])
+    qt_vid = q_s_vid.transpose(0, 2, 1)  # [BH, d, sv]
+    dot_vid = do_vid.transpose(0, 2, 1)
+
+    # per-row residuals for video queries (padded rows: lse=+inf, D=0)
+    lse_vid = lse[..., gl:].reshape(bh, n_frames, tpf).astype(jnp.float32)
+    lse_vid = jnp.pad(lse_vid, ((0, 0), (0, 0), (0, fp - tpf)),
+                      constant_values=POS_INF).reshape(bh, sv)
+    d_row = jnp.sum(
+        (g[:, gl:].astype(jnp.float32) * o[:, gl:].astype(jnp.float32)),
+        axis=-1,
+    ).transpose(0, 2, 1).reshape(bh, n_frames, tpf)
+    d_row = jnp.pad(d_row, ((0, 0), (0, 0), (0, fp - tpf))).reshape(bh, sv)
+    lse_col, d_col = lse_vid[..., None], d_row[..., None]
+    lse_row, d_rrow = lse_vid[:, None, :], d_row[:, None, :]
+
+    def k_block(bh_, f, j):
+        ws = jnp.clip(f - window_frames, 0, n_frames - span)
+        return jnp.where(j < n_glob, j, n_glob + ws + (j - n_glob))
+
+    # ---- (2) dq for video queries: banded grid, stock dq kernel
+    dq_vid = pl.pallas_call(
+        _dq_kernel,
+        grid=(bh, n_frames * rs, n_k),
+        in_specs=[
+            pl.BlockSpec((1, fq, d + 1), lambda bh, qi, j: (bh, qi, 0)),  # q_aug
+            pl.BlockSpec((1, d + 1, fp), lambda bh, qi, j: (bh, 0, k_block(bh, qi // rs, j))),
+            pl.BlockSpec((1, d, fp), lambda bh, qi, j: (bh, 0, k_block(bh, qi // rs, j))),  # vt
+            pl.BlockSpec((1, fp, d), lambda bh, qi, j: (bh, k_block(bh, qi // rs, j), 0)),  # k
+            pl.BlockSpec((1, fq, d), lambda bh, qi, j: (bh, qi, 0)),  # do
+            pl.BlockSpec((1, fq, 1), lambda bh, qi, j: (bh, qi, 0)),  # lse
+            pl.BlockSpec((1, fq, 1), lambda bh, qi, j: (bh, qi, 0)),  # D
+        ],
+        out_specs=pl.BlockSpec((1, fq, d), lambda bh, qi, j: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sv, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((fq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_aug_vid, kt_aug, vt, k_pad, do_vid, lse_col, d_col)
+    dq_vid = dq_vid * jnp.asarray(scale, q.dtype)
+
+    # ---- (3) video keys <- video queries: inverse band, validity-gated
+    def q_frame(fk, jq):
+        f_lo = jnp.where(fk < span, 0, fk + window_frames - span + 1)
+        return jnp.clip(f_lo + jq, 0, n_frames - 1)
+
+    dkv_vv = pl.pallas_call(
+        functools.partial(_dkv_banded_kernel, n_frames, window_frames, span, rs),
+        grid=(bh, n_frames * rs, n_inv),
+        in_specs=[
+            # k/v arrive pre-sliced to the video region, so ki indexes
+            # directly (no global-block offset); key sub-block ki covers
+            # frame ki // rs
+            pl.BlockSpec((1, fq, d), lambda bh, ki, jq: (bh, ki, 0)),  # k
+            pl.BlockSpec((1, fq, d), lambda bh, ki, jq: (bh, ki, 0)),  # v
+            pl.BlockSpec((1, d, fp), lambda bh, ki, jq: (bh, 0, q_frame(ki // rs, jq))),  # qt
+            pl.BlockSpec((1, fp, d), lambda bh, ki, jq: (bh, q_frame(ki // rs, jq), 0)),  # q
+            pl.BlockSpec((1, d, fp), lambda bh, ki, jq: (bh, 0, q_frame(ki // rs, jq))),  # dO^T
+            pl.BlockSpec((1, fp, d), lambda bh, ki, jq: (bh, q_frame(ki // rs, jq), 0)),  # dO
+            pl.BlockSpec((1, 1, fp), lambda bh, ki, jq: (bh, 0, q_frame(ki // rs, jq))),  # lse
+            pl.BlockSpec((1, 1, fp), lambda bh, ki, jq: (bh, 0, q_frame(ki // rs, jq))),  # D
+        ],
+        out_specs=[
+            pl.BlockSpec((1, fq, d), lambda bh, ki, jq: (bh, ki, 0)),
+            pl.BlockSpec((1, fq, d), lambda bh, ki, jq: (bh, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sv, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, sv, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((fq, d), jnp.float32),
+            pltpu.VMEM((fq, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(k_pad[:, gp:], v_pad[:, gp:], qt_vid, q_s_vid, dot_vid, do_vid,
+      lse_row, d_rrow)
+    dk_vv, dv_vv = dkv_vv
+
+    # ---- (4) global keys <- video queries: full F-frame sweep
+    dkv_gv = pl.pallas_call(
+        _dkv_kernel,
+        grid=(bh, n_glob * rs, n_frames),
+        in_specs=[
+            pl.BlockSpec((1, fq, d), lambda bh, kb, jq: (bh, kb, 0)),  # k (global)
+            pl.BlockSpec((1, fq, d), lambda bh, kb, jq: (bh, kb, 0)),  # v
+            pl.BlockSpec((1, d, fp), lambda bh, kb, jq: (bh, 0, jq)),  # qt
+            pl.BlockSpec((1, fp, d), lambda bh, kb, jq: (bh, jq, 0)),  # q
+            pl.BlockSpec((1, d, fp), lambda bh, kb, jq: (bh, 0, jq)),  # dO^T
+            pl.BlockSpec((1, fp, d), lambda bh, kb, jq: (bh, jq, 0)),  # dO
+            pl.BlockSpec((1, 1, fp), lambda bh, kb, jq: (bh, 0, jq)),  # lse
+            pl.BlockSpec((1, 1, fp), lambda bh, kb, jq: (bh, 0, jq)),  # D
+        ],
+        out_specs=[
+            pl.BlockSpec((1, fq, d), lambda bh, kb, jq: (bh, kb, 0)),
+            pl.BlockSpec((1, fq, d), lambda bh, kb, jq: (bh, kb, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, gp, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, gp, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((fq, d), jnp.float32),
+            pltpu.VMEM((fq, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(k_pad[:, :gp], v_pad[:, :gp], qt_vid, q_s_vid, dot_vid, do_vid,
+      lse_row, d_rrow)
+    dk_gv, dv_gv = dkv_gv
+
+    # ---- unpad + merge
+    def unpad_vid(x):  # [BH, sv, d] -> [B, S_vid, H, d]
+        xv = x.reshape(bh, n_frames, fp, d)[:, :, :tpf]
+        return xv.reshape(b, h, n_frames * tpf, d).transpose(0, 2, 1, 3)
+
+    def unpad_glob(x):  # [BH, gp, d] -> [B, gl, H, d]
+        return x[:, :gl].reshape(b, h, gl, d).transpose(0, 2, 1, 3)
+
+    dq = jnp.concatenate([dq_glob, unpad_vid(dq_vid)], axis=1)
+    dk = dk_fromG + jnp.concatenate([unpad_glob(dk_gv), unpad_vid(dk_vv)], axis=1)
+    dv = dv_fromG + jnp.concatenate([unpad_glob(dv_gv), unpad_vid(dv_vv)], axis=1)
+    return dq, dk, dv

@@ -128,30 +128,33 @@ def flash_attention_bwd(
     scale: Optional[float] = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (dq, dk, dv), each [B, S, H, d]."""
+    """Returns (dq, dk, dv) — dq ``[B, Sq, H, d]``, dk/dv ``[B, Skv, H, d]``
+    (Skv may differ from Sq, e.g. the banded path's global-query rows
+    against the full key sequence)."""
     b, s, h, d = q.shape
+    s_kv = k.shape[1]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     bh = b * h
 
     sq = int(pl.cdiv(s, block_q)) * block_q
-    sk = int(pl.cdiv(s, block_k)) * block_k
+    sk = int(pl.cdiv(s_kv, block_k)) * block_k
     n_q, n_k = sq // block_q, sk // block_k
 
-    def bhsd(x, pad_to):  # [B, S, H, d] -> [BH, pad, d], zero-padded
-        xb = x.transpose(0, 2, 1, 3).reshape(bh, s, d)
-        return jnp.pad(xb, ((0, 0), (0, pad_to - s), (0, 0)))
+    def bhsd(x, s_x, pad_to):  # [B, S, H, d] -> [BH, pad, d], zero-padded
+        xb = x.transpose(0, 2, 1, 3).reshape(bh, s_x, d)
+        return jnp.pad(xb, ((0, 0), (0, pad_to - s_x), (0, 0)))
 
-    q_s = bhsd(q, sq) * jnp.asarray(scale, q.dtype)
-    do = bhsd(g, sq)
-    k_p = bhsd(k, sk)
-    v_p = bhsd(v, sk)
+    q_s = bhsd(q, s, sq) * jnp.asarray(scale, q.dtype)
+    do = bhsd(g, s, sq)
+    k_p = bhsd(k, s_kv, sk)
+    v_p = bhsd(v, s_kv, sk)
 
     # augmented q / K^T exactly as the forward: padded keys -> -1e30 logits
     q_aug = jnp.concatenate([q_s, jnp.zeros((bh, sq, 1), q.dtype)], axis=-1)
     q_aug = q_aug.at[:, :s, -1].set(jnp.asarray(NEG_INF, q.dtype))
     kt_aug = jnp.swapaxes(k_p, 1, 2)  # [BH, d, sk]
-    indicator = jnp.zeros((1, 1, sk), k.dtype).at[:, :, s:].set(1.0)
+    indicator = jnp.zeros((1, 1, sk), k.dtype).at[:, :, s_kv:].set(1.0)
     kt_aug = jnp.concatenate(
         [kt_aug, jnp.broadcast_to(indicator, (bh, 1, sk))], axis=1
     )  # [BH, d+1, sk]
@@ -222,9 +225,9 @@ def flash_attention_bwd(
         ),
         interpret=interpret,
     )(k_p, v_p, qt, q_s, dot, do, lse_row, d_rrow)
-    dk, dv = dk[:, :s], dv[:, :s]
+    dk, dv = dk[:, :s_kv], dv[:, :s_kv]
 
-    def back(x):  # [BH, S, d] -> [B, S, H, d]
-        return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+    def back(x, s_x):  # [BH, S, d] -> [B, S, H, d]
+        return x.reshape(b, h, s_x, d).transpose(0, 2, 1, 3)
 
-    return back(dq), back(dk), back(dv)
+    return back(dq, s), back(dk, s_kv), back(dv, s_kv)

@@ -39,8 +39,11 @@ def get_args(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--attention_backend", type=str, default="xla",
-                   choices=["xla", "chunked", "pallas", "ring"],
-                   help="pallas = flash-kernel forward + recompute backward")
+                   choices=["xla", "chunked", "pallas", "ring", "windowed"],
+                   help="pallas = flash kernels both ways; windowed = banded "
+                        "sliding-window kernels both ways (long clips)")
+    p.add_argument("--attention_window", type=int, default=2,
+                   help="half-width (latent frames) for --attention_backend windowed")
     p.add_argument("--disentangled_modulation", action="store_true", default=False,
                    help="train norm1/norm2 LoRA with the intended enable_lora "
                         "semantics (ref-stream-only modulation adapters)")
@@ -69,6 +72,12 @@ def main(args=None):
 
     log = get_logger("s2v_tpu.train")
     pipe = S2VPipeline.from_pretrained(os.path.expanduser(args.pretrained_model_name_or_path))
+    if args.attention_backend == "windowed":
+        import dataclasses
+
+        pipe.transformer_cfg = dataclasses.replace(
+            pipe.transformer_cfg, attention_window_frames=args.attention_window
+        )
     dataset = VideoFolderDataset(
         args.dataset_dir, num_frames=args.max_num_frames, height=args.height, width=args.width
     )

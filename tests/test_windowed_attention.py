@@ -88,3 +88,50 @@ def test_banded_kernel_full_window_equals_exact():
     got = banded_flash_attention(q, k, v, g, tpf, f, interpret=True)
     exact = jax.nn.dot_product_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(exact), atol=3e-5, rtol=1e-4)
+
+
+def test_banded_backward_matches_reference_grads():
+    """Banded backward kernels (dq band, inverse-band dk/dv, global sweeps)
+    == jax.grad of the O(S^2) masked reference (interpret mode on CPU)."""
+    from s2v_tpu.ops.pallas.banded_attention import banded_flash_attention
+    from s2v_tpu.ops.pallas.banded_attention_bwd import banded_flash_attention_bwd
+
+    q, k, v, g, tpf, f = _data(seed=4)
+    ct = jnp.asarray(np.random.RandomState(9).randn(*q.shape).astype(np.float32))
+    for w in [0, 1, 2]:
+        def loss(q_, k_, v_, w=w):
+            o = windowed_attention_reference(q_, k_, v_, g, tpf, w)
+            return jnp.sum(o * ct)
+
+        dq_ref, dk_ref, dv_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        o, lse = banded_flash_attention(q, k, v, g, tpf, w,
+                                        interpret=True, return_lse=True)
+        dq, dk, dv = banded_flash_attention_bwd(
+            q, k, v, o, lse, ct, g, tpf, w, interpret=True
+        )
+        for name, got, ref in (("dq", dq, dq_ref), ("dk", dk, dk_ref), ("dv", dv, dv_ref)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-4, rtol=1e-3,
+                                       err_msg=f"w={w} {name}")
+
+
+def test_banded_trainable_custom_vjp():
+    """jax.grad through banded_attention_trainable == grads of the masked
+    reference (the full custom-VJP path, interpret mode)."""
+    from s2v_tpu.ops.attention import banded_attention_trainable
+
+    q, k, v, g, tpf, f = _data(seed=5)
+    ct = jnp.asarray(np.random.RandomState(11).randn(*q.shape).astype(np.float32))
+    w = 1
+
+    def loss_band(q_, k_, v_):
+        return jnp.sum(banded_attention_trainable(q_, k_, v_, g, tpf, w, True) * ct)
+
+    def loss_ref(q_, k_, v_):
+        return jnp.sum(windowed_attention_reference(q_, k_, v_, g, tpf, w) * ct)
+
+    got = jax.grad(loss_band, argnums=(0, 1, 2))(q, k, v)
+    ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3, err_msg=name)
