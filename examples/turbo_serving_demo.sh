@@ -9,8 +9,9 @@ set -euo pipefail
 MODEL=${MODEL:-/path/to/CogVideoX-5b-snapshot}
 LORA=${LORA:-/path/to/s2v_lora_checkpoint}
 SOCK=${SOCK:-/tmp/s2v_tpu.sock}
+READY="${SOCK}.ready"  # per-socket, so concurrent demos don't race
 
-rm -f /tmp/s2v_ready
+rm -f "$READY"
 
 python -m s2v_tpu.serve \
     --pretrained_model_name_or_path "$MODEL" \
@@ -18,12 +19,18 @@ python -m s2v_tpu.serve \
     --quantize_int8 \
     --attention_backend windowed --attention_window 2 \
     --socket "$SOCK" \
-    --ready_file /tmp/s2v_ready \
+    --ready_file "$READY" \
     --warmup '{"height": 480, "width": 720, "num_frames": 49,
                "num_inference_steps": 50, "use_dynamic_cfg": true,
                "cfg_skip_threshold": 0.01}' &
+DAEMON_PID=$!
 
-while [ ! -f /tmp/s2v_ready ]; do sleep 1; done
+# wait for the ready file, but bail out if the daemon died (bad MODEL path
+# etc. — a plain wait loop would spin forever)
+while [ ! -f "$READY" ]; do
+    kill -0 "$DAEMON_PID" 2>/dev/null || { echo "daemon exited before ready" >&2; exit 1; }
+    sleep 1
+done
 
 # per-request knobs: dynamic CFG enables the CFG-skip path; add
 # "adaptive_threshold": 0.01 to stack bounded-difference step skipping too

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +44,89 @@ from s2v_tpu.ops.pallas.flash_attention import NEG_INF, _LANES, _flash_kernel, f
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+class BandLayout(NamedTuple):
+    """Static geometry of the frame-padded layout ``[global gp | F x fp]``
+    shared by the banded forward and backward kernels (the two must stay in
+    lockstep: the backward recomputes P from the forward's lse against the
+    same padding/masking contract)."""
+
+    n_frames: int
+    span: int  # min(2w+1, F) — frames each video query attends
+    fp: int  # padded frame width (lane-aligned)
+    gp: int  # padded global-segment width (multiple of fp)
+    n_glob: int  # gp // fp
+    k_tot: int  # gp + F * fp
+    sv: int  # F * fp (padded video rows)
+
+
+def band_layout(s: int, global_len: int, tokens_per_frame: int, window_frames: int) -> BandLayout:
+    n_frames = (s - global_len) // tokens_per_frame
+    assert global_len + n_frames * tokens_per_frame == s, "ragged video segment"
+    span = min(2 * window_frames + 1, n_frames)
+    fp = _round_up(tokens_per_frame, _LANES)
+    gp = _round_up(global_len, fp)
+    return BandLayout(n_frames, span, fp, gp, gp // fp,
+                      gp + n_frames * fp, n_frames * fp)
+
+
+def fold_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, S, H, d] -> [B*H, S, d] (the kernels' batch layout)."""
+    b, s, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+
+def unfold_heads(x: jnp.ndarray, b: int) -> jnp.ndarray:
+    """[B*H, S, d] -> [B, S, H, d]."""
+    bh, s, d = x.shape
+    return x.reshape(b, bh // b, s, d).transpose(0, 2, 1, 3)
+
+
+def pad_full_layout(x: jnp.ndarray, global_len: int, tpf: int, lay: BandLayout) -> jnp.ndarray:
+    """[BH, S, d] -> [BH, k_tot, d]: zero-pad the global segment to gp and
+    every frame to fp."""
+    bh, _, d = x.shape
+    glob = jnp.pad(x[:, :global_len], ((0, 0), (0, lay.gp - global_len), (0, 0)))
+    vid = x[:, global_len:].reshape(bh, lay.n_frames, tpf, d)
+    vid = jnp.pad(vid, ((0, 0), (0, 0), (0, lay.fp - tpf), (0, 0)))
+    return jnp.concatenate([glob, vid.reshape(bh, lay.sv, d)], axis=1)
+
+
+def pad_video_rows(x: jnp.ndarray, tpf: int, lay: BandLayout) -> jnp.ndarray:
+    """[BH, F*tpf, d] -> [BH, sv, d]: per-frame zero padding only."""
+    bh, _, d = x.shape
+    xv = x.reshape(bh, lay.n_frames, tpf, d)
+    return jnp.pad(xv, ((0, 0), (0, 0), (0, lay.fp - tpf), (0, 0))).reshape(bh, lay.sv, d)
+
+
+def unpad_video_rows(x: jnp.ndarray, tpf: int, lay: BandLayout) -> jnp.ndarray:
+    """[BH, sv, d] -> [BH, F*tpf, d]."""
+    bh, _, d = x.shape
+    return x.reshape(bh, lay.n_frames, lay.fp, d)[:, :, :tpf].reshape(
+        bh, lay.n_frames * tpf, d)
+
+
+def key_valid_mask(global_len: int, tpf: int, lay: BandLayout) -> jnp.ndarray:
+    """[k_tot] bool: True on real keys, False on padding."""
+    valid = jnp.zeros((lay.k_tot,), jnp.bool_).at[:global_len].set(True)
+    return valid.at[lay.gp:].set(jnp.tile(jnp.arange(lay.fp) < tpf, lay.n_frames))
+
+
+def padded_kt_aug(k_pad: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """K^T over the padded layout | pad-indicator row (1 on padded keys —
+    pairs with q's constant -1e30 column so masking comes from the MXU)."""
+    bh = k_pad.shape[0]
+    kt = k_pad.transpose(0, 2, 1)  # [BH, d, k_tot]
+    indicator = (~valid).astype(k_pad.dtype)[None, None, :]
+    return jnp.concatenate([kt, jnp.broadcast_to(indicator, (bh, 1, kt.shape[2]))], axis=1)
+
+
+def band_k_block(f, j, window_frames: int, lay: BandLayout):
+    """k-axis index_map: step j of query frame f -> block index in the
+    padded layout ([global blocks | clamped window frames])."""
+    ws = jnp.clip(f - window_frames, 0, lay.n_frames - lay.span)
+    return jnp.where(j < lay.n_glob, j, lay.n_glob + ws + (j - lay.n_glob))
 
 
 @functools.partial(
@@ -80,17 +163,11 @@ def banded_flash_attention(
     b, s, h, d = q.shape
     g = global_len
     tpf = tokens_per_frame
-    n_frames = (s - g) // tpf
-    assert g + n_frames * tpf == s, "ragged video segment"
     if scale is None:
         scale = 1.0 / math.sqrt(d)
-
-    span = min(2 * window_frames + 1, n_frames)
-    fp = _round_up(tpf, _LANES)  # frame block width (lane-aligned)
-    gp = _round_up(g, fp)
-    n_glob = gp // fp
-    n_k = n_glob + span
-    k_tot = gp + n_frames * fp
+    lay = band_layout(s, g, tpf, window_frames)
+    n_frames, fp = lay.n_frames, lay.fp
+    n_k = lay.n_glob + lay.span
 
     # ---- exact full attention for the (small) global query segment
     # (block_q capped at 1024: with the default block_k=2048 the fp32
@@ -103,48 +180,29 @@ def banded_flash_attention(
     o_glob, lse_glob = glob if return_lse else (glob, None)
 
     # ---- shared frame-padded K/V layout: [global gp | frame0 fp | ... ]
-    def fold(x):  # [B, S, H, d] -> [BH, S, d]
-        return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
-
-    qb, kb, vb = fold(q), fold(k), fold(v)
-
-    def pad_layout(x, fill=0.0):  # [BH, S, d] -> [BH, k_tot, d]
-        glob = jnp.pad(x[:, :g], ((0, 0), (0, gp - g), (0, 0)))
-        vid = x[:, g:].reshape(b * h, n_frames, tpf, d)
-        vid = jnp.pad(vid, ((0, 0), (0, 0), (0, fp - tpf), (0, 0)))
-        return jnp.concatenate([glob, vid.reshape(b * h, n_frames * fp, d)], axis=1)
-
-    # valid-key indicator over the padded layout (same for every bh)
-    valid = jnp.zeros((k_tot,), jnp.bool_)
-    valid = valid.at[:g].set(True)
-    vid_valid = jnp.arange(fp) < tpf
-    valid = valid.at[gp:].set(jnp.tile(vid_valid, n_frames))
+    qb, kb, vb = fold_heads(q), fold_heads(k), fold_heads(v)
+    valid = key_valid_mask(g, tpf, lay)
 
     # q_aug: video queries, frame-padded, pre-scaled | -1e30 mask column
-    q_pad = pad_layout(qb * jnp.asarray(scale, q.dtype))[:, gp:]  # [BH, F*fp, d]
+    # (video rows only — the global q segment is handled by o_glob above)
+    q_pad = pad_video_rows(qb[:, g:] * jnp.asarray(scale, q.dtype), tpf, lay)
     q_aug = jnp.concatenate(
-        [q_pad, jnp.full((b * h, n_frames * fp, 1), NEG_INF, q.dtype)], axis=-1
+        [q_pad, jnp.full((b * h, lay.sv, 1), NEG_INF, q.dtype)], axis=-1
     )
 
     # kt_aug: padded K^T | pad-indicator row (1 -> -1e30 logits via the MXU)
-    k_pad = pad_layout(kb)
-    kt = k_pad.transpose(0, 2, 1)  # [BH, d, k_tot]
-    indicator = (~valid).astype(k.dtype)[None, None, :]
-    kt_aug = jnp.concatenate(
-        [kt, jnp.broadcast_to(indicator, (b * h, 1, k_tot))], axis=1
-    )
+    kt_aug = padded_kt_aug(pad_full_layout(kb, g, tpf, lay), valid)
 
     # v_aug: padded V (pad rows zero) | ones column on valid keys (l-sum)
-    v_pad = pad_layout(vb)
+    v_pad = pad_full_layout(vb, g, tpf, lay)
     ones = jnp.broadcast_to(
-        valid.astype(v.dtype)[None, :, None], (b * h, k_tot, 1)
+        valid.astype(v.dtype)[None, :, None], (b * h, lay.k_tot, 1)
     )
     v_aug = jnp.concatenate([v_pad, ones], axis=-1)  # [BH, k_tot, d+1]
 
     # ---- banded grid: (bh, frame, k_step); k_step walks global then window
     def k_block(bh, f, j):
-        ws = jnp.clip(f - window_frames, 0, n_frames - span)
-        return jnp.where(j < n_glob, j, n_glob + ws + (j - n_glob))
+        return band_k_block(f, j, window_frames, lay)
 
     out_specs = pl.BlockSpec((1, fp, d), lambda bh, f, j: (bh, f, 0))
     out_shape = jax.ShapeDtypeStruct((b * h, n_frames * fp, d), q.dtype)
@@ -175,8 +233,7 @@ def banded_flash_attention(
         out, lse_vid_pad = out
 
     # unpad frames, restore [B, S, H, d]
-    o_vid = out.reshape(b * h, n_frames, fp, d)[:, :, :tpf]
-    o_vid = o_vid.reshape(b, h, n_frames * tpf, d).transpose(0, 2, 1, 3)
+    o_vid = unfold_heads(unpad_video_rows(out, tpf, lay), b)
     o = jnp.concatenate([o_glob, o_vid], axis=1)
     if not return_lse:
         return o

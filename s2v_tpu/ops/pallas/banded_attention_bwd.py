@@ -44,16 +44,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from s2v_tpu.ops.pallas.flash_attention import NEG_INF
+from s2v_tpu.ops.pallas.banded_attention import (
+    _round_up,
+    band_k_block,
+    band_layout,
+    fold_heads,
+    key_valid_mask,
+    pad_full_layout,
+    pad_video_rows,
+    padded_kt_aug,
+    unfold_heads,
+    unpad_video_rows,
+)
 from s2v_tpu.ops.pallas.flash_attention_bwd import (
     POS_INF,
     _dq_kernel,
     _dkv_kernel,
     flash_attention_bwd,
 )
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _dkv_banded_kernel(
@@ -132,15 +140,12 @@ def banded_flash_attention_bwd(
     b, s, h, d = q.shape
     gl = global_len
     tpf = tokens_per_frame
-    n_frames = (s - gl) // tpf
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     bh = b * h
-
-    span = min(2 * window_frames + 1, n_frames)
-    fp = _round_up(tpf, 128)
-    gp = _round_up(gl, fp)
-    n_glob = gp // fp
+    lay = band_layout(s, gl, tpf, window_frames)
+    n_frames, span, fp, gp = lay.n_frames, lay.span, lay.fp, lay.gp
+    n_glob, sv = lay.n_glob, lay.sv
     n_k = n_glob + span
     # exact max inverse-band width over key frames (static at trace time)
     import numpy as _np
@@ -150,8 +155,6 @@ def banded_flash_attention_bwd(
     _f_hi = _np.where(_fk >= n_frames - span, n_frames - 1,
                       _np.minimum(n_frames - 1, _fk + window_frames))
     n_inv = int((_f_hi - _f_lo + 1).max())
-    k_tot = gp + n_frames * fp
-    sv = n_frames * fp  # padded video query rows
     # The dq / dkv kernels hold TWO [rows, fp] fp32 temporaries (p and dp)
     # concurrently; at fp=1408 that is 15.8 MB and overflows the ~16 MB
     # scoped-VMEM budget.  Split the kernel's *output-side* rows (query rows
@@ -169,41 +172,23 @@ def banded_flash_attention_bwd(
         block_q=min(1024, _round_up(gl, 8)), scale=scale, interpret=interpret,
     )
 
-    # ---- shared frame-padded layouts (as in the banded forward)
-    def fold(x):  # [B, S, H, d] -> [BH, S, d]
-        return x.transpose(0, 2, 1, 3).reshape(bh, s, d)
+    # ---- frame-padded layouts (the forward's helpers — one contract)
+    qb, kb, vb, gb = fold_heads(q), fold_heads(k), fold_heads(v), fold_heads(g)
+    valid = key_valid_mask(gl, tpf, lay)
 
-    def pad_layout(x):  # [BH, S, d] -> [BH, k_tot, d]
-        glob = jnp.pad(x[:, :gl], ((0, 0), (0, gp - gl), (0, 0)))
-        vid = x[:, gl:].reshape(bh, n_frames, tpf, d)
-        vid = jnp.pad(vid, ((0, 0), (0, 0), (0, fp - tpf), (0, 0)))
-        return jnp.concatenate([glob, vid.reshape(bh, sv, d)], axis=1)
-
-    def pad_vid(x):  # [BH, S_vid, d] -> [BH, sv, d]
-        xv = x.reshape(bh, n_frames, tpf, d)
-        return jnp.pad(xv, ((0, 0), (0, 0), (0, fp - tpf), (0, 0))).reshape(bh, sv, d)
-
-    qb, kb, vb, gb = fold(q), fold(k), fold(v), fold(g)
-    valid = jnp.zeros((k_tot,), jnp.bool_).at[:gl].set(True)
-    valid = valid.at[gp:].set(jnp.tile(jnp.arange(fp) < tpf, n_frames))
-
-    k_pad = pad_layout(kb)
-    v_pad = pad_layout(vb)
-    kt_aug = jnp.concatenate(
-        [k_pad.transpose(0, 2, 1),
-         jnp.broadcast_to(((~valid).astype(k.dtype))[None, None, :], (bh, 1, k_tot))],
-        axis=1,
-    )  # [BH, d+1, k_tot]
+    k_pad = pad_full_layout(kb, gl, tpf, lay)
+    v_pad = pad_full_layout(vb, gl, tpf, lay)
+    kt_aug = padded_kt_aug(k_pad, valid)  # [BH, d+1, k_tot]
     vt = v_pad.transpose(0, 2, 1)  # [BH, d, k_tot]
 
-    q_s_vid = pad_vid(qb[:, gl:] * jnp.asarray(scale, q.dtype))  # scaled
+    q_s_vid = pad_video_rows(qb[:, gl:] * jnp.asarray(scale, q.dtype), tpf, lay)
     vrow_valid = jnp.tile(jnp.arange(fp) < tpf, n_frames)  # [sv]
     mask_col = jnp.where(vrow_valid, jnp.asarray(NEG_INF, jnp.float32), 0.0)
     q_aug_vid = jnp.concatenate(
         [q_s_vid, jnp.broadcast_to(mask_col.astype(q.dtype)[None, :, None], (bh, sv, 1))],
         axis=-1,
     )
-    do_vid = pad_vid(gb[:, gl:])
+    do_vid = pad_video_rows(gb[:, gl:], tpf, lay)
     qt_vid = q_s_vid.transpose(0, 2, 1)  # [BH, d, sv]
     dot_vid = do_vid.transpose(0, 2, 1)
 
@@ -220,8 +205,7 @@ def banded_flash_attention_bwd(
     lse_row, d_rrow = lse_vid[:, None, :], d_row[:, None, :]
 
     def k_block(bh_, f, j):
-        ws = jnp.clip(f - window_frames, 0, n_frames - span)
-        return jnp.where(j < n_glob, j, n_glob + ws + (j - n_glob))
+        return band_k_block(f, j, window_frames, lay)
 
     # ---- (2) dq for video queries: banded grid, stock dq kernel
     dq_vid = pl.pallas_call(
@@ -323,11 +307,10 @@ def banded_flash_attention_bwd(
 
     # ---- unpad + merge
     def unpad_vid(x):  # [BH, sv, d] -> [B, S_vid, H, d]
-        xv = x.reshape(bh, n_frames, fp, d)[:, :, :tpf]
-        return xv.reshape(b, h, n_frames * tpf, d).transpose(0, 2, 1, 3)
+        return unfold_heads(unpad_video_rows(x, tpf, lay), b)
 
     def unpad_glob(x):  # [BH, gp, d] -> [B, gl, H, d]
-        return x[:, :gl].reshape(b, h, gl, d).transpose(0, 2, 1, 3)
+        return unfold_heads(x[:, :gl], b)
 
     dq = jnp.concatenate([dq_glob, unpad_vid(dq_vid)], axis=1)
     dk = dk_fromG + jnp.concatenate([unpad_glob(dk_gv), unpad_vid(dk_vv)], axis=1)

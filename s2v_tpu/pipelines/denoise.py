@@ -192,8 +192,6 @@ def _build_eps_update_fns(
         emb_uncond, emb_cond = jnp.split(prompt_embeds, 2, axis=0)
 
     def eps_fn(i, latents):
-        b = latents.shape[0]
-
         def fwd(lat_in, emb):
             # ref / timestep batch follow the latent batch (the CFG-skip
             # branch runs a B-sized forward inside a batched-CFG loop)
@@ -404,25 +402,44 @@ def make_segmented_denoise(
     cfg_mode: str = "batched",
     cond_latents: Optional[jnp.ndarray] = None,
     cfg_skip_threshold: float = 0.0,
+    adaptive_threshold: float = 0.0,
 ):
-    """Host-steppable denoise: returns ``run(carry, ref, emb, i0, i1)``.
+    """Host-steppable denoise: returns ``run(params, carry, ref, emb, rng,
+    i0, i1)`` — the single segmented-loop runner (generate() drives it for
+    interrupt/callback support and on relays that cap single-execution wall
+    time).
 
-    One compiled program executes steps ``[i0, i1)`` (bounds are traced
-    scalars, so every segment size reuses the same executable).  This is the
-    TPU-native shape of the reference's cooperative ``interrupt`` flag and
+    One compiled program executes steps ``[i0, i1)`` (bounds and the DPM
+    noise rng are traced scalars, so every segment size and seed reuses the
+    same executable — critical for serving).  This is the TPU-native shape
+    of the reference's cooperative ``interrupt`` flag and
     ``callback_on_step_end`` (custom_cogvideox_pipe.py:242-243, 299-305):
     the host can stop between segments or inspect/modify latents.
 
-    carry = (latents, old_pred_original_sample).
+    carry = (latents, old_pred_original_sample), or the 6-tuple from
+    :func:`adaptive_init_carry` when ``adaptive_threshold > 0`` (the
+    adaptive state rides the carry across segment boundaries).  ``params``/
+    ``rng_key`` given here are defaults; the returned runner's leading
+    ``params``/``rng`` arguments take precedence when not None.
     """
+    default_params, default_rng = params, rng_key
 
     @jax.jit
-    def run(carry, ref_latents, prompt_embeds, i0, i1):
-        step = _build_step_fn(
-            params, cfg, schedule, ref_latents, prompt_embeds, rope_cos, rope_sin,
-            do_cfg, rng_key, attention_backend, pos_embedding, cfg_mode, cond_latents,
-            cfg_skip_threshold,
-        )
+    def run(p, carry, ref_latents, prompt_embeds, rng, i0, i1):
+        p = default_params if p is None else p
+        rng = default_rng if rng is None else rng
+        if adaptive_threshold > 0.0:
+            step = _build_adaptive_step_fn(
+                p, cfg, schedule, ref_latents, prompt_embeds, rope_cos,
+                rope_sin, adaptive_threshold, do_cfg, rng, attention_backend,
+                pos_embedding, cfg_mode, cond_latents, cfg_skip_threshold,
+            )
+        else:
+            step = _build_step_fn(
+                p, cfg, schedule, ref_latents, prompt_embeds, rope_cos,
+                rope_sin, do_cfg, rng, attention_backend, pos_embedding,
+                cfg_mode, cond_latents, cfg_skip_threshold,
+            )
         return jax.lax.fori_loop(i0, i1, step, carry)
 
     return run

@@ -286,8 +286,9 @@ class S2VPipeline:
         if output_type == "pil":
             from PIL import Image
 
-            u8 = (video01 * 255).round().clip(0, 255).astype(np.uint8)
-            return [[Image.fromarray(f) for f in clip] for clip in u8]
+            from s2v_tpu.utils.video import to_uint8_frames
+
+            return [[Image.fromarray(f) for f in to_uint8_frames(clip)] for clip in video01]
         if output_type == "pt":
             import torch
 
@@ -409,10 +410,15 @@ class S2VPipeline:
         # calls (serving) reuse the executable instead of re-jitting
         # the DPM noise key is a traced argument (not a closure) so new
         # seeds reuse the same executable — critical for serving
+        # transformer_cfg (frozen dataclass, includes attention_window_frames
+        # and dtypes) and the backend are part of the key: reconfiguring a
+        # live pipeline must not reuse executables compiled for the old
+        # configuration
         cache_key = (
             num_inference_steps, float(guidance_scale), use_dynamic_cfg, use_dpm,
             do_cfg, cfg_mode, height, width, num_frames, batch,
             float(adaptive_threshold), float(cfg_skip_threshold),
+            self.attention_backend, cfg,
         )
         if do_cfg and cfg_skip_threshold > 0.0:
             # host-computable: the guidance table is fixed per schedule
@@ -430,34 +436,19 @@ class S2VPipeline:
             # (b) on relays that cap single-execution wall time — the
             # fused 50-step program is one ~7-min device launch.
             from s2v_tpu.pipelines.denoise import (
-                _build_adaptive_step_fn,
-                _build_step_fn,
                 adaptive_init_carry,
+                make_segmented_denoise,
             )
 
             adaptive = adaptive_threshold > 0.0
             seg_key = ("seg",) + cache_key
             run_seg = self._compiled_denoise.get(seg_key)
             if run_seg is None:
-                def _segment(p, carry, ref, emb, rng, i0, i1):
-                    if adaptive:
-                        # adaptive state (prev eps / latent diffs / skip
-                        # count) rides the carry across segment boundaries
-                        step = _build_adaptive_step_fn(
-                            p, cfg, schedule, ref, emb, rope_cos, rope_sin,
-                            adaptive_threshold, do_cfg, rng,
-                            self.attention_backend, pos_embedding, cfg_mode,
-                            None, cfg_skip_threshold,
-                        )
-                    else:
-                        step = _build_step_fn(
-                            p, cfg, schedule, ref, emb, rope_cos, rope_sin,
-                            do_cfg, rng, self.attention_backend, pos_embedding,
-                            cfg_mode, None, cfg_skip_threshold,
-                        )
-                    return jax.lax.fori_loop(i0, i1, step, carry)
-
-                run_seg = jax.jit(_segment)
+                run_seg = make_segmented_denoise(
+                    None, cfg, schedule, rope_cos, rope_sin, do_cfg, None,
+                    self.attention_backend, pos_embedding, cfg_mode, None,
+                    cfg_skip_threshold, adaptive_threshold,
+                )
                 self._compiled_denoise[seg_key] = run_seg
             with phase("denoise", log=True):
                 carry = (

@@ -169,8 +169,8 @@ def test_segmented_denoise_matches_full():
 
     run = make_segmented_denoise(params, cfg, sched, cs, sn, do_cfg=True)
     carry = (lat0, jnp.zeros_like(lat0))
-    carry = run(carry, ref, emb, 0, 1)    # segment 1: step 0
-    carry = run(carry, ref, emb, 1, 4)    # segment 2: steps 1-3
+    carry = run(None, carry, ref, emb, None, 0, 1)    # segment 1: step 0
+    carry = run(None, carry, ref, emb, None, 1, 4)    # segment 2: steps 1-3
     np.testing.assert_allclose(np.asarray(full), np.asarray(carry[0]), atol=1e-5)
 
 
@@ -494,3 +494,24 @@ def test_generate_cfg_skip_flag():
     # segmented path composes with cfg-skip
     seg = pipe.generate(**kw, cfg_skip_threshold=0.05, segment_steps=2)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(seg))
+
+
+def test_compiled_cache_respects_backend_and_cfg():
+    """Reconfiguring a live pipeline (attention backend / window width) must
+    compile a new executable, not silently reuse the stale one."""
+    import dataclasses
+
+    pipe = _tiny_pipeline()
+    ref = np.zeros((32, 32, 3), np.float32)
+    kw = dict(prompt="a pig", ref_image=ref, height=32, width=32, num_frames=9,
+              num_inference_steps=2, seed=1, output_type="latent")
+    exact = pipe.generate(**kw)
+    assert len(pipe._compiled_denoise) == 1
+
+    pipe.attention_backend = "windowed_xla"
+    pipe.transformer_cfg = dataclasses.replace(
+        pipe.transformer_cfg, attention_window_frames=0
+    )
+    windowed = pipe.generate(**kw)
+    assert len(pipe._compiled_denoise) == 2  # new cache entry, not a stale hit
+    assert float(jnp.abs(jnp.asarray(windowed) - jnp.asarray(exact)).max()) > 1e-6

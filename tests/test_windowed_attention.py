@@ -135,3 +135,30 @@ def test_banded_trainable_custom_vjp():
     for name, a, b in zip(("dq", "dk", "dv"), got, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=1e-3, err_msg=name)
+
+
+def test_banded_backward_production_frame_width_row_split():
+    """At the production frame width (tpf=1350 -> fp=1408) the backward
+    kernels split output rows (rs=2) to fit scoped VMEM; exercise the
+    //rs index arithmetic in interpret mode against the masked reference
+    (tiny head count/dim keeps the O(S^2) reference affordable)."""
+    from s2v_tpu.ops.pallas.banded_attention import banded_flash_attention
+    from s2v_tpu.ops.pallas.banded_attention_bwd import banded_flash_attention_bwd
+
+    rng = np.random.RandomState(3)
+    b, g, tpf, f, h, d = 1, 10, 1350, 2, 1, 8
+    s = g + f * tpf
+    mk = lambda: jnp.asarray(rng.randn(b, s, h, d).astype(np.float32) * 0.3)
+    q, k, v = mk(), mk(), mk()
+    ct = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+    w = 1
+
+    def loss(q_, k_, v_):
+        return jnp.sum(windowed_attention_reference(q_, k_, v_, g, tpf, w) * ct)
+
+    dq_ref, dk_ref, dv_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    o, lse = banded_flash_attention(q, k, v, g, tpf, w, interpret=True, return_lse=True)
+    dq, dk, dv = banded_flash_attention_bwd(q, k, v, o, lse, ct, g, tpf, w, interpret=True)
+    for name, got, ref in (("dq", dq, dq_ref), ("dk", dk, dk_ref), ("dv", dv, dv_ref)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-4, rtol=1e-3, err_msg=name)

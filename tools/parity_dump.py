@@ -79,7 +79,7 @@ def main(argv=None):
     )
     carry = (lat.astype(pipe.transformer_cfg.dtype), jnp.zeros_like(lat, pipe.transformer_cfg.dtype))
     for i in range(args.num_inference_steps):
-        carry = run(carry, ref.astype(pipe.transformer_cfg.dtype), emb.astype(pipe.transformer_cfg.dtype), i, i + 1)
+        carry = run(None, carry, ref.astype(pipe.transformer_cfg.dtype), emb.astype(pipe.transformer_cfg.dtype), None, i, i + 1)
         key = f"latents::step{i}"
         if key in dump:
             compare(key, np.asarray(carry[0]).transpose(0, 1, 4, 2, 3), dump[key])
