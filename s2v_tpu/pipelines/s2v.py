@@ -45,9 +45,21 @@ class S2VPipeline:
     tokenizer: Optional[object] = None  # T5CLSTokenizer
     attention_backend: str = "xla"
     # VAE execution options (reference enable_tiling/enable_slicing,
-    # src/inference.py:204-207 — both on by default there too)
-    vae_tiling: bool = True
+    # src/inference.py:204-207 — both on by default there too).  Tiling
+    # stays on by default for reference output parity (the reference
+    # decodes 480p through 2x2 overlap-blended tiles, and tiled vs untiled
+    # decodes differ numerically).  "auto" tiles only when the frame
+    # exceeds the VAE's native sample size — on a 16 GB TPU chip the full
+    # 480p decode fits HBM untiled and is the mathematically exact decoder
+    # output (no blend seams), measured 3.98 s vs 5.28 s tiled.
+    vae_tiling: object = True  # True | False | "auto"
     vae_slicing: bool = True
+
+    def _resolve_tiling(self, height_px: int, width_px: int) -> bool:
+        if self.vae_tiling == "auto":
+            return (height_px > self.vae_cfg.sample_height
+                    or width_px > self.vae_cfg.sample_width)
+        return bool(self.vae_tiling)
     # text encoder placement: True = T5 params live in host RAM and encode
     # runs on the CPU backend (the TPU equivalent of the reference's
     # enable_model_cpu_offload, pipeline_utils.py:991 — on a 16 GB v5e chip
@@ -241,7 +253,8 @@ class S2VPipeline:
         x = jnp.asarray(image, self.vae_cfg.dtype)[None, None]  # [1, 1, H, W, 3]
         moments = vae_encode(
             self.vae_params, self.vae_cfg, x,
-            use_tiling=self.vae_tiling, use_slicing=self.vae_slicing,
+            use_tiling=self._resolve_tiling(x.shape[2], x.shape[3]),
+            use_slicing=self.vae_slicing,
         )
         if rng_key is not None:
             noise = jax.random.normal(
@@ -270,9 +283,11 @@ class S2VPipeline:
         """latents [B, F, h, w, C] -> [B, T, H, W, 3] float32 in [0, 1]
         (reference decode_latents :346-351 + postprocess_video)."""
         z = latents.astype(self.vae_cfg.dtype) / self.vae_cfg.scaling_factor
+        sc = self.vae_cfg.spatial_compression_ratio
         frames = vae_decode(
             self.vae_params, self.vae_cfg, z,
-            use_tiling=self.vae_tiling, use_slicing=self.vae_slicing,
+            use_tiling=self._resolve_tiling(z.shape[2] * sc, z.shape[3] * sc),
+            use_slicing=self.vae_slicing,
         )
         return denormalize_video(np.asarray(frames.astype(jnp.float32)))
 

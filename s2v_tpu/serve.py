@@ -23,11 +23,13 @@ import sys
 def _str2bool(v):
     if isinstance(v, bool):
         return v
+    if str(v).lower() == "auto":  # VAE tiling: tile only above native size
+        return "auto"
     if str(v).lower() in ("true", "1", "yes", "y"):
         return True
     if str(v).lower() in ("false", "0", "no", "n"):
         return False
-    raise ValueError(f"expected a boolean, got {v!r}")
+    raise ValueError(f"expected a boolean or 'auto', got {v!r}")
 
 
 def get_args(argv=None):
@@ -85,7 +87,7 @@ def main(args=None):
         quantize_int8=args.quantize_int8,
         text_encoder_device=args.text_encoder_device,
     )
-    pipe.vae_tiling = bool(args.enable_tiling)
+    pipe.vae_tiling = args.enable_tiling  # True | False | "auto"
     pipe.vae_slicing = bool(args.enable_slicing)
     if args.attention_backend in ("windowed", "windowed_gather", "windowed_xla"):
         import dataclasses

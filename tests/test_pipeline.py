@@ -515,3 +515,21 @@ def test_compiled_cache_respects_backend_and_cfg():
     windowed = pipe.generate(**kw)
     assert len(pipe._compiled_denoise) == 2  # new cache entry, not a stale hit
     assert float(jnp.abs(jnp.asarray(windowed) - jnp.asarray(exact)).max()) > 1e-6
+
+
+def test_vae_tiling_auto_policy():
+    """vae_tiling='auto' tiles only above the VAE's native sample size."""
+    pipe = _tiny_pipeline()  # tiny VAE: sample 64x64
+    pipe.vae_tiling = "auto"
+    assert pipe._resolve_tiling(64, 64) is False   # at native size: exact decode
+    assert pipe._resolve_tiling(128, 64) is True   # above: tile (memory regime)
+    pipe.vae_tiling = True
+    assert pipe._resolve_tiling(32, 32) is True
+    pipe.vae_tiling = False
+    assert pipe._resolve_tiling(999, 999) is False
+    # end-to-end with auto (32x32 < native -> untiled, exact)
+    pipe.vae_tiling = "auto"
+    ref = np.zeros((32, 32, 3), np.float32)
+    out = pipe.generate(prompt="a pig", ref_image=ref, height=32, width=32,
+                        num_frames=5, num_inference_steps=1, seed=1)
+    assert np.isfinite(out).all()
