@@ -23,13 +23,18 @@ import time
 def _str2bool(v):
     if isinstance(v, bool):
         return v
-    if str(v).lower() == "auto":  # VAE tiling: tile only above native size
-        return "auto"
     if str(v).lower() in ("true", "1", "yes", "y"):
         return True
     if str(v).lower() in ("false", "0", "no", "n"):
         return False
-    raise ValueError(f"expected a boolean or 'auto', got {v!r}")
+    raise ValueError(f"expected a boolean, got {v!r}")
+
+
+def _tiling_policy(v):
+    """--enable_tiling only: true | false | auto (tile above native size)."""
+    if str(v).lower() == "auto":
+        return "auto"
+    return _str2bool(v)
 
 
 def get_args(argv=None):
@@ -53,7 +58,7 @@ def get_args(argv=None):
     p.add_argument("--skip_frames_start", type=int, default=0)
     p.add_argument("--skip_frames_end", type=int, default=0)
     p.add_argument("--enable_slicing", type=_str2bool, default=True)
-    p.add_argument("--enable_tiling", type=_str2bool, default=True)
+    p.add_argument("--enable_tiling", type=_tiling_policy, default=True)
     p.add_argument("--hub_model_id", type=str, default=None)
     p.add_argument("--local_reference_scale", type=float, default=1.0)  # inert in reference too
     p.add_argument("--checkpoint_path", type=str, default=None, help="S2V LoRA checkpoint dir")
@@ -122,12 +127,7 @@ def main(args=None):
     )
     pipe.vae_tiling = args.enable_tiling  # True | False | "auto"
     pipe.vae_slicing = bool(args.enable_slicing)
-    if args.attention_backend in ("windowed", "windowed_gather", "windowed_xla"):
-        import dataclasses
-
-        pipe.transformer_cfg = dataclasses.replace(
-            pipe.transformer_cfg, attention_window_frames=args.attention_window
-        )
+    pipe.set_attention(args.attention_backend, args.attention_window)
     print(f"[s2v_tpu] models loaded in {time.perf_counter() - t0:.1f}s on {jax.devices()}")
 
     if args.profile_dir:
@@ -137,10 +137,16 @@ def main(args=None):
     if args.segment_steps > 0:
         # per-segment progress (the reference shows a tqdm bar per denoise
         # step, pipeline_utils.py:1555; the fused XLA loop has no host
-        # round-trips to hook, but the segmented loop does)
-        def progress(i, _lat, t0=time.perf_counter()):
+        # round-trips to hook, but the segmented loop does).  Times are
+        # per-segment; the first segment also carries the XLA compile.
+        _last = [time.perf_counter()]
+
+        def progress(i, _lat):
+            now = time.perf_counter()
+            note = " incl. compile" if i <= args.segment_steps else ""
             print(f"[s2v_tpu] denoise {i}/{args.num_inference_steps} steps "
-                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+                  f"(+{now - _last[0]:.0f}s{note})", flush=True)
+            _last[0] = now
 
     video = pipe.generate(
         prompt=args.prompt,

@@ -213,7 +213,9 @@ def block_forward(
     )
     x = jnp.concatenate([t_n, r_n, v_n], axis=1)
     window = None
-    if attention_backend in ("windowed", "windowed_gather", "windowed_xla"):
+    from s2v_tpu.ops.attention import WINDOWED_BACKENDS
+
+    if attention_backend in WINDOWED_BACKENDS:
         # opt-in sliding-temporal-window path: text+ref are the global
         # segment; the ref stream is one frame, so tokens/frame = r_len
         window = (t_len + r_len, r_len, cfg.attention_window_frames)

@@ -25,6 +25,11 @@ from s2v_tpu.ops.rope import apply_rotary_emb
 from s2v_tpu.parallel.context import constrain
 
 
+# backend names that route through the sliding-temporal-window paths (the
+# single source of truth for entry points configuring the window width)
+WINDOWED_BACKENDS = ("windowed", "windowed_gather", "windowed_xla")
+
+
 def qkv_projections(params, x: jnp.ndarray, num_heads: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Project ``[B, S, D]`` to per-head q/k/v ``[B, S, H, d]``.
 
@@ -87,7 +92,7 @@ def joint_attention(
         out = flash_attention_trainable(q, k, v)  # [B, S, H, hd]
     elif backend == "chunked":
         out = chunked_attention(q, k, v)
-    elif backend in ("windowed", "windowed_gather", "windowed_xla"):
+    elif backend in WINDOWED_BACKENDS:
         if window is None:
             raise ValueError("windowed attention needs window=(global_len, tpf, w)")
         g_len, tpf, w = window

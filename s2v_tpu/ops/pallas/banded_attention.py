@@ -122,6 +122,18 @@ def padded_kt_aug(k_pad: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([kt, jnp.broadcast_to(indicator, (bh, 1, kt.shape[2]))], axis=1)
 
 
+def band_row_split(fp: int, live_blocks: int) -> int:
+    """Sub-block factor for kernel output rows: the banded kernels hold
+    ``live_blocks`` concurrent fp32 ``[rows, fp]`` temporaries (1 in the
+    forward's online softmax, 2 in the backward's p/dp pair) which must fit
+    the ~16 MB scoped-VMEM budget; rows stay a sublane multiple (8)."""
+    rs = 1
+    while live_blocks * (fp // rs) * fp * 4 > 12 * 1024 * 1024 or (fp // rs) % 8:
+        rs *= 2
+        assert rs <= fp, "cannot split frame rows to fit VMEM"
+    return rs
+
+
 def band_k_block(f, j, window_frames: int, lay: BandLayout):
     """k-axis index_map: step j of query frame f -> block index in the
     padded layout ([global blocks | clamped window frames])."""
@@ -168,6 +180,8 @@ def banded_flash_attention(
     lay = band_layout(s, g, tpf, window_frames)
     n_frames, fp = lay.n_frames, lay.fp
     n_k = lay.n_glob + lay.span
+    rs = band_row_split(fp, 1)  # forward: one live fp32 [rows, fp] block
+    fq = fp // rs
 
     # ---- exact full attention for the (small) global query segment
     # (block_q capped at 1024: with the default block_k=2048 the fp32
@@ -204,25 +218,25 @@ def banded_flash_attention(
     def k_block(bh, f, j):
         return band_k_block(f, j, window_frames, lay)
 
-    out_specs = pl.BlockSpec((1, fp, d), lambda bh, f, j: (bh, f, 0))
+    out_specs = pl.BlockSpec((1, fq, d), lambda bh, qi, j: (bh, qi, 0))
     out_shape = jax.ShapeDtypeStruct((b * h, n_frames * fp, d), q.dtype)
     if return_lse:
-        out_specs = [out_specs, pl.BlockSpec((1, fp, 1), lambda bh, f, j: (bh, f, 0))]
+        out_specs = [out_specs, pl.BlockSpec((1, fq, 1), lambda bh, qi, j: (bh, qi, 0))]
         out_shape = [out_shape, jax.ShapeDtypeStruct((b * h, n_frames * fp, 1), jnp.float32)]
 
     out = pl.pallas_call(
         _flash_kernel,
-        grid=(b * h, n_frames, n_k),
+        grid=(b * h, n_frames * rs, n_k),
         in_specs=[
-            pl.BlockSpec((1, fp, d + 1), lambda bh, f, j: (bh, f, 0)),
-            pl.BlockSpec((1, d + 1, fp), lambda bh, f, j: (bh, 0, k_block(bh, f, j))),
-            pl.BlockSpec((1, fp, d + 1), lambda bh, f, j: (bh, k_block(bh, f, j), 0)),
+            pl.BlockSpec((1, fq, d + 1), lambda bh, qi, j: (bh, qi, 0)),
+            pl.BlockSpec((1, d + 1, fp), lambda bh, qi, j: (bh, 0, k_block(bh, qi // rs, j))),
+            pl.BlockSpec((1, fp, d + 1), lambda bh, qi, j: (bh, k_block(bh, qi // rs, j), 0)),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((fp, _LANES), jnp.float32),  # m
-            pltpu.VMEM((fp, d + 1), jnp.float32),  # acc | l
+            pltpu.VMEM((fq, _LANES), jnp.float32),  # m
+            pltpu.VMEM((fq, d + 1), jnp.float32),  # acc | l
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),

@@ -47,6 +47,7 @@ from s2v_tpu.ops.pallas.flash_attention import NEG_INF
 from s2v_tpu.ops.pallas.banded_attention import (
     _round_up,
     band_k_block,
+    band_row_split,
     band_layout,
     fold_heads,
     key_valid_mask,
@@ -156,14 +157,10 @@ def banded_flash_attention_bwd(
                       _np.minimum(n_frames - 1, _fk + window_frames))
     n_inv = int((_f_hi - _f_lo + 1).max())
     # The dq / dkv kernels hold TWO [rows, fp] fp32 temporaries (p and dp)
-    # concurrently; at fp=1408 that is 15.8 MB and overflows the ~16 MB
-    # scoped-VMEM budget.  Split the kernel's *output-side* rows (query rows
-    # for dq, key rows for dkv) into sub-blocks until the pair fits in
-    # ~12 MB; sub-block height must stay a sublane multiple (8).
-    rs = 1
-    while 2 * (fp // rs) * fp * 4 > 12 * 1024 * 1024 or (fp // rs) % 8:
-        rs *= 2
-        assert rs <= fp, "cannot split frame rows to fit VMEM"
+    # concurrently; split the kernel's *output-side* rows (query rows for
+    # dq, key rows for dkv) into sub-blocks until the pair fits scoped VMEM
+    # (band_row_split — the forward uses the same helper with 1 live block)
+    rs = band_row_split(fp, 2)
     fq = fp // rs
 
     # ---- (1) global queries: full backward (also yields their dq)

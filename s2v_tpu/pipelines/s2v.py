@@ -55,6 +55,20 @@ class S2VPipeline:
     vae_tiling: object = True  # True | False | "auto"
     vae_slicing: bool = True
 
+    def set_attention(self, backend: str, window: Optional[int] = None) -> None:
+        """Configure the attention backend (and, for the windowed family,
+        the window half-width) — the one place entry points route through,
+        so the backend-name list lives in ops/attention.py only."""
+        import dataclasses
+
+        from s2v_tpu.ops.attention import WINDOWED_BACKENDS
+
+        self.attention_backend = backend
+        if backend in WINDOWED_BACKENDS and window is not None:
+            self.transformer_cfg = dataclasses.replace(
+                self.transformer_cfg, attention_window_frames=window
+            )
+
     def _resolve_tiling(self, height_px: int, width_px: int) -> bool:
         if self.vae_tiling == "auto":
             return (height_px > self.vae_cfg.sample_height

@@ -23,13 +23,18 @@ import sys
 def _str2bool(v):
     if isinstance(v, bool):
         return v
-    if str(v).lower() == "auto":  # VAE tiling: tile only above native size
-        return "auto"
     if str(v).lower() in ("true", "1", "yes", "y"):
         return True
     if str(v).lower() in ("false", "0", "no", "n"):
         return False
-    raise ValueError(f"expected a boolean or 'auto', got {v!r}")
+    raise ValueError(f"expected a boolean, got {v!r}")
+
+
+def _tiling_policy(v):
+    """--enable_tiling only: true | false | auto (tile above native size)."""
+    if str(v).lower() == "auto":
+        return "auto"
+    return _str2bool(v)
 
 
 def get_args(argv=None):
@@ -49,7 +54,7 @@ def get_args(argv=None):
     p.add_argument("--text_encoder_device", type=str, default="auto",
                    choices=["auto", "device", "host"],
                    help="host keeps T5 in host RAM (cpu-offload equivalent)")
-    p.add_argument("--enable_tiling", type=_str2bool, default=True)
+    p.add_argument("--enable_tiling", type=_tiling_policy, default=True)
     p.add_argument("--enable_slicing", type=_str2bool, default=True)
     p.add_argument("--fps", type=int, default=8)
     p.add_argument("--ready_file", type=str, default=None,
@@ -89,12 +94,7 @@ def main(args=None):
     )
     pipe.vae_tiling = args.enable_tiling  # True | False | "auto"
     pipe.vae_slicing = bool(args.enable_slicing)
-    if args.attention_backend in ("windowed", "windowed_gather", "windowed_xla"):
-        import dataclasses
-
-        pipe.transformer_cfg = dataclasses.replace(
-            pipe.transformer_cfg, attention_window_frames=args.attention_window
-        )
+    pipe.set_attention(args.attention_backend, args.attention_window)
     daemon = ServingDaemon(pipe, args.socket, fps=args.fps)
 
     if args.warmup:

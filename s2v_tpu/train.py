@@ -72,12 +72,7 @@ def main(args=None):
 
     log = get_logger("s2v_tpu.train")
     pipe = S2VPipeline.from_pretrained(os.path.expanduser(args.pretrained_model_name_or_path))
-    if args.attention_backend == "windowed":
-        import dataclasses
-
-        pipe.transformer_cfg = dataclasses.replace(
-            pipe.transformer_cfg, attention_window_frames=args.attention_window
-        )
+    pipe.set_attention(args.attention_backend, args.attention_window)
     dataset = VideoFolderDataset(
         args.dataset_dir, num_frames=args.max_num_frames, height=args.height, width=args.width
     )

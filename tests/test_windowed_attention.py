@@ -162,3 +162,20 @@ def test_banded_backward_production_frame_width_row_split():
     for name, got, ref in (("dq", dq, dq_ref), ("dk", dk, dk_ref), ("dv", dv, dv_ref)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=5e-4, rtol=1e-3, err_msg=name)
+
+
+def test_banded_forward_row_split_wide_frames():
+    """At frame widths >= 2048 the FORWARD also sub-blocks query rows
+    (band_row_split, 1 live fp32 block); check the //rs index maps against
+    the masked reference (tpf=2040 -> fp=2048 -> rs=2)."""
+    from s2v_tpu.ops.pallas.banded_attention import band_row_split, banded_flash_attention
+
+    assert band_row_split(2048, 1) == 2
+    rng = np.random.RandomState(6)
+    b, g, tpf, f, h, d = 1, 10, 2040, 2, 1, 8
+    s = g + f * tpf
+    mk = lambda: jnp.asarray(rng.randn(b, s, h, d).astype(np.float32) * 0.3)
+    q, k, v = mk(), mk(), mk()
+    got = banded_flash_attention(q, k, v, g, tpf, 1, interpret=True)
+    ref = windowed_attention_reference(q, k, v, g, tpf, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5, rtol=1e-4)
