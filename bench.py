@@ -24,6 +24,7 @@ and a persistent compilation cache is enabled.
 
 import gc
 import json
+import os
 import sys
 import time
 
@@ -79,7 +80,8 @@ def main():
         B, F, H, W = 2, 2, 8, 8
         fwd_per_step = 1
         backend = "xla"
-        steps = 50
+        # S2V_BENCH_STEPS: CI smoke override (tests/test_bench_smoke.py)
+        steps = int(os.environ.get("S2V_BENCH_STEPS", "50"))
         vcfg = VAEConfig.tiny()
         layer_plan = (2,)
 

@@ -179,3 +179,41 @@ def test_banded_forward_row_split_wide_frames():
     got = banded_flash_attention(q, k, v, g, tpf, 1, interpret=True)
     ref = windowed_attention_reference(q, k, v, g, tpf, 1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+
+def test_banded_random_geometries():
+    """Randomized geometry sweep for the banded forward+backward: token
+    counts that don't align to lanes, globals larger/smaller than a frame,
+    windows from 0 to full-clip — all vs the masked reference."""
+    from s2v_tpu.ops.pallas.banded_attention import banded_flash_attention
+    from s2v_tpu.ops.pallas.banded_attention_bwd import banded_flash_attention_bwd
+
+    rng = np.random.RandomState(42)
+    cases = [
+        # (g, tpf, F, w)
+        (1, 8, 2, 0),       # minimal everything
+        (300, 24, 4, 1),    # g spans multiple fp blocks (fp=128, gp=384)
+        (7, 130, 3, 2),     # tpf just over one lane tile
+        (129, 16, 7, 3),    # window clamp engages on both edges
+        (50, 40, 5, 9),     # window wider than the clip (span == F)
+    ]
+    for g, tpf, f, w in cases:
+        s = g + f * tpf
+        h, d = 2, 16
+        mk = lambda: jnp.asarray(rng.randn(1, s, h, d).astype(np.float32) * 0.5)
+        q, k, v = mk(), mk(), mk()
+        ct = jnp.asarray(rng.randn(1, s, h, d).astype(np.float32))
+
+        got, lse = banded_flash_attention(q, k, v, g, tpf, w, interpret=True, return_lse=True)
+        ref = windowed_attention_reference(q, k, v, g, tpf, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5,
+                                   rtol=1e-4, err_msg=f"fwd g={g} tpf={tpf} F={f} w={w}")
+
+        def loss(q_, k_, v_, w=w, g=g, tpf=tpf):
+            return jnp.sum(windowed_attention_reference(q_, k_, v_, g, tpf, w) * ct)
+
+        refs = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        grads = banded_flash_attention_bwd(q, k, v, got, lse, ct, g, tpf, w, interpret=True)
+        for name, a, b in zip(("dq", "dk", "dv"), grads, refs):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                       rtol=2e-3, err_msg=f"{name} g={g} tpf={tpf} F={f} w={w}")
