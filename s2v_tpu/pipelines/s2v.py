@@ -434,7 +434,12 @@ class S2VPipeline:
         )
 
         if cfg_mode == "auto":
-            cfg_mode = "sequential" if len(jax.devices()) == 1 else "batched"
+            # batched CFG (one 2B forward) measured faster than sequential
+            # (two B forwards) even on one v5e chip — 8.09 vs 8.21 s/step at
+            # the 5b geometry — and fits HBM with the T5 host-resident;
+            # cfg_mode="sequential" remains the opt-in for memory-constrained
+            # setups (identical math, half the activation memory)
+            cfg_mode = "batched"
         # cache the compiled loop per configuration so repeated generate()
         # calls (serving) reuse the executable instead of re-jitting
         # the DPM noise key is a traced argument (not a closure) so new
