@@ -254,10 +254,15 @@ def _cfg_json(cfg, skip=("dtype", "param_dtype")):
     return out
 
 
-def make_snapshot(out_dir: str, lora_out: str | None = None):
+def make_snapshot(out_dir: str, lora_out: str | None = None, family: str = "5b"):
     from s2v_tpu.loaders.safetensors_io import save_safetensors
 
     tcfg = TransformerConfig.tiny()
+    if family == "2b":
+        # sincos positional path (no rotary), fp stays fp32 for CPU tests
+        import dataclasses
+
+        tcfg = dataclasses.replace(tcfg, use_rotary_positional_embeddings=False)
     vcfg = VAEConfig.tiny(latent_channels=tcfg.in_channels, sample_height=64, sample_width=64)
     t5cfg = T5Config.tiny(d_model=tcfg.text_embed_dim)
     scfg = SchedulerConfig()
@@ -293,8 +298,10 @@ def main(argv=None):
     ap.add_argument("out_dir", nargs="?", default="/tmp/tiny_snapshot")
     ap.add_argument("--lora_out", default=None,
                     help="also write a tiny LoRA checkpoint dir (all 9 target families)")
+    ap.add_argument("--family", default="5b", choices=["5b", "2b"],
+                    help="2b: sincos positional embeddings (no rotary)")
     args = ap.parse_args(argv)
-    make_snapshot(args.out_dir, args.lora_out)
+    make_snapshot(args.out_dir, args.lora_out, family=args.family)
     print(f"snapshot: {args.out_dir}" + (f"  lora: {args.lora_out}" if args.lora_out else ""))
 
 
