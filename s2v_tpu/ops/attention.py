@@ -90,6 +90,12 @@ def joint_attention(
 
     if backend == "pallas":
         out = flash_attention_trainable(q, k, v)  # [B, S, H, hd]
+    elif backend == "pallas_int8":
+        # int8 QK^T serving fast path (51 vs 62 ms/layer on v5e at the 5b
+        # geometry); inference-only — no custom VJP
+        from s2v_tpu.ops.pallas.int8_attention import flash_attention_qk_int8
+
+        out = flash_attention_qk_int8(q, k, v)
     elif backend == "chunked":
         out = chunked_attention(q, k, v)
     elif backend in WINDOWED_BACKENDS:

@@ -53,3 +53,22 @@ def test_quantized_transformer_close_to_bf16():
     rms = float(jnp.sqrt(jnp.mean((out_bf16 - out_q) ** 2)))
     ref_rms = float(jnp.sqrt(jnp.mean(out_bf16**2)))
     assert rms / ref_rms < 0.10, (rms, ref_rms)
+
+
+def test_int8_qk_attention_close_to_exact():
+    """int8-QK flash attention (interpret mode) stays within int8 rounding
+    error of exact attention, including ragged key padding."""
+    import jax
+    import jax.numpy as jnp
+    from s2v_tpu.ops.pallas.int8_attention import flash_attention_qk_int8
+
+    rng = np.random.RandomState(0)
+    b, s, h, d = 1, 90, 2, 32
+    mk = lambda: jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+    q, k, v = mk(), mk(), mk()
+    got = flash_attention_qk_int8(q, k, v, block_q=32, block_k=64, interpret=True)
+    ref = jax.nn.dot_product_attention(q, k, v)
+    err = float(jnp.max(jnp.abs(got - ref)))
+    assert err < 0.05, err  # ~1/254 per-operand rounding through softmax
+    # and it must actually be the quantized path, not exact
+    assert err > 1e-6
