@@ -1,8 +1,13 @@
 """Measure the composite opt-in fast-path config on the real chip:
-int8 linears + banded windowed attention (w=2) + CFG-skip (thr=0.01),
-real 50-step loop in 6-step segments (relay-safe), vs the exact baseline
-410.7 s from bench.py."""
+int8 linears + banded windowed attention with int8 QK (w=2) + CFG-skip
+(thr=0.01) + batched CFG, real 50-step loop in 6-step segments
+(relay-safe), vs the exact baseline 404.4 s from bench.py."""
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_pcache")
@@ -31,7 +36,7 @@ print(f"# skip steps: {int(np.sum(sched.guidance - 1 < 0.01))}/{steps}", flush=T
 def _segment(p, carry, r, e, rng, i0, i1):
     step = _build_step_fn(
         p, cfg, sched, r, e, rope_cos, rope_sin, True, rng,
-        "windowed", None, "sequential", None, 0.01,
+        "windowed_int8", None, "batched", None, 0.01,
     )
     return jax.lax.fori_loop(i0, i1, step, carry)
 
@@ -49,4 +54,4 @@ for i0 in range(0, steps, 6):
     jax.block_until_ready(carry)
 dt = time.perf_counter() - t0
 assert bool(jnp.isfinite(carry[0].astype(jnp.float32)).all())
-print(f"turbo 50-step denoise: {dt:.1f} s  (exact baseline 410.7 s -> {410.7/dt:.2f}x)", flush=True)
+print(f"turbo 50-step denoise: {dt:.1f} s  (exact baseline 404.4 s -> {404.4/dt:.2f}x)", flush=True)
