@@ -72,7 +72,10 @@ def main():
     on_tpu = jax.default_backend() != "cpu"
     if on_tpu:
         B, F, H, W = 1, 13, 60, 90
-        fwd_per_step = 2  # CFG: 2 B-sized forwards' worth of work per step
+        # extrapolation FALLBACK only: 2 x B=1 forwards approximates the
+        # CFG step from above (the measured loop below runs batched CFG,
+        # which is slightly faster — 8.09 vs 8.21 s/step)
+        fwd_per_step = 2
         backend = "pallas"
         steps = 50
         vcfg = VAEConfig()
@@ -172,7 +175,8 @@ def main():
             denoise_measured = time.perf_counter() - t0
             print(f"# measured {steps}-step denoise: {denoise_measured:.1f} s", file=sys.stderr)
         except Exception as e:
-            print(f"# real-loop bench fell back to extrapolation: {type(e).__name__}", file=sys.stderr)
+            print(f"# real-loop bench fell back to extrapolation "
+                  f"(2 x B=1 fwd, sequential-CFG upper bound): {type(e).__name__}", file=sys.stderr)
         del params, step_fn, video, ref, text
         gc.collect()
 

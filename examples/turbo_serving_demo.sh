@@ -1,8 +1,8 @@
 #!/usr/bin/env bash
 # "Turbo" serving: every opt-in fast path stacked on the resident daemon.
 # Measured on one v5e chip at the flagship 49x480x720 @50-step geometry:
-# 243.5 s/clip vs 404.4 s exact (1.66x) for int8 linears + banded window
-# with int8 QK + CFG-skip (tools/bench_turbo.py).  All three approximations have bounded / tested
+# 252.9 s/clip vs 404.4 s exact (1.60x) for int8 linears + banded window
+# + CFG-skip (tools/bench_turbo.py).  All three approximations have bounded / tested
 # error characteristics (see STATUS.md); drop any flag to back it out.
 set -euo pipefail
 
@@ -17,7 +17,7 @@ python -m s2v_tpu.serve \
     --pretrained_model_name_or_path "$MODEL" \
     --checkpoint_path "$LORA" \
     --quantize_int8 \
-    --attention_backend windowed_int8 --attention_window 2 \
+    --attention_backend windowed --attention_window 2 \
     --socket "$SOCK" \
     --ready_file "$READY" \
     --warmup '{"height": 480, "width": 720, "num_frames": 49,

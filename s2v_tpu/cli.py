@@ -68,8 +68,7 @@ def get_args(argv=None):
     p.add_argument("--use_dpm", action="store_true", default=False)
     p.add_argument("--attention_backend", type=str, default="xla",
                    choices=["xla", "pallas", "pallas_int8", "chunked", "ring",
-                            "windowed", "windowed_int8", "windowed_gather",
-                            "windowed_xla"])
+                            "windowed", "windowed_gather", "windowed_xla"])
     p.add_argument("--attention_window", type=int, default=2,
                    help="half-width (latent frames) for --attention_backend windowed")
     p.add_argument("--quantize_int8", action="store_true", default=False,

@@ -27,7 +27,7 @@ from s2v_tpu.parallel.context import constrain
 
 # backend names that route through the sliding-temporal-window paths (the
 # single source of truth for entry points configuring the window width)
-WINDOWED_BACKENDS = ("windowed", "windowed_int8", "windowed_gather", "windowed_xla")
+WINDOWED_BACKENDS = ("windowed", "windowed_gather", "windowed_xla")
 
 
 def qkv_projections(params, x: jnp.ndarray, num_heads: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -107,11 +107,6 @@ def joint_attention(
             # 92/108 ms (w=1/2) vs 123 ms exact, and 3.4x/2.8x at 39 frames.
             # Differentiable: custom VJP with banded backward kernels.
             out = banded_attention_trainable(q, k, v, g_len, tpf, w)
-        elif backend == "windowed_int8":
-            # band + int8 QK composed (inference-only serving fast path)
-            from s2v_tpu.ops.pallas.banded_attention import banded_flash_attention_int8
-
-            out = banded_flash_attention_int8(q, k, v, g_len, tpf, w)
         else:
             # gather path: materialized per-frame KV windows (kernel-free
             # "windowed_xla" fallback; "windowed_gather" keeps the old

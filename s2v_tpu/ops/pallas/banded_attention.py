@@ -254,95 +254,3 @@ def banded_flash_attention(
     lse_vid = lse_vid_pad.reshape(b * h, n_frames, fp)[:, :, :tpf]
     lse_vid = lse_vid.reshape(b, h, n_frames * tpf)
     return o, jnp.concatenate([lse_glob, lse_vid], axis=-1)  # [B, H, S]
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("global_len", "tokens_per_frame", "window_frames",
-                     "scale", "interpret"),
-)
-def banded_flash_attention_int8(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    global_len: int,
-    tokens_per_frame: int,
-    window_frames: int,
-    scale: Optional[float] = None,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Banded windowed attention with int8 QK^T — the two serving fast
-    paths composed (``attention_backend="windowed_int8"``): the band cuts
-    the key set to [global | window] and int8 halves the d=64 logits
-    matmul cost on the MXU.
-
-    Reuses ``int8_attention._int8_kernel`` verbatim on the banded grid —
-    that kernel is maskless by design (zero-padded K columns give logit 0,
-    cancelled by the shift-invariant online softmax; zeroed V pad rows and
-    ones-column entries keep them out of acc and l), which is exactly the
-    padding structure of the banded layout.  Inference-only (no VJP).
-    """
-    from s2v_tpu.ops.pallas.int8_attention import (
-        _int8_kernel,
-        _quantize_tensor,
-        flash_attention_qk_int8,
-    )
-
-    b, s, h, d = q.shape
-    g = global_len
-    tpf = tokens_per_frame
-    if scale is None:
-        scale = 1.0 / math.sqrt(d)
-    lay = band_layout(s, g, tpf, window_frames)
-    n_frames, fp = lay.n_frames, lay.fp
-    n_k = lay.n_glob + lay.span
-    rs = band_row_split(fp, 1)
-    fq = fp // rs
-
-    # global queries: exact-structure int8 attention over the full keys
-    o_glob = flash_attention_qk_int8(
-        q[:, :g], k, v, block_q=min(1024, _round_up(g, 8)), scale=scale,
-        interpret=interpret,
-    )
-
-    qb, kb, vb = fold_heads(q), fold_heads(k), fold_heads(v)
-    valid = key_valid_mask(g, tpf, lay)
-
-    q_i8, qs = _quantize_tensor(
-        pad_video_rows(qb[:, g:] * jnp.asarray(scale, jnp.float32), tpf, lay)
-    )
-    k_i8, ks = _quantize_tensor(pad_full_layout(kb, g, tpf, lay))
-    dequant = (qs * ks).reshape(1, 1)
-    kt_i8 = k_i8.transpose(0, 2, 1)  # [BH, d, k_tot]
-
-    v_pad = pad_full_layout(vb, g, tpf, lay)
-    ones = jnp.broadcast_to(
-        valid.astype(v.dtype)[None, :, None], (b * h, lay.k_tot, 1)
-    )
-    v_aug = jnp.concatenate([v_pad, ones], axis=-1)
-
-    out = pl.pallas_call(
-        _int8_kernel,
-        grid=(b * h, n_frames * rs, n_k),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda bh, qi, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, fq, d), lambda bh, qi, j: (bh, qi, 0)),  # q_i8
-            pl.BlockSpec((1, d, fp),
-                         lambda bh, qi, j: (bh, 0, band_k_block(qi // rs, j, window_frames, lay))),
-            pl.BlockSpec((1, fp, d + 1),
-                         lambda bh, qi, j: (bh, band_k_block(qi // rs, j, window_frames, lay), 0)),
-        ],
-        out_specs=pl.BlockSpec((1, fq, d), lambda bh, qi, j: (bh, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, lay.sv, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((fq, _LANES), jnp.float32),  # m
-            pltpu.VMEM((fq, d + 1), jnp.float32),  # acc | l
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(dequant, q_i8, kt_i8, v_aug)
-
-    o_vid = unfold_heads(unpad_video_rows(out, tpf, lay), b)
-    return jnp.concatenate([o_glob, o_vid], axis=1)

@@ -4,8 +4,7 @@ ops/pallas/flash_attention.py.
 The exact kernel's QK^T matmul contracts over d=64, which pads to 128 on
 the MXU and caps bf16 attention at ~98 TF/s; the v5e MXU runs int8 at
 twice the bf16 rate, so quantizing ONLY the logits matmul roughly halves
-the QK cost: measured 51 ms vs 62 ms per layer at the 5b geometry
-(90.9 TF/s effective).  P·V stays bf16 (quantizing the probabilities is
+the QK cost: measured 58.8 ms vs 62.1 ms per layer at the 5b geometry.  P·V stays bf16 (quantizing the probabilities is
 where int8 attention schemes lose accuracy).
 
 Quantization: per-tensor symmetric int8.  q and k pass through the
@@ -18,13 +17,14 @@ ONE fused convert-multiply:
 
 (a per-token rank-1 dequant was measured to cost ~11 ms/layer of VPU work
 — exactly the MXU saving — so the scalar form is what makes int8 pay.)
-Padded keys need NO mask at all here: padded K^T columns are zero, so
-their logits are exactly 0 — a bounded value that only shifts the running
-softmax max, which the final l-normalization cancels; their V rows and
-ones-column entries are zero, so they contribute nothing to the
-accumulator or the l-sum.  (The bf16 kernel's -1e30 column rides a matmul
-it already pays for; here an additive mask would cost a VPU pass per
-step, measured ~4 ms/layer.)
+Padded keys are masked by an additive -1e30 row routed through the
+index_map: interior k steps read an all-zero row, only the ragged last
+block reads the real tail mask, and the add fuses into the dequant pass
+(~1.5 ms/layer).  A fully maskless variant (zero K columns -> logit 0,
+cancelled by the shift-invariant online softmax) measured 57.3 ms but was
+rejected: when every REAL logit in a row is <= ~-40 the pad logit pins
+the running max at 0 and the real probabilities underflow fp32 —
+mathematically cancelled, numerically wrong (confirmed by repro).
 
 Opt-in (`attention_backend="pallas_int8"`), intended to pair with the int8
 linears of ops/quant for full int8 serving.
@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from s2v_tpu.ops.pallas.flash_attention import NEG_INF, _LANES
 
 
-def _int8_kernel(dq_ref, q_ref, kt_ref, v_ref, o_ref,
+def _int8_kernel(dq_ref, q_ref, kt_ref, mask_ref, v_ref, o_ref,
                  m_scratch, acc_scratch):
     ki = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -59,10 +59,10 @@ def _int8_kernel(dq_ref, q_ref, kt_ref, v_ref, o_ref,
     s_i32 = jax.lax.dot_general(
         q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
-    # scalar dequant (qs * ks, SMEM); convert+multiply fuse into one pass.
-    # No pad mask: padded keys have zero K columns -> logit 0 (see module
-    # docstring — harmless under the shift-invariant online softmax).
-    s = s_i32.astype(jnp.float32) * dq_ref[0, 0]
+    # scalar dequant (qs * ks, SMEM) + the mask row the index_map routed
+    # here (all-zero on interior steps, -1e30 tail on padded keys) — one
+    # fused VPU pass
+    s = s_i32.astype(jnp.float32) * dq_ref[0, 0] + mask_ref[0]
 
     m_prev = m_scratch[:, :1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -124,6 +124,9 @@ def flash_attention_qk_int8(
     k_i8, ks = _quantize_tensor(fold(k, s_kv))
     dequant = (qs * ks).reshape(1, 1)  # scalar, SMEM-resident
     kt_i8 = jnp.pad(k_i8.transpose(0, 2, 1), ((0, 0), (0, 0), (0, s_pad - s_kv)))
+    # mask rows: row 0 all-zero (interior k steps), row 1 the ragged tail
+    mask_rows = jnp.zeros((2, 1, block_k), jnp.float32).at[
+        1, :, max(0, s_kv - (n_k - 1) * block_k):].set(NEG_INF)
 
     vb = jnp.pad(fold(v, s_kv), ((0, 0), (0, s_pad - s_kv), (0, 0)))
     ones = jnp.zeros((bh, s_pad, 1), v.dtype).at[:, :s_kv].set(1.0)
@@ -136,6 +139,10 @@ def flash_attention_qk_int8(
             pl.BlockSpec((1, 1), lambda bh, qi, ki: (0, 0), memory_space=pltpu.SMEM),  # dequant
             pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),  # q_i8
             pl.BlockSpec((1, d, block_k), lambda bh, qi, ki: (bh, 0, ki)),  # kt_i8
+            pl.BlockSpec(
+                (1, 1, block_k),
+                lambda bh, qi, ki: (jnp.where(ki == pl.num_programs(2) - 1, 1, 0), 0, 0),
+            ),  # mask row (zeros | ragged tail)
             pl.BlockSpec((1, block_k, d + 1), lambda bh, qi, ki: (bh, ki, 0)),  # v_aug
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
@@ -148,5 +155,5 @@ def flash_attention_qk_int8(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(dequant, q_i8, kt_i8, v_aug)
+    )(dequant, q_i8, kt_i8, mask_rows, v_aug)
     return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)

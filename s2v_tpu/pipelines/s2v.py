@@ -346,7 +346,7 @@ class S2VPipeline:
         prompt_embeds: Optional[jnp.ndarray] = None,
         ref_latents: Optional[jnp.ndarray] = None,
         output_type: str = "np",
-        cfg_mode: str = "auto",  # auto: sequential on 1 device, batched on >1
+        cfg_mode: str = "auto",  # auto: batched, except B>1 on one chip -> sequential
         adaptive_threshold: float = 0.0,  # >0: opt-in step-skipping fast path
         cfg_skip_threshold: float = 0.0,  # >0: skip uncond forwards once dynamic g-1 < thr
         segment_steps: int = 0,  # >0: host-stepped segments of this many steps
@@ -436,10 +436,13 @@ class S2VPipeline:
         if cfg_mode == "auto":
             # batched CFG (one 2B forward) measured faster than sequential
             # (two B forwards) even on one v5e chip — 8.09 vs 8.21 s/step at
-            # the 5b geometry — and fits HBM with the T5 host-resident;
-            # cfg_mode="sequential" remains the opt-in for memory-constrained
-            # setups (identical math, half the activation memory)
-            cfg_mode = "batched"
+            # the 5b geometry — and fits HBM with the T5 host-resident.
+            # Measured at B=1 only: multi-prompt batches on a single chip
+            # keep sequential CFG (batched would run a 2*batch forward with
+            # unverified activation headroom); cfg_mode="sequential"/"batched"
+            # override explicitly (identical math either way).
+            single_dev = len(jax.devices()) == 1
+            cfg_mode = "sequential" if (single_dev and batch > 1) else "batched"
         # cache the compiled loop per configuration so repeated generate()
         # calls (serving) reuse the executable instead of re-jitting
         # the DPM noise key is a traced argument (not a closure) so new

@@ -72,3 +72,25 @@ def test_int8_qk_attention_close_to_exact():
     assert err < 0.05, err  # ~1/254 per-operand rounding through softmax
     # and it must actually be the quantized path, not exact
     assert err > 1e-6
+
+
+def test_int8_qk_attention_negative_logit_rows_with_padding():
+    """Regression (review repro): rows whose REAL logits are all strongly
+    negative used to underflow when padded keys pinned the softmax max at
+    0 in a maskless kernel; the routed -1e30 pad mask keeps them exact."""
+    import jax
+    import jax.numpy as jnp
+    from s2v_tpu.ops.pallas.int8_attention import flash_attention_qk_int8
+
+    rng = np.random.RandomState(1)
+    b, s, h, d = 1, 90, 1, 32  # block_k=64 -> 38 padded keys
+    # construct q, k so every real scaled logit is ~ -90
+    q = jnp.asarray(np.ones((b, s, h, d), np.float32) * 4.0)
+    k = jnp.asarray(-np.ones((b, s, h, d), np.float32) * 4.0
+                    + rng.randn(b, s, h, d).astype(np.float32) * 0.01)
+    v = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+    got = flash_attention_qk_int8(q, k, v, block_q=32, block_k=64, interpret=True)
+    ref = jax.nn.dot_product_attention(q, k, v)
+    err = float(jnp.max(jnp.abs(got - ref)))
+    assert err < 0.05, err
+    assert float(jnp.max(jnp.abs(got))) > 0.01  # not the all-zero failure mode

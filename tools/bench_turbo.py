@@ -1,5 +1,5 @@
 """Measure the composite opt-in fast-path config on the real chip:
-int8 linears + banded windowed attention with int8 QK (w=2) + CFG-skip
+int8 linears + banded windowed attention (w=2) + CFG-skip
 (thr=0.01) + batched CFG, real 50-step loop in 6-step segments
 (relay-safe), vs the exact baseline 404.4 s from bench.py."""
 import os
@@ -36,7 +36,7 @@ print(f"# skip steps: {int(np.sum(sched.guidance - 1 < 0.01))}/{steps}", flush=T
 def _segment(p, carry, r, e, rng, i0, i1):
     step = _build_step_fn(
         p, cfg, sched, r, e, rope_cos, rope_sin, True, rng,
-        "windowed_int8", None, "batched", None, 0.01,
+        "windowed", None, "batched", None, 0.01,
     )
     return jax.lax.fori_loop(i0, i1, step, carry)
 
