@@ -29,6 +29,69 @@ from s2v_tpu.parallel.context import constrain
 # single source of truth for entry points configuring the window width)
 WINDOWED_BACKENDS = ("windowed", "windowed_gather", "windowed_xla")
 
+# every backend an entry point may select.  "auto" resolves per platform at
+# pipeline-configuration time (resolve_attention_backend).
+ATTENTION_BACKENDS = (
+    "auto", "xla", "pallas", "pallas_int8", "chunked", "ring",
+) + WINDOWED_BACKENDS
+
+
+def resolve_attention_backend(backend: str) -> str:
+    """Resolve ``"auto"`` to the right exact backend for this platform:
+    ``pallas`` (the fused flash kernel) on TPU, ``xla`` elsewhere.
+
+    The xla backend (``jax.nn.dot_product_attention``) materializes the
+    ``[B, H, S, S]`` logits tensor — tens of GB at the flagship 19,126-token
+    geometry — so it must never be the silent default on a 16 GB chip; the
+    reference's single entry point "just runs" at 480p
+    (src/inference.py:172-264) and so must ours.
+    """
+    if backend != "auto":
+        return backend
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def attention_hbm_guard(
+    backend: str,
+    batch: int,
+    num_heads: int,
+    seq_len: int,
+    platform: str | None = None,
+    limit_bytes: int | None = None,
+) -> None:
+    """Refuse logits-materializing backends at geometries whose attention
+    weights cannot fit accelerator HBM, with an actionable error instead of
+    a runtime OOM minutes into the first compile.
+
+    ``jax.nn.dot_product_attention`` holds the ``[B, H, S, S]`` logits plus
+    a softmax temporary live; we budget 2 bf16 buffers and refuse above half
+    the device memory limit.  ``platform``/``limit_bytes`` are injectable
+    for tests.
+    """
+    if backend != "xla":
+        return
+    import jax
+
+    dev = jax.devices()[0]
+    if (platform or dev.platform) not in ("tpu",):
+        return  # CPU hosts page; the xla path stays the parity backend there
+    if limit_bytes is None:
+        try:
+            limit_bytes = int(dev.memory_stats().get("bytes_limit", 16 * 2**30))
+        except Exception:
+            limit_bytes = 16 * 2**30
+    logits_bytes = 2 * 2 * batch * num_heads * seq_len * seq_len  # 2 bf16 buffers
+    if logits_bytes > limit_bytes // 2:
+        raise ValueError(
+            f"attention_backend='xla' would materialize ~{logits_bytes / 2**30:.1f} GiB "
+            f"of attention logits (batch={batch}, heads={num_heads}, seq={seq_len}) "
+            f"on a {limit_bytes / 2**30:.0f} GiB device. Use attention_backend='auto' "
+            f"(resolves to the fused Pallas flash kernel on TPU), 'pallas', or "
+            f"'chunked'."
+        )
+
 
 def qkv_projections(params, x: jnp.ndarray, num_heads: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Project ``[B, S, D]`` to per-head q/k/v ``[B, S, H, d]``.
@@ -91,11 +154,10 @@ def joint_attention(
     if backend == "pallas":
         out = flash_attention_trainable(q, k, v)  # [B, S, H, hd]
     elif backend == "pallas_int8":
-        # int8 QK^T serving fast path (51 vs 62 ms/layer on v5e at the 5b
-        # geometry); inference-only — no custom VJP
-        from s2v_tpu.ops.pallas.int8_attention import flash_attention_qk_int8
-
-        out = flash_attention_qk_int8(q, k, v)
+        # int8 QK^T serving fast path (masked kernel, ~58.8 vs 62.1 ms/layer
+        # on v5e at the 5b geometry); inference-only — the wrapper raises a
+        # descriptive error if differentiated
+        out = _int8_attention_inference_only(q, k, v)
     elif backend == "chunked":
         out = chunked_attention(q, k, v)
     elif backend in WINDOWED_BACKENDS:
@@ -135,6 +197,27 @@ def joint_attention(
     out = out.reshape(b, s, d)
     out = dense(params["to_out"], out)
     return constrain(out, "dp", "sp", None)
+
+
+@jax.custom_vjp
+def _int8_attention_inference_only(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    from s2v_tpu.ops.pallas.int8_attention import flash_attention_qk_int8
+
+    return flash_attention_qk_int8(q, k, v)
+
+
+def _int8_fwd(q, k, v):
+    return _int8_attention_inference_only(q, k, v), None
+
+
+def _int8_bwd(_res, _g):
+    raise NotImplementedError(
+        "attention_backend='pallas_int8' is inference-only (no backward "
+        "kernels); train with 'pallas', 'windowed', or 'chunked'"
+    )
+
+
+_int8_attention_inference_only.defvjp(_int8_fwd, _int8_bwd)
 
 
 @jax.custom_vjp

@@ -175,6 +175,14 @@ def banded_flash_attention(
     b, s, h, d = q.shape
     g = global_len
     tpf = tokens_per_frame
+    if g <= 0:
+        # the exact-global pass below runs flash_attention with
+        # block_q=round_up(g, 8), which would be 0 and fail deep inside
+        # pallas_call with an opaque Mosaic error
+        raise ValueError(
+            f"banded_flash_attention needs global_len > 0 (got {g}); the "
+            f"[text | ref] prefix is the exact-attention segment"
+        )
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     lay = band_layout(s, g, tpf, window_frames)

@@ -43,7 +43,11 @@ class S2VPipeline:
     t5_cfg: Optional[T5Config] = None
     scheduler_cfg: SchedulerConfig = field(default_factory=SchedulerConfig)
     tokenizer: Optional[object] = None  # T5CLSTokenizer
-    attention_backend: str = "xla"
+    # "auto" resolves platform-appropriately at configuration time: the
+    # fused Pallas flash kernel on TPU, xla (the parity backend) on CPU —
+    # the xla path would OOM a 16 GB chip at the flagship 19,126-token
+    # geometry (see ops.attention.attention_hbm_guard)
+    attention_backend: str = "auto"
     # VAE execution options (reference enable_tiling/enable_slicing,
     # src/inference.py:204-207 — both on by default there too).  Tiling
     # stays on by default for reference output parity (the reference
@@ -61,8 +65,12 @@ class S2VPipeline:
         so the backend-name list lives in ops/attention.py only."""
         import dataclasses
 
-        from s2v_tpu.ops.attention import WINDOWED_BACKENDS
+        from s2v_tpu.ops.attention import (
+            WINDOWED_BACKENDS,
+            resolve_attention_backend,
+        )
 
+        backend = resolve_attention_backend(backend)
         self.attention_backend = backend
         if backend in WINDOWED_BACKENDS and window is not None:
             self.transformer_cfg = dataclasses.replace(
@@ -96,7 +104,7 @@ class S2VPipeline:
         lora_checkpoint: Optional[str] = None,
         lora_alpha: float = 64.0,
         dtype=jnp.bfloat16,
-        attention_backend: str = "xla",
+        attention_backend: str = "auto",
         quantize_int8: bool = False,
         text_encoder_device: str = "auto",  # "auto" | "device" | "host"
         disentangled_modulation: bool = False,
@@ -188,6 +196,8 @@ class S2VPipeline:
         scheduler_cfg = (
             SchedulerConfig.from_hf_config(sched_path) if os.path.exists(sched_path) else SchedulerConfig()
         )
+        from s2v_tpu.ops.attention import resolve_attention_backend
+
         return cls(
             transformer_params=transformer_params,
             transformer_cfg=t_cfg,
@@ -197,7 +207,7 @@ class S2VPipeline:
             t5_cfg=t5_cfg,
             scheduler_cfg=scheduler_cfg,
             tokenizer=tokenizer,
-            attention_backend=attention_backend,
+            attention_backend=resolve_attention_backend(attention_backend),
             t5_on_host=t5_on_host,
         )
 
@@ -354,6 +364,12 @@ class S2VPipeline:
     ):
         """Generate a clip; returns [B, T, H, W, 3] float in [0,1] (np) or
         the final latents (output_type="latent")."""
+        from s2v_tpu.ops.attention import (
+            attention_hbm_guard,
+            resolve_attention_backend,
+        )
+
+        self.attention_backend = resolve_attention_backend(self.attention_backend)
         cfg = self.transformer_cfg
 
         # input validation (reference check_inputs :372-421 + the static
@@ -412,6 +428,15 @@ class S2VPipeline:
                 k_lat, (batch, f_lat, h_lat, w_lat, cfg.in_channels), jnp.float32
             )
         latents = latents.astype(cfg.dtype)
+
+        tokens_per_frame = (h_lat // cfg.patch_size) * (w_lat // cfg.patch_size)
+        seq_len = cfg.max_text_seq_length + (1 + f_lat) * tokens_per_frame
+        attention_hbm_guard(
+            self.attention_backend,
+            batch * (2 if do_cfg and cfg_mode != "sequential" else 1),
+            cfg.num_attention_heads,
+            seq_len,
+        )
 
         rope_cos, rope_sin = self.prepare_rope(height, width, f_lat)
         pos_embedding = None

@@ -20,21 +20,11 @@ import os
 import sys
 
 
-def _str2bool(v):
-    if isinstance(v, bool):
-        return v
-    if str(v).lower() in ("true", "1", "yes", "y"):
-        return True
-    if str(v).lower() in ("false", "0", "no", "n"):
-        return False
-    raise ValueError(f"expected a boolean, got {v!r}")
-
-
-def _tiling_policy(v):
-    """--enable_tiling only: true | false | auto (tile above native size)."""
-    if str(v).lower() == "auto":
-        return "auto"
-    return _str2bool(v)
+from s2v_tpu.cli_utils import (
+    ATTENTION_BACKEND_CHOICES,
+    str2bool as _str2bool,
+    tiling_policy as _tiling_policy,
+)
 
 
 def get_args(argv=None):
@@ -45,9 +35,9 @@ def get_args(argv=None):
     p.add_argument("--pretrained_model_name_or_path", type=str, default=None)
     p.add_argument("--checkpoint_path", type=str, default=None, help="S2V LoRA checkpoint dir")
     p.add_argument("--lora_alpha", type=float, default=64)
-    p.add_argument("--attention_backend", type=str, default="xla",
-                   choices=["xla", "pallas", "pallas_int8", "chunked", "ring",
-                            "windowed", "windowed_gather", "windowed_xla"])
+    p.add_argument("--attention_backend", type=str, default="auto",
+                   choices=ATTENTION_BACKEND_CHOICES,
+                   help="auto = Pallas flash kernel on TPU, xla on CPU")
     p.add_argument("--attention_window", type=int, default=2,
                    help="half-width (latent frames) for --attention_backend windowed")
     p.add_argument("--quantize_int8", action="store_true", default=False)

@@ -38,10 +38,12 @@ def get_args(argv=None):
     p.add_argument("--max_num_frames", type=int, default=49)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--checkpointing_steps", type=int, default=500)
-    p.add_argument("--attention_backend", type=str, default="xla",
-                   choices=["xla", "chunked", "pallas", "ring", "windowed"],
-                   help="pallas = flash kernels both ways; windowed = banded "
-                        "sliding-window kernels both ways (long clips)")
+    p.add_argument("--attention_backend", type=str, default="auto",
+                   choices=["auto", "xla", "chunked", "pallas", "ring", "windowed"],
+                   help="auto = pallas on TPU / xla on CPU; pallas = flash "
+                        "kernels both ways; windowed = banded sliding-window "
+                        "kernels both ways (long clips). pallas_int8 is "
+                        "inference-only (no backward kernels)")
     p.add_argument("--attention_window", type=int, default=2,
                    help="half-width (latent frames) for --attention_backend windowed")
     p.add_argument("--disentangled_modulation", action="store_true", default=False,
@@ -71,6 +73,9 @@ def main(args=None):
     from s2v_tpu.utils.logging import get_logger
 
     log = get_logger("s2v_tpu.train")
+    from s2v_tpu.ops.attention import resolve_attention_backend
+
+    args.attention_backend = resolve_attention_backend(args.attention_backend)
     pipe = S2VPipeline.from_pretrained(os.path.expanduser(args.pretrained_model_name_or_path))
     pipe.set_attention(args.attention_backend, args.attention_window)
     dataset = VideoFolderDataset(
