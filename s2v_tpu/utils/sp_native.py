@@ -94,7 +94,18 @@ class NativeSPTokenizer:
             prompts = [prompts]
         out = np.full((len(prompts), max_length), self.pad_id, np.int32)
         for i, p in enumerate(prompts):
-            ids = self._encode_one(p)[: max_length - 1] + [self.eos_id]
+            ids = self._encode_one(p)
+            if len(ids) > max_length - 1:
+                # reference truncation warning (pipeline_cogvideox.py:219-227);
+                # the native lib has no detokenizer, so report the span size
+                from s2v_tpu.utils.logging import get_logger
+
+                get_logger("s2v_tpu.tokenizer").warning(
+                    "Input truncated because `max_sequence_length` is set to "
+                    "%d tokens: %d trailing tokens removed",
+                    max_length, len(ids) - (max_length - 1),
+                )
+            ids = ids[: max_length - 1] + [self.eos_id]
             out[i, : len(ids)] = np.asarray(ids, np.int32)
         return out
 

@@ -5,11 +5,22 @@ additional special token (id 32100, inside the checkpoint's padded 32128-row
 embedding) and pads/truncates to 226 tokens (src/inference.py:179-189,
 pipeline_cogvideox.py:209-218).
 
-Backend: the Rust ``tokenizers`` wheel (present in this environment) loading
-``tokenizer.json`` from the checkpoint dir.  sentencepiece-only checkpoints
-(spiece.model without tokenizer.json) are not supported yet — a native C++
-unigram tokenizer is the planned equivalent of the reference's sentencepiece
-dependency.
+Backend: the Rust ``tokenizers`` wheel loading ``tokenizer.json`` from the
+checkpoint dir.  sentencepiece-only checkpoints (spiece.model without
+tokenizer.json) are handled by the native C++ unigram tokenizer
+(``s2v_tpu.utils.sp_native``), which the pipeline falls back to
+automatically (pipelines/s2v.py).
+
+Truncation parity note: the reference tokenizes through ``AutoTokenizer``,
+which loads the *fast* (Rust) T5 tokenizer.  Under
+``truncation=True, add_special_tokens=True`` the fast pipeline truncates to
+``max_length - 1`` *reserving a slot for EOS*, then the TemplateProcessing
+post-processor appends ``</s>`` — so even over-length prompts end in EOS
+(verified empirically against ``PreTrainedTokenizerFast`` with the T5
+``"$A </s>"`` template; the slow sentencepiece tokenizer would instead drop
+the EOS, but the reference never instantiates it).  ``encode`` below
+reproduces the fast semantics and emits the reference's truncation warning
+(pipeline_cogvideox.py:219-227).
 """
 
 from __future__ import annotations
@@ -57,6 +68,16 @@ class T5CLSTokenizer:
         out = np.full((len(prompts), max_length), self.pad_id, np.int32)
         for i, p in enumerate(prompts):
             ids = self._tok.encode(p, add_special_tokens=False).ids
+            if len(ids) > max_length - 1:
+                # reference truncation warning (pipeline_cogvideox.py:219-227)
+                removed = self._tok.decode(ids[max_length - 1 :])
+                from s2v_tpu.utils.logging import get_logger
+
+                get_logger("s2v_tpu.tokenizer").warning(
+                    "The following part of your input was truncated because "
+                    "`max_sequence_length` is set to %d tokens: %s",
+                    max_length, removed,
+                )
             ids = ids[: max_length - 1] + [self.eos_id]
             out[i, : len(ids)] = np.asarray(ids, np.int32)
         return out

@@ -93,3 +93,71 @@ def test_whitespace_collapsing(tok):
     a = tok._encode_one("a   pig")
     b = tok._encode_one("a pig")
     assert a == b
+
+
+def test_truncation_keeps_eos_and_warns(tok, caplog):
+    """Fast-tokenizer truncation semantics (what the reference's
+    AutoTokenizer actually does): truncate to max_length-1 reserving the EOS
+    slot, append EOS, and emit the truncation warning
+    (pipeline_cogvideox.py:219-227)."""
+    import logging
+
+    lg = logging.getLogger("s2v_tpu.tokenizer")
+    lg.addHandler(caplog.handler)  # package logger has propagate=False
+    try:
+        arr = tok.encode("a pig walking a pig walking", max_length=4)
+    finally:
+        lg.removeHandler(caplog.handler)
+    assert arr.shape == (1, 4)
+    assert arr[0, -1] == tok.eos_id  # EOS survives truncation
+    assert (arr[0] != tok.pad_id).all()
+    assert any("truncated" in r.getMessage().lower() for r in caplog.records)
+
+
+def test_cls_id_first_past_base_vocab_both_backends(tok, tmp_path):
+    """<cls> must land on the first id past the base vocab in BOTH backends
+    (for the real T5 checkpoint that is row 32100 of the padded 32128-row
+    embedding — reference src/inference.py:182-189 resize semantics)."""
+    assert tok.cls_id == len(tok) - 1  # native: appended after sp vocab
+
+    import json
+
+    from s2v_tpu.utils.tokenizer import T5CLSTokenizer
+
+    src = _tiny_tokenizer_json(tmp_path)
+    t = T5CLSTokenizer(src)
+    base = json.load(open(src))["model"]["vocab"]
+    assert t.cls_id == len(t) - 1
+    assert t.cls_id >= len(base)  # past the base vocab rows
+    arr = t.encode("<cls> hi", max_length=6)
+    assert arr[0, 0] == t.cls_id
+
+
+def _tiny_tokenizer_json(tmp_path) -> str:
+    """Build a minimal T5-convention tokenizer.json (same recipe as
+    tools/make_tiny_snapshot.write_tokenizer)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_tiny_snapshot import write_tokenizer
+
+    path = str(tmp_path / "tokenizer.json")
+    write_tokenizer(path, 32)
+    return path
+
+
+def test_tokenizers_backend_truncation_warns(caplog, tmp_path):
+    import logging
+
+    from s2v_tpu.utils.tokenizer import T5CLSTokenizer
+
+    t = T5CLSTokenizer(_tiny_tokenizer_json(tmp_path))
+    long_prompt = " ".join(["token"] * 50)
+    lg = logging.getLogger("s2v_tpu.tokenizer")
+    lg.addHandler(caplog.handler)  # package logger has propagate=False
+    try:
+        arr = t.encode(long_prompt, max_length=8)
+    finally:
+        lg.removeHandler(caplog.handler)
+    assert arr[0, -1] == t.eos_id
+    assert any("truncated" in r.getMessage().lower() for r in caplog.records)
