@@ -87,6 +87,12 @@ def get_args(argv=None):
                    help=">0: run the denoise loop in host-stepped segments of N "
                         "steps (enables interrupt/callbacks; required on relays "
                         "that cap single-execution wall time)")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="multi-chip device mesh, e.g. 'dp2,tp4' or 'sp8' "
+                        "(dp/data, tp/model, sp/seq axes; sizes must "
+                        "multiply to <= device count). Shards the "
+                        "transformer (tp), tokens (sp), and batch (dp); a "
+                        "seq axis also enables context-parallel VAE decode")
     p.add_argument("--profile_dir", type=str, default=None, help="jax.profiler trace output dir")
     return p.parse_args(argv)
 
@@ -114,6 +120,7 @@ def main(args=None):
         text_encoder_device=args.text_encoder_device,
         disentangled_modulation=args.disentangled_modulation,
         dtype={"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype],
+        mesh=args.mesh,
     )
     pipe.vae_tiling = args.enable_tiling  # True | False | "auto"
     pipe.vae_slicing = bool(args.enable_slicing)

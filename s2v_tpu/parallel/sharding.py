@@ -102,6 +102,77 @@ def transformer_param_specs(cfg: TransformerConfig, model_axis: str = "model"):
     }
 
 
+def parse_mesh_spec(spec: str) -> Dict[str, int]:
+    """CLI mesh grammar -> axis sizes, e.g. ``"dp2,tp4"`` ->
+    ``{"data": 2, "model": 4}`` and ``"sp8"`` -> ``{"seq": 8}``.
+
+    Logical names (dp/tp/sp) and mesh names (data/model/seq) both accepted;
+    axis order in the string is preserved (outermost first — put the
+    DCN-crossing axis first on multi-host).
+    """
+    alias = {"dp": "data", "tp": "model", "sp": "seq",
+             "data": "data", "model": "model", "seq": "seq"}
+    out: Dict[str, int] = {}
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        name = part.rstrip("0123456789")
+        size = part[len(name):]
+        if name not in alias or not size:
+            raise ValueError(
+                f"bad mesh spec {part!r} (want e.g. 'dp2,tp4' or 'sp8'; "
+                f"axes: dp/data, tp/model, sp/seq)"
+            )
+        out[alias[name]] = int(size)
+    if not out:
+        raise ValueError(f"empty mesh spec {spec!r}")
+    return out
+
+
+# TP sharding rules by module path: column-parallel kernels shard the
+# output-feature axis, row-parallel the input axis (megatron pairing keeps
+# the all-reduce count at 2/block).  norm1/norm2 shard only their adaLN
+# ``linear`` (the LayerNorm weight/bias replicate).
+_COL_PARALLEL = ("qkv", "net_0", "to_q", "to_k", "to_v",
+                 "norm1/linear", "norm1/base_linear",
+                 "norm2/linear", "norm2/base_linear")
+_ROW_PARALLEL = ("to_out", "net_2")
+
+
+def transformer_param_specs_like(params, model_axis: str = "model"):
+    """Path-matched TP ``PartitionSpec`` tree for *any* transformer param
+    tree — stacked or unstacked, bf16 or int8-quantized (the fixed-structure
+    :func:`transformer_param_specs` can't describe the int8 {"q","scale"}
+    leaves).  Embeddings/norm/head params replicate.
+    """
+    import jax.tree_util as jtu
+
+    m = model_axis
+
+    def spec_for(path, leaf):
+        keys = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+        joined = "/".join(str(k) for k in keys)
+        leaf_name = keys[-1] if keys else ""
+        ndim = getattr(leaf, "ndim", 0)
+        if ndim == 0 or "blocks" not in joined and "transformer_blocks" not in joined:
+            return P()
+        col = any(f"/{n}/" in f"/{joined}/" for n in _COL_PARALLEL)
+        row = any(f"/{n}/" in f"/{joined}/" for n in _ROW_PARALLEL)
+        axes = [None] * ndim
+        if col:
+            # kernel [.., in, out], bias [.., out], int8 q [.., in, out],
+            # int8 scale [.., 1, out]: output-feature axis is last
+            axes[-1] = m
+        elif row and leaf_name in ("kernel", "q") and ndim >= 2:
+            axes[-2] = m  # input axis; bias/scale are per-output -> replicated
+        else:
+            return P()
+        return P(*axes)
+
+    return jtu.tree_map_with_path(spec_for, params)
+
+
 def shard_params(params, mesh: Mesh, specs):
     """Place a param pytree onto the mesh according to a spec pytree."""
     return jax.tree.map(

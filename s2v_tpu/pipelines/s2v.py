@@ -58,6 +58,62 @@ class S2VPipeline:
     # output (no blend seams), measured 3.98 s vs 5.28 s tiled.
     vae_tiling: object = True  # True | False | "auto"
     vae_slicing: bool = True
+    # multi-chip: a jax.sharding.Mesh + logical->mesh axis map.  Attach via
+    # from_pretrained(mesh=...) or set_mesh(); generate() then runs the
+    # denoise under the mesh context (TP via sharded params, SP/DP via
+    # GSPMD constraints or the ring backend) and routes decode through the
+    # context-parallel VAE when a seq axis exists.
+    mesh: Optional[object] = None
+    logical_map: Optional[dict] = None
+
+    def set_mesh(self, mesh, shard_now: bool = True) -> None:
+        """Attach a device mesh: ``"dp2,tp4"`` | ``{"data": 2, "model": 4}``
+        | ``jax.sharding.Mesh`` | None (back to single-device).
+
+        With a ``model`` axis the transformer params are megatron-sharded in
+        place (works for bf16 and int8 trees); otherwise params are
+        replicated across the mesh.  Clears the compiled-loop cache."""
+        from s2v_tpu.parallel import default_logical_map, make_mesh
+        from s2v_tpu.parallel.sharding import (
+            parse_mesh_spec,
+            replicate,
+            shard_params,
+            transformer_param_specs_like,
+        )
+
+        if mesh is None:
+            self.mesh = self.logical_map = None
+            self._compiled_denoise.clear()
+            return
+        if isinstance(mesh, str):
+            mesh = make_mesh(parse_mesh_spec(mesh))
+        elif isinstance(mesh, dict):
+            mesh = make_mesh(mesh)
+        self.mesh = mesh
+        self.logical_map = default_logical_map(mesh)
+        if shard_now:
+            if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+                specs = transformer_param_specs_like(self.transformer_params, "model")
+                self.transformer_params = shard_params(self.transformer_params, mesh, specs)
+            else:
+                self.transformer_params = replicate(self.transformer_params, mesh)
+            self.vae_params = replicate(self.vae_params, mesh)
+        self._compiled_denoise.clear()
+
+    def _mesh_ctx(self):
+        import contextlib
+
+        from s2v_tpu.parallel import mesh_context
+
+        if self.mesh is None:
+            return contextlib.nullcontext()
+        return mesh_context(self.mesh, self.logical_map)
+
+    def _seq_ring(self) -> int:
+        """Size of the mesh's 'seq' axis (1 when absent/no mesh)."""
+        if self.mesh is not None and "seq" in self.mesh.axis_names:
+            return int(self.mesh.shape["seq"])
+        return 1
 
     def set_attention(self, backend: str, window: Optional[int] = None) -> None:
         """Configure the attention backend (and, for the windowed family,
@@ -108,6 +164,7 @@ class S2VPipeline:
         quantize_int8: bool = False,
         text_encoder_device: str = "auto",  # "auto" | "device" | "host"
         disentangled_modulation: bool = False,
+        mesh=None,  # "dp2,tp4" | {"data": 2, ...} | jax.sharding.Mesh
     ) -> "S2VPipeline":
         """Load a HF-layout CogVideoX snapshot dir (transformer/ vae/
         text_encoder/ tokenizer/ scheduler/) + optional S2V LoRA checkpoint,
@@ -198,7 +255,7 @@ class S2VPipeline:
         )
         from s2v_tpu.ops.attention import resolve_attention_backend
 
-        return cls(
+        pipe = cls(
             transformer_params=transformer_params,
             transformer_cfg=t_cfg,
             vae_params=vae_params,
@@ -210,6 +267,9 @@ class S2VPipeline:
             attention_backend=resolve_attention_backend(attention_backend),
             t5_on_host=t5_on_host,
         )
+        if mesh is not None:
+            pipe.set_mesh(mesh)
+        return pipe
 
     # ------------------------------------------------------------------
     # stages
@@ -305,14 +365,27 @@ class S2VPipeline:
 
     def decode_latents(self, latents: jnp.ndarray) -> np.ndarray:
         """latents [B, F, h, w, C] -> [B, T, H, W, 3] float32 in [0, 1]
-        (reference decode_latents :346-351 + postprocess_video)."""
+        (reference decode_latents :346-351 + postprocess_video).
+
+        With a mesh carrying a ``seq`` axis and a divisible frame count the
+        decode runs context-parallel (parallel/vae_temporal.py: all chunks
+        simultaneously, conv caches exchanged over ICI) — numerics match a
+        uniform-chunk streaming decode, wall-clock ~1/ring of it.  The
+        canonical 13-frame schedule is indivisible and keeps the streaming
+        path."""
         z = latents.astype(self.vae_cfg.dtype) / self.vae_cfg.scaling_factor
-        sc = self.vae_cfg.spatial_compression_ratio
-        frames = vae_decode(
-            self.vae_params, self.vae_cfg, z,
-            use_tiling=self._resolve_tiling(z.shape[2] * sc, z.shape[3] * sc),
-            use_slicing=self.vae_slicing,
-        )
+        ring = self._seq_ring()
+        if ring > 1 and z.shape[1] % ring == 0:
+            from s2v_tpu.parallel.vae_temporal import sharded_vae_decode
+
+            frames = sharded_vae_decode(self.vae_params, self.vae_cfg, z, self.mesh)
+        else:
+            sc = self.vae_cfg.spatial_compression_ratio
+            frames = vae_decode(
+                self.vae_params, self.vae_cfg, z,
+                use_tiling=self._resolve_tiling(z.shape[2] * sc, z.shape[3] * sc),
+                use_slicing=self.vae_slicing,
+            )
         return denormalize_video(np.asarray(frames.astype(jnp.float32)))
 
     def postprocess_video(self, video01: np.ndarray, output_type: str):
@@ -431,12 +504,15 @@ class S2VPipeline:
 
         tokens_per_frame = (h_lat // cfg.patch_size) * (w_lat // cfg.patch_size)
         seq_len = cfg.max_text_seq_length + (1 + f_lat) * tokens_per_frame
-        attention_hbm_guard(
-            self.attention_backend,
-            batch * (2 if do_cfg and cfg_mode != "sequential" else 1),
-            cfg.num_attention_heads,
-            seq_len,
-        )
+        if self.mesh is None or self.mesh.size == 1:
+            # multi-chip memory depends on the sharding; the single-chip
+            # logits-materialization estimate doesn't apply
+            attention_hbm_guard(
+                self.attention_backend,
+                batch * (2 if do_cfg and cfg_mode != "sequential" else 1),
+                cfg.num_attention_heads,
+                seq_len,
+            )
 
         rope_cos, rope_sin = self.prepare_rope(height, width, f_lat)
         pos_embedding = None
@@ -480,7 +556,7 @@ class S2VPipeline:
             num_inference_steps, float(guidance_scale), use_dynamic_cfg, use_dpm,
             do_cfg, cfg_mode, height, width, num_frames, batch,
             float(adaptive_threshold), float(cfg_skip_threshold),
-            self.attention_backend, cfg,
+            self.attention_backend, cfg, self.mesh,
         )
         if do_cfg and cfg_skip_threshold > 0.0:
             # host-computable: the guidance table is fixed per schedule
@@ -512,7 +588,7 @@ class S2VPipeline:
                     cfg_skip_threshold, adaptive_threshold,
                 )
                 self._compiled_denoise[seg_key] = run_seg
-            with phase("denoise", log=True):
+            with phase("denoise", log=True), self._mesh_ctx():
                 carry = (
                     adaptive_init_carry(latents)
                     if adaptive
@@ -565,7 +641,7 @@ class S2VPipeline:
                     )
                 )
             self._compiled_denoise[cache_key] = run
-        with phase("denoise", log=True):
+        with phase("denoise", log=True), self._mesh_ctx():
             final = run(self.transformer_params, latents, ref_latents, prompt_embeds, k_dpm)
             if adaptive_threshold > 0.0:
                 final, skips = final

@@ -44,6 +44,8 @@ def get_args(argv=None):
     p.add_argument("--text_encoder_device", type=str, default="auto",
                    choices=["auto", "device", "host"],
                    help="host keeps T5 in host RAM (cpu-offload equivalent)")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="multi-chip device mesh, e.g. 'dp2,tp4' or 'sp8'")
     p.add_argument("--enable_tiling", type=_tiling_policy, default=True)
     p.add_argument("--enable_slicing", type=_str2bool, default=True)
     p.add_argument("--fps", type=int, default=8)
@@ -81,6 +83,7 @@ def main(args=None):
         attention_backend=args.attention_backend,
         quantize_int8=args.quantize_int8,
         text_encoder_device=args.text_encoder_device,
+        mesh=args.mesh,
     )
     pipe.vae_tiling = args.enable_tiling  # True | False | "auto"
     pipe.vae_slicing = bool(args.enable_slicing)

@@ -243,3 +243,93 @@ def test_ring_attention_grads_match_xla():
     )(q, k, v)
     for a, r in zip(g, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=3e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# product surface: S2VPipeline.generate under a mesh (VERDICT r1 #3)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_pipeline():
+    from s2v_tpu.config import VAEConfig
+    from s2v_tpu.models.vae import init_vae_params
+    from s2v_tpu.pipelines.s2v import S2VPipeline
+
+    cfg = TransformerConfig.tiny()
+    vcfg = VAEConfig.tiny(latent_channels=cfg.in_channels)
+    return S2VPipeline(
+        transformer_params=init_transformer_params(jax.random.PRNGKey(0), cfg),
+        transformer_cfg=cfg,
+        vae_params=init_vae_params(jax.random.PRNGKey(1), vcfg),
+        vae_cfg=vcfg,
+        attention_backend="xla",
+    )
+
+
+def _gen_kwargs(pipe, seed=7):
+    cfg = pipe.transformer_cfg
+    sc = pipe.vae_cfg.spatial_compression_ratio
+    tc = pipe.vae_cfg.temporal_compression_ratio
+    H = W = 2 * sc * cfg.patch_size  # tiny but divisible geometry
+    F = 2 * tc + 1  # 2 latent frames... 
+    emb = jax.random.normal(
+        jax.random.PRNGKey(5), (2, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32
+    )
+    ref = jax.random.normal(
+        jax.random.PRNGKey(6), (1, 1, H // sc, W // sc, cfg.in_channels), jnp.float32
+    )
+    return dict(
+        prompt_embeds=emb, ref_latents=ref, height=H, width=W, num_frames=F,
+        num_inference_steps=2, guidance_scale=6.0, seed=seed, output_type="np",
+    )
+
+
+def test_generate_dp_tp_mesh_matches_single_device():
+    pipe = _tiny_pipeline()
+    kw = _gen_kwargs(pipe)
+    expected = pipe.generate(**kw)
+
+    sharded = _tiny_pipeline()
+    sharded.set_mesh("dp2,tp4")
+    assert sharded.mesh is not None and sharded.mesh.size == 8
+    got = sharded.generate(**kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4, rtol=1e-4)
+
+
+def test_generate_seq_mesh_matches_single_device():
+    pipe = _tiny_pipeline()
+    kw = _gen_kwargs(pipe)
+    expected = pipe.generate(**kw)
+
+    sharded = _tiny_pipeline()
+    sharded.set_mesh({"seq": 8})
+    got = sharded.generate(**kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4, rtol=1e-4)
+
+
+def test_generate_seq_mesh_cp_vae_decode_runs():
+    """With frames divisible by the ring the decode takes the
+    context-parallel path (uniform-chunk semantics)."""
+    pipe = _tiny_pipeline()
+    pipe.set_mesh({"seq": 2})
+    kw = _gen_kwargs(pipe)
+    tc = pipe.vae_cfg.temporal_compression_ratio
+    kw["num_frames"] = 3 * tc + 1  # 4 latent frames, ring 2 -> CP path
+    out = pipe.generate(**kw)
+    # uniform even chunks decode T latent -> T*tc px frames (the odd first
+    # chunk's (t-1)*tc+1 semantics only arise on the canonical 13-frame
+    # schedule, which stays on the streaming path)
+    assert out.shape[1] == 4 * tc
+    assert np.isfinite(out).all()
+
+
+def test_parse_mesh_spec():
+    from s2v_tpu.parallel.sharding import parse_mesh_spec
+
+    assert parse_mesh_spec("dp2,tp4") == {"data": 2, "model": 4}
+    assert parse_mesh_spec("sp8") == {"seq": 8}
+    assert parse_mesh_spec("data2,seq4") == {"data": 2, "seq": 4}
+    with pytest.raises(ValueError):
+        parse_mesh_spec("xx3")
+    with pytest.raises(ValueError):
+        parse_mesh_spec("dp")
