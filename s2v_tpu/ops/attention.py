@@ -32,7 +32,7 @@ WINDOWED_BACKENDS = ("windowed", "windowed_gather", "windowed_xla")
 # every backend an entry point may select.  "auto" resolves per platform at
 # pipeline-configuration time (resolve_attention_backend).
 ATTENTION_BACKENDS = (
-    "auto", "xla", "pallas", "pallas_int8", "chunked", "ring",
+    "auto", "xla", "pallas", "pallas_int8", "chunked", "ring", "sp_allgather",
 ) + WINDOWED_BACKENDS
 
 
@@ -179,16 +179,28 @@ def joint_attention(
                 None if backend == "windowed_gather" else jax.nn.dot_product_attention
             )
             out = windowed_attention(q, k, v, g_len, tpf, w, attention_fn=attn_fn)
-    elif backend == "ring":
-        # sequence-parallel exact attention over the active mesh's seq axis
+    elif backend in ("ring", "sp_allgather"):
+        # sequence-parallel exact attention over the active mesh's seq axis:
+        # ring = ppermute'd KV shards (memory-lean), sp_allgather = one
+        # all-gather + the full-extent flash kernel (faster at the flagship
+        # geometry — docs/SCALING.md)
         from s2v_tpu.parallel.context import active_mesh, active_axis
-        from s2v_tpu.parallel.ring_attention import ring_attention
 
         mesh = active_mesh()
         axis = active_axis("sp")
         if mesh is None or axis is None:
-            raise ValueError("ring attention needs an active mesh with an 'sp' axis")
-        out = ring_attention(q, k, v, mesh, axis_name=axis)
+            raise ValueError(f"{backend} attention needs an active mesh with an 'sp' axis")
+        if backend == "ring":
+            from s2v_tpu.parallel.ring_attention import ring_attention
+
+            out = ring_attention(q, k, v, mesh, axis_name=axis)
+        else:
+            from s2v_tpu.parallel.sp_attention import allgather_kv_attention
+
+            out = allgather_kv_attention(
+                q, k, v, mesh, axis_name=axis,
+                dp_axis=active_axis("dp"), tp_axis=active_axis("tp"),
+            )
     else:
         out = jax.nn.dot_product_attention(q, k, v)  # [B, S, H, hd]
 

@@ -114,6 +114,7 @@ def flash_attention(
     scale: Optional[float] = None,
     interpret: bool = False,
     return_lse: bool = False,
+    key_pad_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full (non-causal) self attention.
 
@@ -121,6 +122,12 @@ def flash_attention(
     the windowed path's text/ref queries over the full sequence); returns
     ``[B, Sq, H, d]``.  Matches ``jax.nn.dot_product_attention`` / torch
     SDPA semantics with the default ``1/sqrt(d)`` scale.
+
+    ``key_pad_mask``: optional ``[Skv]`` bool/0-1 vector, True on keys to
+    exclude (e.g. ring-padding on a sequence-parallel shard).  It rides the
+    existing pad-indicator feature row, so masking costs zero extra VPU
+    work — the MXU emits the -1e30 logits.  Masked keys' V rows are also
+    zeroed (the l-sum ones column must not count them).
 
     Internal layout is ``[B*H, S, d]`` (TPU block tiling requires the last
     two block dims be (8k, 128k)-aligned or full, which rules out blocking a
@@ -147,14 +154,25 @@ def flash_attention(
     ktb = k.transpose(0, 2, 3, 1).reshape(b * h, d, s_kv)
     ktb = jnp.pad(ktb, ((0, 0), (0, 0), (0, s_pad - s_kv)))
     indicator = jnp.zeros((1, 1, s_pad), k.dtype).at[:, :, s_kv:].set(1.0)
+    valid = None
+    if key_pad_mask is not None:
+        valid = 1.0 - key_pad_mask.astype(jnp.float32)  # [s_kv], 1 on real keys
+        indicator = indicator.at[:, :, :s_kv].set(
+            key_pad_mask.astype(k.dtype)[None, None, :]
+        )
     kt_aug = jnp.concatenate(
         [ktb, jnp.broadcast_to(indicator, (b * h, 1, s_pad))], axis=1
     )  # [BH, d+1, s_pad]
 
     # v_aug: V zero-padded | ones column (accumulates l)
     vb = v.transpose(0, 2, 1, 3).reshape(b * h, s_kv, d)
+    if valid is not None:
+        vb = vb * valid[None, :, None].astype(v.dtype)
     vb = jnp.pad(vb, ((0, 0), (0, s_pad - s_kv), (0, 0)))
-    ones = jnp.zeros((b * h, s_pad, 1), v.dtype).at[:, :s_kv].set(1.0)
+    ones_col = jnp.zeros((s_pad,), v.dtype).at[:s_kv].set(1.0)
+    if valid is not None:
+        ones_col = ones_col.at[:s_kv].set(valid.astype(v.dtype))
+    ones = jnp.broadcast_to(ones_col[None, :, None], (b * h, s_pad, 1))
     v_aug = jnp.concatenate([vb, ones], axis=-1)  # [BH, s_pad, d+1]
 
     out_specs = pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0))

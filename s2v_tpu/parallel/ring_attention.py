@@ -8,10 +8,18 @@ the online-softmax state — communication rides the ICI neighbour links and
 overlaps with the per-hop attention compute, memory stays
 O(S_local * S_local) per hop instead of O(S^2).
 
-This module is layout-agnostic: it runs under ``shard_map`` with plain XLA
-ops, so the identical code executes on a CPU test mesh and a v5e pod slice
-(where the inner per-hop product can further drop into the Pallas flash
-kernel).
+Two per-hop engines:
+
+* ``use_kernel=False`` — plain XLA fp32 einsum per hop; runs anywhere
+  (CPU test meshes) and is the parity baseline.
+* ``use_kernel=True`` — the Pallas flash kernel per hop
+  (``flash_attention(..., return_lse=True)`` with the ring-padding tail
+  masked through the kernel's MXU indicator row), hops merged by
+  log-sum-exp reweighting.  TPU (or ``interpret=True`` for CPU tests).
+
+See also ``sp_attention.allgather_kv_attention`` — the measured-faster SP
+strategy at the flagship geometry (full-extent kernel, one collective per
+layer); ring stays the memory-lean option when KV can't be gathered.
 
 Padding contract: the packed sequence is padded to a multiple of the ring
 size; padded key positions are masked by *global position* (finite logit),
@@ -85,6 +93,45 @@ def _ring_attention_local(q, k, v, seq_len, axis_name, scale):
     return out.astype(q.dtype)
 
 
+def _ring_attention_local_kernel(q, k, v, seq_len, axis_name, scale, interpret):
+    """Per-hop Pallas flash kernel + cross-hop log-sum-exp merge.
+
+    Each hop runs the fused kernel over the local K/V shard (ring-padding
+    tail masked via the kernel's indicator feature row — MXU-emitted -1e30
+    logits, zero VPU cost) and reweights the running output by
+    ``exp(lse - lse_new)``.  fp32 merge state; bf16 kernel compute.
+    """
+    from s2v_tpu.ops.pallas.flash_attention import flash_attention
+
+    b, s_loc, h, d = q.shape
+    ring = lax.psum(1, axis_name)
+    my_index = lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % ring) for i in range(ring)]
+
+    o0 = lax.pvary(jnp.zeros((b, s_loc, h, d), jnp.float32), axis_name)
+    lse0 = lax.pvary(jnp.full((b, h, s_loc), NEG_INF, jnp.float32), axis_name)
+
+    def body(r, carry):
+        o_acc, lse_acc, k_cur, v_cur = carry
+        src = jnp.mod(my_index - r, ring)
+        k_pos = src * s_loc + jnp.arange(s_loc, dtype=jnp.int32)
+        pad_mask = k_pos >= seq_len  # [S_loc] — ring-padding tail keys
+        o_i, lse_i = flash_attention(
+            q, k_cur, v_cur, scale=scale, return_lse=True,
+            key_pad_mask=pad_mask, interpret=interpret,
+        )
+        lse_new = jnp.logaddexp(lse_acc, lse_i)  # [B, H, S_loc]
+        w_acc = jnp.exp(lse_acc - lse_new).transpose(0, 2, 1)[..., None]
+        w_i = jnp.exp(lse_i - lse_new).transpose(0, 2, 1)[..., None]
+        o_acc = o_acc * w_acc + o_i.astype(jnp.float32) * w_i
+        k_nxt = lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = lax.ppermute(v_cur, axis_name, perm)
+        return o_acc, lse_new, k_nxt, v_nxt
+
+    o, _, _, _ = lax.fori_loop(0, ring, body, (o0, lse0, k, v))
+    return o.astype(q.dtype)
+
+
 def ring_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -92,17 +139,22 @@ def ring_attention(
     mesh: Mesh,
     axis_name: str = "seq",
     scale: Optional[float] = None,
+    use_kernel: Optional[bool] = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Exact attention with the sequence sharded over ``axis_name``.
 
     q/k/v: ``[B, S, H, d]`` global arrays (any current sharding); returns
     ``[B, S, H, d]``.  S is padded internally to a multiple of the ring size.
+    ``use_kernel=None`` auto-selects the Pallas per-hop engine on TPU.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     b, s, h, d = q.shape
     if scale is None:
         scale = 1.0 / math.sqrt(d)
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
     ring = mesh.shape[axis_name]
     pad = (-s) % ring
     if pad:
@@ -112,14 +164,21 @@ def ring_attention(
         v = jnp.pad(v, widths)
     s_pad = s + pad
 
-    spec = P(None, axis_name, None, None)
-    fn = shard_map(
-        functools.partial(
+    if use_kernel:
+        local = functools.partial(
+            _ring_attention_local_kernel,
+            seq_len=s, axis_name=axis_name, scale=scale, interpret=interpret,
+        )
+    else:
+        local = functools.partial(
             _ring_attention_local, seq_len=s, axis_name=axis_name, scale=scale
-        ),
-        mesh=mesh,
-        in_specs=(spec, spec, spec),
-        out_specs=spec,
+        )
+    spec = P(None, axis_name, None, None)
+    # check_vma=False on the kernel path: the Pallas call's out_shape
+    # carries no varying-manual-axes annotation (mesh-agnostic by design)
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=not use_kernel,
     )
     out = jax.jit(fn)(q, k, v)
     return out[:, :s]

@@ -443,6 +443,14 @@ class S2VPipeline:
         )
 
         self.attention_backend = resolve_attention_backend(self.attention_backend)
+        backend = self.attention_backend
+        if self._seq_ring() > 1 and backend == "pallas":
+            # a Pallas call under plain GSPMD does not partition; the
+            # sequence-parallel kernel path is the explicit shard_map
+            # all-gather-KV wrapper (measured 17.3 ms/device/layer vs the
+            # ring engine's 63.8 ms at the flagship geometry on v5e —
+            # docs/SCALING.md)
+            backend = "sp_allgather"
         cfg = self.transformer_cfg
 
         # input validation (reference check_inputs :372-421 + the static
@@ -508,7 +516,7 @@ class S2VPipeline:
             # multi-chip memory depends on the sharding; the single-chip
             # logits-materialization estimate doesn't apply
             attention_hbm_guard(
-                self.attention_backend,
+                backend,
                 batch * (2 if do_cfg and cfg_mode != "sequential" else 1),
                 cfg.num_attention_heads,
                 seq_len,
@@ -556,7 +564,7 @@ class S2VPipeline:
             num_inference_steps, float(guidance_scale), use_dynamic_cfg, use_dpm,
             do_cfg, cfg_mode, height, width, num_frames, batch,
             float(adaptive_threshold), float(cfg_skip_threshold),
-            self.attention_backend, cfg, self.mesh,
+            backend, cfg, self.mesh,
         )
         if do_cfg and cfg_skip_threshold > 0.0:
             # host-computable: the guidance table is fixed per schedule
@@ -584,7 +592,7 @@ class S2VPipeline:
             if run_seg is None:
                 run_seg = make_segmented_denoise(
                     None, cfg, schedule, rope_cos, rope_sin, do_cfg, None,
-                    self.attention_backend, pos_embedding, cfg_mode, None,
+                    backend, pos_embedding, cfg_mode, None,
                     cfg_skip_threshold, adaptive_threshold,
                 )
                 self._compiled_denoise[seg_key] = run_seg
@@ -626,7 +634,7 @@ class S2VPipeline:
                     lambda p, lat, ref, emb, rng: denoise_adaptive(
                         p, cfg, schedule, lat, ref, emb, rope_cos, rope_sin,
                         threshold=adaptive_threshold,
-                        do_cfg=do_cfg, rng_key=rng, attention_backend=self.attention_backend,
+                        do_cfg=do_cfg, rng_key=rng, attention_backend=backend,
                         pos_embedding=pos_embedding, cfg_mode=cfg_mode,
                         cfg_skip_threshold=cfg_skip_threshold,
                     )
@@ -635,7 +643,7 @@ class S2VPipeline:
                 run = jax.jit(
                     lambda p, lat, ref, emb, rng: denoise(
                         p, cfg, schedule, lat, ref, emb, rope_cos, rope_sin,
-                        do_cfg=do_cfg, rng_key=rng, attention_backend=self.attention_backend,
+                        do_cfg=do_cfg, rng_key=rng, attention_backend=backend,
                         pos_embedding=pos_embedding, cfg_mode=cfg_mode,
                         cfg_skip_threshold=cfg_skip_threshold,
                     )

@@ -333,3 +333,66 @@ def test_parse_mesh_spec():
         parse_mesh_spec("xx3")
     with pytest.raises(ValueError):
         parse_mesh_spec("dp")
+
+
+# ---------------------------------------------------------------------------
+# performance-grade SP: all-gather-KV + per-hop-kernel ring (VERDICT r1 #4)
+# ---------------------------------------------------------------------------
+
+
+def _qkv(key=0, b=1, s=19, h=2, d=8):
+    ks = jax.random.split(jax.random.PRNGKey(key), 3)
+    q = jax.random.normal(ks[0], (b, s, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, s, h, d), jnp.float32)
+    return q, k, v
+
+
+def test_allgather_kv_attention_matches_dense():
+    from s2v_tpu.parallel.sp_attention import allgather_kv_attention
+
+    q, k, v = _qkv(s=19)  # deliberately not divisible by 8
+    expected = jax.nn.dot_product_attention(q, k, v)
+    mesh = make_mesh({"seq": 8})
+    got = allgather_kv_attention(q, k, v, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5, rtol=1e-4)
+
+
+def test_ring_kernel_matches_dense_interpret():
+    """Per-hop Pallas engine (interpret mode on the CPU mesh) == dense."""
+    from s2v_tpu.parallel.ring_attention import ring_attention
+
+    q, k, v = _qkv(s=19)
+    expected = jax.nn.dot_product_attention(q, k, v)
+    mesh = make_mesh({"seq": 4}, jax.devices()[:4])
+    got = ring_attention(q, k, v, mesh, use_kernel=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_key_pad_mask_interpret():
+    """key_pad_mask excludes exactly the flagged keys (indicator-row path)."""
+    from s2v_tpu.ops.pallas.flash_attention import flash_attention
+
+    q, k, v = _qkv(s=16)
+    mask = jnp.zeros((16,), bool).at[12:].set(True)
+    expected = jax.nn.dot_product_attention(q, k[:, :12], v[:, :12])
+    got = flash_attention(q, k, v, key_pad_mask=mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5, rtol=1e-4)
+
+
+def test_sp_allgather_backend_through_joint_attention():
+    """The 'sp_allgather' backend end-to-end through transformer_forward."""
+    cfg, params, lat, ref, emb, cs, sn = _setup()
+    t = jnp.array([500, 500], jnp.int32)
+    lat2 = jnp.concatenate([lat, lat])
+    ref2 = jnp.concatenate([ref, ref])
+    expected = transformer_forward(params, cfg, lat2, ref2, emb, t, cs, sn)
+    mesh = make_mesh({"seq": 8})
+    with mesh_context(mesh, default_logical_map(mesh)):
+        fn = jax.jit(
+            lambda p, l, r, e: transformer_forward(
+                p, cfg, l, r, e, t, cs, sn, attention_backend="sp_allgather"
+            )
+        )
+        got = fn(params, lat2, ref2, emb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4, rtol=1e-4)
