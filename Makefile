@@ -1,9 +1,14 @@
 # Developer entry points
 
-.PHONY: test bench native demo dryrun clean
+.PHONY: test test-fast bench native demo dryrun clean
 
 test:
 	python -m pytest tests/ -q
+
+# smoke tier: <1 min on CPU (kernels/ops/loaders/scheduler/tokenizers);
+# the jit-heavy modules carry pytest.mark.slow
+test-fast:
+	python -m pytest tests/ -q -m "not slow"
 
 bench:
 	python bench.py

@@ -8,6 +8,11 @@ import jax.numpy as jnp
 from s2v_tpu.ops.attention import chunked_attention, flash_attention_trainable
 
 
+
+# jit-heavy full-coverage module (see pyproject markers); the fast tier
+# (pytest -m 'not slow') keeps kernels/ops/loaders/scheduler coverage
+pytestmark = __import__('pytest').mark.slow
+
 def test_grads_match_xla():
     rng = np.random.RandomState(0)
     b, s, h, d = 1, 96, 2, 64

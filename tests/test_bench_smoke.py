@@ -12,6 +12,11 @@ import subprocess
 import sys
 
 
+
+# jit-heavy full-coverage module (see pyproject markers); the fast tier
+# (pytest -m 'not slow') keeps kernels/ops/loaders/scheduler coverage
+pytestmark = __import__('pytest').mark.slow
+
 def test_bench_cpu_smoke():
     env = dict(os.environ, S2V_BENCH_STEPS="2")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

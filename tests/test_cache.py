@@ -11,6 +11,11 @@ from s2v_tpu.models.vae import init_vae_params
 from s2v_tpu.config import VAEConfig
 
 
+
+# jit-heavy full-coverage module (see pyproject markers); the fast tier
+# (pytest -m 'not slow') keeps kernels/ops/loaders/scheduler coverage
+pytestmark = __import__('pytest').mark.slow
+
 def test_transformer_params_roundtrip(tmp_path):
     cfg = TransformerConfig.tiny()
     params = init_transformer_params(jax.random.PRNGKey(0), cfg)

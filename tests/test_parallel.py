@@ -22,6 +22,11 @@ from s2v_tpu.pipelines.denoise import DenoiseSchedule, denoise
 from s2v_tpu.ops.rope import build_segmented_rope, get_3d_rotary_pos_embed
 
 
+
+# jit-heavy full-coverage module (see pyproject markers); the fast tier
+# (pytest -m 'not slow') keeps kernels/ops/loaders/scheduler coverage
+pytestmark = __import__('pytest').mark.slow
+
 def _setup(key=0):
     cfg = TransformerConfig.tiny()
     params = init_transformer_params(jax.random.PRNGKey(key), cfg)

@@ -18,6 +18,11 @@ from s2v_tpu.schedulers.ddim import ddim_step
 from s2v_tpu.ops.rope import build_segmented_rope, get_3d_rotary_pos_embed
 
 
+
+# jit-heavy full-coverage module (see pyproject markers); the fast tier
+# (pytest -m 'not slow') keeps kernels/ops/loaders/scheduler coverage
+pytestmark = __import__('pytest').mark.slow
+
 class _FakeTokenizer:
     def encode(self, prompts, max_length=226):
         out = np.zeros((len(prompts), max_length), np.int32)

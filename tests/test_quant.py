@@ -9,6 +9,11 @@ from s2v_tpu.models.transformer import init_transformer_params, transformer_forw
 from s2v_tpu.ops.quant import dense, int8_dense, quantize_transformer_params, quantize_weight_int8
 
 
+
+# jit-heavy full-coverage module (see pyproject markers); the fast tier
+# (pytest -m 'not slow') keeps kernels/ops/loaders/scheduler coverage
+pytestmark = __import__('pytest').mark.slow
+
 def test_int8_dense_accuracy():
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(4, 64).astype(np.float32))

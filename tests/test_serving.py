@@ -16,6 +16,11 @@ from s2v_tpu.pipelines.s2v import S2VPipeline
 from s2v_tpu.serving import ServingDaemon, request
 
 
+
+# jit-heavy full-coverage module (see pyproject markers); the fast tier
+# (pytest -m 'not slow') keeps kernels/ops/loaders/scheduler coverage
+pytestmark = __import__('pytest').mark.slow
+
 class _FakeTokenizer:
     def encode(self, prompts, max_length=226):
         out = np.zeros((len(prompts), max_length), np.int32)

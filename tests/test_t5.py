@@ -13,6 +13,11 @@ from s2v_tpu.config import T5Config
 from s2v_tpu.models.t5 import build_position_bias_index, init_t5_params, t5_encode
 
 
+
+# jit-heavy full-coverage module (see pyproject markers); the fast tier
+# (pytest -m 'not slow') keeps kernels/ops/loaders/scheduler coverage
+pytestmark = __import__('pytest').mark.slow
+
 def hf_tiny_t5():
     from transformers import T5Config as HFT5Config, T5EncoderModel
 

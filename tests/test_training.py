@@ -17,6 +17,11 @@ from s2v_tpu.training.lora import (
 from s2v_tpu.loaders.lora import merge_lora_into_state_dict, normalize_lora_keys
 
 
+
+# jit-heavy full-coverage module (see pyproject markers); the fast tier
+# (pytest -m 'not slow') keeps kernels/ops/loaders/scheduler coverage
+pytestmark = __import__('pytest').mark.slow
+
 def _setup():
     cfg = TransformerConfig.tiny()
     base = init_transformer_params(jax.random.PRNGKey(0), cfg)

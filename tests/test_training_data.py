@@ -16,6 +16,11 @@ from s2v_tpu.training.data import VideoFolderDataset, latent_batches, read_video
 from s2v_tpu.training.lora import LoRASpec, init_lora_params, make_lora_train_step
 
 
+
+# jit-heavy full-coverage module (see pyproject markers); the fast tier
+# (pytest -m 'not slow') keeps kernels/ops/loaders/scheduler coverage
+pytestmark = __import__('pytest').mark.slow
+
 def _write_video(path, frames=10, h=48, w=64):
     wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 8, (w, h))
     rng = np.random.RandomState(0)

@@ -14,6 +14,11 @@ from s2v_tpu.models.transformer import (
 from s2v_tpu.ops.rope import build_segmented_rope, prepare_video_and_ref_rope
 
 
+
+# jit-heavy full-coverage module (see pyproject markers); the fast tier
+# (pytest -m 'not slow') keeps kernels/ops/loaders/scheduler coverage
+pytestmark = __import__('pytest').mark.slow
+
 def _tiny_inputs(cfg, key, batch=2, frames=3):
     ks = jax.random.split(key, 4)
     h = w = cfg.sample_height // 2  # latent-ish small

@@ -21,6 +21,11 @@ from s2v_tpu.models.vae import (
 from s2v_tpu.ops.causal_conv3d import causal_conv3d, nearest_resize_video
 
 
+
+# jit-heavy full-coverage module (see pyproject markers); the fast tier
+# (pytest -m 'not slow') keeps kernels/ops/loaders/scheduler coverage
+pytestmark = __import__('pytest').mark.slow
+
 def test_causal_conv_cache_equals_full():
     """Chunked streaming with conv cache == one-shot causal conv."""
     rng = np.random.RandomState(0)

@@ -13,6 +13,11 @@ from s2v_tpu.pipelines.denoise import DenoiseSchedule
 from s2v_tpu.pipelines.variants import generate_i2v, generate_v2v, prepare_i2v_cond_latents
 
 
+
+# jit-heavy full-coverage module (see pyproject markers); the fast tier
+# (pytest -m 'not slow') keeps kernels/ops/loaders/scheduler coverage
+pytestmark = __import__('pytest').mark.slow
+
 class _FakeTokenizer:
     def encode(self, prompts, max_length=226):
         out = np.zeros((len(prompts), max_length), np.int32)

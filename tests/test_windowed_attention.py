@@ -10,6 +10,11 @@ from s2v_tpu.ops.windowed_attention import (
 )
 
 
+
+# jit-heavy full-coverage module (see pyproject markers); the fast tier
+# (pytest -m 'not slow') keeps kernels/ops/loaders/scheduler coverage
+pytestmark = __import__('pytest').mark.slow
+
 def _data(b=1, g=10, tpf=16, f=5, h=2, d=64, seed=0):
     rng = np.random.RandomState(seed)
     s = g + f * tpf
