@@ -1,6 +1,6 @@
 # Developer entry points
 
-.PHONY: test test-fast bench native demo dryrun clean
+.PHONY: test test-fast bench native demo dryrun parity clean
 
 test:
 	python -m pytest tests/ -q
@@ -15,6 +15,15 @@ bench:
 
 native:
 	$(MAKE) -C native
+
+# real-weight parity: the moment a checkpoint + reference dump are
+# available the north-star PSNR number is one command away, e.g.
+#   make parity MODEL_DIR=/ckpts/CogVideoX-5b LORA_DIR=/ckpts/s2v_lora DUMP=ref_dump.safetensors
+# (dump key contract: tools/parity_dump.py docstring; emits per-stage
+# drift + PSNR vs frames::final)
+parity:
+	python tools/parity_dump.py --model_dir $(MODEL_DIR) \
+		$(if $(LORA_DIR),--lora_dir $(LORA_DIR)) --reference_dump $(DUMP)
 
 dryrun:
 	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \

@@ -1,0 +1,92 @@
+"""Production-shape golden parity (VERDICT r1 next-round #5a).
+
+The tiny-dim golden tests can hide dtype/layout bugs that only appear at
+real dimensions (3072 hidden, 48 heads x d=64, 1350 tokens/frame at the
+true 30x45 patch grid).  This runs the independent torch 3-stream model
+from test_loaders at a 1-layer production-dim config, through the real
+state-dict converter, in fp32 on CPU, with a per-output drift budget.
+
+Sequence: 226 text + 1350 ref + 2x1350 video = 4276 tokens (the full 13
+video frames would need a ~50 GB fp32 logits tensor on the torch side;
+two frames at real spatial geometry exercise every dimension-dependent
+code path — head folding, RoPE axis split 16/24/24, patchify layout).
+"""
+
+import numpy as np
+import pytest
+import torch
+import jax.numpy as jnp
+
+from s2v_tpu.config import TransformerConfig
+from s2v_tpu.loaders import convert_transformer_state_dict
+from s2v_tpu.models.transformer import transformer_forward
+from s2v_tpu.ops.rope import build_segmented_rope, get_3d_rotary_pos_embed
+
+from test_loaders import TorchTinyTransformer, rope_interleaved
+
+pytestmark = pytest.mark.slow
+
+
+def test_one_block_production_dims_parity():
+    cfg = TransformerConfig.cogvideox_5b(
+        num_layers=1,
+        dtype=jnp.float32,
+        param_dtype=jnp.float32,
+    )
+    assert cfg.inner_dim == 3072 and cfg.num_attention_heads == 48
+
+    torch.manual_seed(0)
+    model = TorchTinyTransformer(cfg).eval().float()
+    params = convert_transformer_state_dict(model.hf_state_dict(), cfg)
+
+    rng = np.random.RandomState(0)
+    B, Fv, H, W = 1, 2, 60, 90  # latent 60x90 -> 30x45 = 1350 tokens/frame
+    video = rng.randn(B, Fv, H, W, cfg.in_channels).astype(np.float32)
+    ref = rng.randn(B, 1, H, W, cfg.in_channels).astype(np.float32)
+    text = rng.randn(B, cfg.max_text_seq_length, cfg.text_embed_dim).astype(np.float32)
+    t = np.array([999.0], np.float32)
+
+    gh, gw = H // cfg.patch_size, W // cfg.patch_size
+    cos, sin = get_3d_rotary_pos_embed(
+        cfg.attention_head_dim, ((0, 0), (gh, gw)), (gh, gw), Fv + 1
+    )
+    tok = gh * gw
+    cos_seg, sin_seg = build_segmented_rope(
+        cfg.max_text_seq_length, cos[:tok], sin[:tok],
+        cos[tok : tok * (Fv + 1)], sin[tok : tok * (Fv + 1)],
+    )
+    # chunked attention keeps the jax-side logits at O(block * S) — the xla
+    # backend would also pass but doubles peak memory
+    ours = np.asarray(
+        transformer_forward(
+            params, cfg, jnp.asarray(video), jnp.asarray(ref), jnp.asarray(text),
+            jnp.asarray(t), cos_seg, sin_seg, attention_backend="chunked",
+        )
+    )
+
+    with torch.no_grad():
+        half = cfg.attention_head_dim // 2
+        full_cos = np.concatenate(
+            [np.ones((cfg.max_text_seq_length, half), np.float32),
+             cos[:tok], cos[tok : tok * (Fv + 1)]], axis=0)
+        full_sin = np.concatenate(
+            [np.zeros((cfg.max_text_seq_length, half), np.float32),
+             sin[:tok], sin[tok : tok * (Fv + 1)]], axis=0)
+        tcos, tsin = rope_interleaved(full_cos, full_sin)
+        theirs = model(
+            torch.from_numpy(video).permute(0, 1, 4, 2, 3),
+            torch.from_numpy(ref).permute(0, 1, 4, 2, 3),
+            torch.from_numpy(text),
+            torch.from_numpy(t),
+            tcos, tsin,
+        ).permute(0, 1, 3, 4, 2).numpy()
+
+    assert ours.shape == theirs.shape
+    # drift budget at production dims: fp32 matmul reassociation over a
+    # 3072-wide contraction + softmax over 4276 keys
+    err = np.abs(ours - theirs)
+    scale = np.abs(theirs).max()
+    assert err.max() <= 2e-3 * max(scale, 1.0), (
+        f"max abs err {err.max():.3e} (out scale {scale:.2f})"
+    )
+    np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=2e-3)
