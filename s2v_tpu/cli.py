@@ -121,6 +121,7 @@ def main(args=None):
         disentangled_modulation=args.disentangled_modulation,
         dtype={"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype],
         mesh=args.mesh,
+        cache_dir=os.path.expanduser(args.cache_dir) if args.cache_dir else None,
     )
     pipe.vae_tiling = args.enable_tiling  # True | False | "auto"
     pipe.vae_slicing = bool(args.enable_slicing)

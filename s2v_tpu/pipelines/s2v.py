@@ -165,10 +165,13 @@ class S2VPipeline:
         text_encoder_device: str = "auto",  # "auto" | "device" | "host"
         disentangled_modulation: bool = False,
         mesh=None,  # "dp2,tp4" | {"data": 2, ...} | jax.sharding.Mesh
+        cache_dir: Optional[str] = None,
     ) -> "S2VPipeline":
-        """Load a HF-layout CogVideoX snapshot dir (transformer/ vae/
-        text_encoder/ tokenizer/ scheduler/) + optional S2V LoRA checkpoint,
-        merged at init.
+        """Load a CogVideoX snapshot — a local HF-layout dir (transformer/
+        vae/ text_encoder/ tokenizer/ scheduler/) or a hub repo id like
+        ``THUDM/CogVideoX-5b`` (downloaded via huggingface_hub when the
+        network is allowed; see loaders/resolve.py for the offline gates) —
+        plus an optional S2V LoRA checkpoint, merged at init.
 
         ``text_encoder_device="auto"`` keeps T5 in host RAM when the T5 +
         transformer parameters would overflow a single accelerator's HBM
@@ -180,6 +183,9 @@ class S2VPipeline:
             load_and_merge_lora,
             load_sharded_safetensors,
         )
+        from s2v_tpu.loaders.resolve import resolve_model_dir
+
+        model_dir = resolve_model_dir(model_dir, cache_dir=cache_dir)
 
         t_cfg = TransformerConfig.from_hf_config(
             os.path.join(model_dir, "transformer", "config.json"), dtype=dtype, param_dtype=dtype
