@@ -8,9 +8,10 @@
         --prompt "<cls> A pig walking on a beach" \
         --output_dir ./out
 
-Differences from the reference CLI are deliberate TPU-isms only:
-weights load from a local HF snapshot dir (no hub download), LoRA is merged
-at init, and the denoise loop runs as one jitted XLA program.
+Differences from the reference CLI are deliberate TPU-isms only: LoRA is
+merged at init and the denoise loop runs as one jitted XLA program.
+Weights load from a local HF snapshot dir or a hub repo id (downloaded via
+huggingface_hub when the network is allowed — s2v_tpu/loaders/resolve.py).
 """
 
 from __future__ import annotations
@@ -93,6 +94,9 @@ def get_args(argv=None):
                         "multiply to <= device count). Shards the "
                         "transformer (tp), tokens (sp), and batch (dp); a "
                         "seq axis also enables context-parallel VAE decode")
+    p.add_argument("--progress", action="store_true", default=False,
+                   help="per-step progress from inside the fused denoise loop "
+                        "(host callback; on relayed devices prefer --segment_steps)")
     p.add_argument("--profile_dir", type=str, default=None, help="jax.profiler trace output dir")
     return p.parse_args(argv)
 
@@ -161,6 +165,7 @@ def main(args=None):
         cfg_skip_threshold=args.cfg_skip_threshold,
         segment_steps=args.segment_steps,
         callback_on_segment_end=progress,
+        progress=args.progress,
     )
     if args.profile_dir:
         jax.profiler.stop_trace()

@@ -263,6 +263,16 @@ def _build_eps_update_fns(
     return eps_fn, update_fn
 
 
+def _progress_cb(i, n):
+    import sys
+
+    i, n = int(i) + 1, int(n)
+    sys.stderr.write(f"\r[s2v_tpu] denoise step {i}/{n}")
+    if i == n:
+        sys.stderr.write("\n")
+    sys.stderr.flush()
+
+
 def denoise(
     params,
     cfg: TransformerConfig,
@@ -279,19 +289,34 @@ def denoise(
     cfg_mode: str = "batched",  # "batched" (one 2B forward) | "sequential"
     cond_latents: Optional[jnp.ndarray] = None,  # I2V: channel-concat condition
     cfg_skip_threshold: float = 0.0,  # >0: skip the uncond forward when g-1 < thr
+    progress: bool = False,  # per-step host progress via jax.debug.callback
 ) -> jnp.ndarray:
     """Run the full denoise loop; returns final latents [B, F, h, w, C].
 
     Everything here traces into one XLA program; callers jit it (see
     ``S2VPipeline.generate`` / ``__graft_entry__``).
+
+    ``progress=True`` emits the reference's per-step progress (a tqdm bar,
+    pipeline_utils.py:1555) from *inside* the fused loop via an unordered
+    ``jax.debug.callback`` — no extra host round-trips on the data path.
+    On relayed devices that drop host callbacks, use ``segment_steps``
+    instead (the host-stepped loop reports per segment).
     """
     step = _build_step_fn(
         params, cfg, schedule, ref_latents, prompt_embeds, rope_cos, rope_sin,
         do_cfg, rng_key, attention_backend, pos_embedding, cfg_mode, cond_latents,
         cfg_skip_threshold,
     )
+    n = len(schedule.timesteps)
+    if progress:
+        inner = step
+
+        def step(i, carry):  # noqa: F811
+            jax.debug.callback(_progress_cb, i, n, ordered=False)
+            return inner(i, carry)
+
     init = (latents, jnp.zeros_like(latents))
-    final, _ = jax.lax.fori_loop(0, len(schedule.timesteps), step, init)
+    final, _ = jax.lax.fori_loop(0, n, step, init)
     return final
 
 

@@ -440,6 +440,7 @@ class S2VPipeline:
         cfg_skip_threshold: float = 0.0,  # >0: skip uncond forwards once dynamic g-1 < thr
         segment_steps: int = 0,  # >0: host-stepped segments of this many steps
         callback_on_segment_end=None,  # f(step_index, latents) between segments
+        progress: bool = False,  # per-step progress from inside the fused loop
     ):
         """Generate a clip; returns [B, T, H, W, 3] float in [0,1] (np) or
         the final latents (output_type="latent")."""
@@ -480,6 +481,29 @@ class S2VPipeline:
             raise ValueError("provide prompt or prompt_embeds")
         if prompt is not None and prompt_embeds is not None:
             raise ValueError("provide only one of prompt / prompt_embeds")
+        # remaining reference check_inputs surface (pipeline_cogvideox.py:
+        # 372-421): type combinations that would otherwise be silently
+        # ignored or crash later
+        if prompt is not None and not isinstance(prompt, (str, list)):
+            raise ValueError(f"prompt must be str or list, got {type(prompt)}")
+        if isinstance(prompt, list) and not all(isinstance(p, str) for p in prompt):
+            raise ValueError("prompt list must contain only strings")
+        if prompt_embeds is not None and negative_prompt is not None:
+            raise ValueError(
+                "negative_prompt is ignored when prompt_embeds is provided "
+                "(pass [uncond | cond] rows in prompt_embeds instead)"
+            )
+        if ref_image is not None and ref_latents is not None:
+            raise ValueError("provide only one of ref_image / ref_latents")
+        if num_inference_steps < 1:
+            raise ValueError("num_inference_steps must be >= 1")
+        if num_frames < 1:
+            raise ValueError("num_frames must be >= 1")
+        if callback_on_segment_end is not None and segment_steps <= 0:
+            raise ValueError(
+                "callback_on_segment_end needs segment_steps > 0 (the fused "
+                "loop has no host hooks; use progress=True for a step bar)"
+            )
 
         key = jax.random.PRNGKey(seed)
         k_lat, k_ref, k_dpm = jax.random.split(key, 3)
@@ -570,7 +594,7 @@ class S2VPipeline:
             num_inference_steps, float(guidance_scale), use_dynamic_cfg, use_dpm,
             do_cfg, cfg_mode, height, width, num_frames, batch,
             float(adaptive_threshold), float(cfg_skip_threshold),
-            backend, cfg, self.mesh,
+            backend, cfg, self.mesh, bool(progress),
         )
         if do_cfg and cfg_skip_threshold > 0.0:
             # host-computable: the guidance table is fixed per schedule
@@ -651,7 +675,7 @@ class S2VPipeline:
                         p, cfg, schedule, lat, ref, emb, rope_cos, rope_sin,
                         do_cfg=do_cfg, rng_key=rng, attention_backend=backend,
                         pos_embedding=pos_embedding, cfg_mode=cfg_mode,
-                        cfg_skip_threshold=cfg_skip_threshold,
+                        cfg_skip_threshold=cfg_skip_threshold, progress=progress,
                     )
                 )
             self._compiled_denoise[cache_key] = run

@@ -1,0 +1,90 @@
+"""generate() input-validation surface (reference check_inputs,
+pipeline_cogvideox.py:372-421) + the fused-loop progress callback."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from s2v_tpu.config import TransformerConfig, VAEConfig
+from s2v_tpu.models.transformer import init_transformer_params
+from s2v_tpu.models.vae import init_vae_params
+from s2v_tpu.pipelines.s2v import S2VPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = TransformerConfig.tiny()
+    vcfg = VAEConfig.tiny(latent_channels=cfg.in_channels)
+    return S2VPipeline(
+        transformer_params=init_transformer_params(jax.random.PRNGKey(0), cfg),
+        transformer_cfg=cfg,
+        vae_params=init_vae_params(jax.random.PRNGKey(1), vcfg),
+        vae_cfg=vcfg,
+        attention_backend="xla",
+    )
+
+
+def _kw(pipe, **over):
+    cfg = pipe.transformer_cfg
+    sc = pipe.vae_cfg.spatial_compression_ratio
+    H = W = 2 * sc * cfg.patch_size
+    emb = jnp.zeros((2, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32)
+    ref = jnp.zeros((1, 1, H // sc, W // sc, cfg.in_channels), jnp.float32)
+    kw = dict(prompt_embeds=emb, ref_latents=ref, height=H, width=W,
+              num_frames=pipe.vae_cfg.temporal_compression_ratio + 1,
+              num_inference_steps=1, output_type="latent")
+    kw.update(over)
+    return kw
+
+
+def test_prompt_and_embeds_exclusive(pipe):
+    with pytest.raises(ValueError, match="only one of prompt"):
+        pipe.generate(**_kw(pipe, prompt="hi"))
+
+
+def test_neither_prompt_nor_embeds(pipe):
+    with pytest.raises(ValueError, match="provide prompt or prompt_embeds"):
+        pipe.generate(**_kw(pipe, prompt_embeds=None))
+
+
+def test_prompt_type_checked(pipe):
+    with pytest.raises(ValueError, match="prompt must be str or list"):
+        pipe.generate(**_kw(pipe, prompt_embeds=None, prompt=42))
+    with pytest.raises(ValueError, match="only strings"):
+        pipe.generate(**_kw(pipe, prompt_embeds=None, prompt=["ok", 1]))
+
+
+def test_negative_prompt_with_embeds_rejected(pipe):
+    with pytest.raises(ValueError, match="negative_prompt is ignored"):
+        pipe.generate(**_kw(pipe, negative_prompt="bad"))
+
+
+def test_ref_image_and_latents_exclusive(pipe):
+    with pytest.raises(ValueError, match="only one of ref_image / ref_latents"):
+        pipe.generate(**_kw(pipe, ref_image=np.zeros((8, 8, 3), np.float32)))
+
+
+def test_step_and_frame_counts(pipe):
+    with pytest.raises(ValueError, match="num_inference_steps"):
+        pipe.generate(**_kw(pipe, num_inference_steps=0))
+    with pytest.raises(ValueError, match="num_frames"):
+        pipe.generate(**_kw(pipe, num_frames=0))
+
+
+def test_segment_callback_requires_segments(pipe):
+    with pytest.raises(ValueError, match="segment_steps > 0"):
+        pipe.generate(**_kw(pipe, callback_on_segment_end=lambda i, l: None))
+
+
+def test_divisibility_guard(pipe):
+    with pytest.raises(ValueError, match="divisible"):
+        pipe.generate(**_kw(pipe, height=10))
+
+
+def test_fused_loop_progress_callback(pipe, capfd):
+    out = pipe.generate(**_kw(pipe, num_inference_steps=2), progress=True)
+    jax.effects_barrier()
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    err = capfd.readouterr().err
+    assert "denoise step 1/2" in err and "denoise step 2/2" in err
