@@ -210,6 +210,14 @@ def main():
                 "value": round(sec_per_clip, 3),
                 "unit": "s",
                 "vs_baseline": round(BASELINE_SECONDS / sec_per_clip, 3),
+                # serving throughput ceiling per chip: the DiT is
+                # MXU-compute-bound at S=19,126 (weights traffic is
+                # negligible vs activations), so batching prompts does not
+                # reduce per-clip device time; with the daemon's compiled
+                # cache + prompt-embed cache removing per-request compiles
+                # and T5 re-encodes (tests/test_serving.py), throughput ~=
+                # 1/latency per chip
+                "serving_clips_per_hour": round(3600.0 / sec_per_clip, 2),
             }
         )
     )
