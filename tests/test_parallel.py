@@ -401,3 +401,25 @@ def test_sp_allgather_backend_through_joint_attention():
         )
         got = fn(params, lat2, ref2, emb)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4, rtol=1e-4)
+
+
+def test_int8_params_tp_sharded_forward_matches():
+    """The path-matched TP specs cover the int8 {'q','scale'} serving tree:
+    a dp2 x tp4-sharded int8 forward == the unsharded int8 forward."""
+    from s2v_tpu.ops.quant import quantize_transformer_params
+    from s2v_tpu.parallel.sharding import transformer_param_specs_like
+
+    cfg, params, lat, ref, emb, cs, sn = _setup()
+    qparams = quantize_transformer_params(params)
+    t = jnp.array([500, 500], jnp.int32)
+    lat2 = jnp.concatenate([lat, lat])
+    ref2 = jnp.concatenate([ref, ref])
+
+    expected = transformer_forward(qparams, cfg, lat2, ref2, emb, t, cs, sn)
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    sharded = shard_params(qparams, mesh, transformer_param_specs_like(qparams, "model"))
+    with mesh_context(mesh, default_logical_map(mesh)):
+        fn = jax.jit(lambda p, l, r, e: transformer_forward(p, cfg, l, r, e, t, cs, sn))
+        got = fn(sharded, lat2, ref2, emb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4, rtol=1e-4)
