@@ -451,13 +451,23 @@ class S2VPipeline:
 
         self.attention_backend = resolve_attention_backend(self.attention_backend)
         backend = self.attention_backend
-        if self._seq_ring() > 1 and backend == "pallas":
-            # a Pallas call under plain GSPMD does not partition; the
-            # sequence-parallel kernel path is the explicit shard_map
-            # all-gather-KV wrapper (measured 17.3 ms/device/layer vs the
-            # ring engine's 63.8 ms at the flagship geometry on v5e —
-            # docs/SCALING.md)
-            backend = "sp_allgather"
+        if self._seq_ring() > 1:
+            if backend == "pallas":
+                # a Pallas call under plain GSPMD does not partition; the
+                # sequence-parallel kernel path is the explicit shard_map
+                # all-gather-KV wrapper (measured 17.3 ms/device/layer vs
+                # the ring engine's 63.8 ms at the flagship geometry on
+                # v5e — docs/SCALING.md)
+                backend = "sp_allgather"
+            elif backend in ("pallas_int8", "windowed", "windowed_gather"):
+                from s2v_tpu.ops.attention import WINDOWED_BACKENDS  # noqa: F401
+
+                raise ValueError(
+                    f"attention_backend={backend!r} has no sequence-parallel "
+                    f"wrapper; under a seq mesh use 'auto'/'pallas' "
+                    f"(all-gather-KV), 'ring', or the GSPMD 'xla'/"
+                    f"'windowed_xla' paths"
+                )
         cfg = self.transformer_cfg
 
         # input validation (reference check_inputs :372-421 + the static

@@ -52,6 +52,10 @@ def get_args(argv=None):
     p.add_argument("--resume_from_checkpoint", type=str, default=None,
                    help="train-state dir written by --checkpointing_steps "
                         "(adapters + optimizer state + step; orbax)")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="multi-chip training mesh, e.g. 'dp2,tp4': base "
+                        "params TP-sharded, batches dp-sharded, adapters "
+                        "replicated (gradients all-reduced by GSPMD)")
     return p.parse_args(argv)
 
 
@@ -85,6 +89,15 @@ def main(args=None):
 
     spec = LoRASpec(rank=args.rank, alpha=args.lora_alpha,
                     disentangled=args.disentangled_modulation)
+    batch_sharding = None
+    if args.mesh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        pipe.set_mesh(args.mesh)  # TP-shards the base params in place
+        if "data" in pipe.mesh.axis_names:
+            batch_sharding = NamedSharding(pipe.mesh, P("data"))
+    mesh_ctx = pipe._mesh_ctx  # fresh (re-entrant) context per step
+
     lora = init_lora_params(jax.random.PRNGKey(args.seed), pipe.transformer_params, spec)
     init_opt, train_step = make_lora_train_step(
         pipe.transformer_params, pipe.transformer_cfg, spec, pipe.scheduler_cfg,
@@ -123,7 +136,12 @@ def main(args=None):
     while step < args.max_train_steps:
         for batch in latent_batches(dataset, pipe, args.train_batch_size, seed=args.seed + epoch):
             rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), step)
-            lora, opt_state, loss = train_step(lora, opt_state, batch, rng)
+            if batch_sharding is not None:
+                for k in ("video_latents", "ref_latents", "text_embeds"):
+                    if k in batch:
+                        batch[k] = jax.device_put(batch[k], batch_sharding)
+            with mesh_ctx():
+                lora, opt_state, loss = train_step(lora, opt_state, batch, rng)
             step += 1
             if step % 10 == 0 or step == 1:
                 log.info("step %d/%d loss %.4f (%.2f s/step)",
