@@ -20,38 +20,11 @@ API for custom programs.
 import jax
 import jax.numpy as jnp
 
-from s2v_tpu.config import TransformerConfig, VAEConfig
-from s2v_tpu.models.transformer import init_transformer_params
-from s2v_tpu.models.vae import init_vae_params
-from s2v_tpu.pipelines.s2v import S2VPipeline
-
-
-def build_pipeline():
-    """Random tiny weights; swap for S2VPipeline.from_pretrained(dir, mesh=...)."""
-    cfg = TransformerConfig.tiny()
-    vcfg = VAEConfig.tiny(latent_channels=cfg.in_channels)
-    return S2VPipeline(
-        transformer_params=init_transformer_params(jax.random.PRNGKey(0), cfg),
-        transformer_cfg=cfg,
-        vae_params=init_vae_params(jax.random.PRNGKey(1), vcfg),
-        vae_cfg=vcfg,
-    )
-
-
-def gen_kwargs(pipe, num_frames):
-    cfg = pipe.transformer_cfg
-    sc = pipe.vae_cfg.spatial_compression_ratio
-    H = W = 2 * sc * cfg.patch_size
-    return dict(
-        prompt_embeds=jax.random.normal(
-            jax.random.PRNGKey(5), (2, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32
-        ),
-        ref_latents=jax.random.normal(
-            jax.random.PRNGKey(6), (1, 1, H // sc, W // sc, cfg.in_channels), jnp.float32
-        ),
-        height=H, width=W, num_frames=num_frames, num_inference_steps=2,
-        output_type="np",
-    )
+from s2v_tpu.config import VAEConfig
+from s2v_tpu.testing import (
+    tiny_generate_kwargs as gen_kwargs,
+    tiny_pipeline as build_pipeline,
+)
 
 
 def main():

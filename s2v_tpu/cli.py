@@ -32,7 +32,10 @@ def get_args(argv=None):
     p = argparse.ArgumentParser(description="TPU-native disentangled subject-to-video inference")
     p.add_argument("--pretrained_model_name_or_path", type=str, default="THUDM/CogVideoX-5b",
                    help="Local HF snapshot dir with transformer/ vae/ text_encoder/ tokenizer/ scheduler/")
-    p.add_argument("--cache_dir", type=str, default="~/.cache")
+    # default None: huggingface_hub then uses its standard cache
+    # (~/.cache/huggingface/hub) — pointing it elsewhere would re-download
+    # snapshots a user already has
+    p.add_argument("--cache_dir", type=str, default=None)
     p.add_argument("--dataset_name", type=str, default="customization")
     p.add_argument("--dataloader_num_workers", type=int, default=16)
     p.add_argument("--ref_img_path", type=str, required=True)

@@ -32,9 +32,11 @@ _WEIGHT_MARKERS = (
 
 
 def _offline() -> bool:
+    # accept the same truthy spellings huggingface_hub does
+    truthy = ("1", "true", "yes", "on")
     return (
-        os.environ.get("HF_HUB_OFFLINE") == "1"
-        or os.environ.get("S2V_TPU_OFFLINE") == "1"
+        os.environ.get("HF_HUB_OFFLINE", "").lower() in truthy
+        or os.environ.get("S2V_TPU_OFFLINE", "").lower() in truthy
     )
 
 

@@ -80,14 +80,15 @@ def make_hybrid_mesh(
         # global shape: pad each side with 1s so our named axes stay distinct
         ici_full = [1] * len(dcn_shape) + ici_shape
         dcn_full = dcn_shape + [1] * len(ici_shape)
-        # process_is_granule: group by process for CPU/simulated hosts —
-        # TPU pods report a distinct slice_index per pod slice, while CPU
-        # devices all report the same (or no) slice, which would collapse
-        # the DCN axis to one granule
+        # process_is_granule: group by process ONLY when slice_index is
+        # uninformative (CPU/simulated hosts all report the same or no
+        # slice, which would collapse the DCN axis to one granule).  Real
+        # multi-slice pods keep slice granules — a slice can span several
+        # processes (2 slices x 2 hosts each: 2 granules, 4 processes).
         n_slices = len({getattr(d, "slice_index", 0) or 0 for d in devices})
         arr = mesh_utils.create_hybrid_device_mesh(
             ici_full, dcn_full, devices=devices,
-            process_is_granule=n_slices < n_proc,
+            process_is_granule=n_slices <= 1,
         )
         return Mesh(arr, axis_names=names)
     return Mesh(np.asarray(devices).reshape(dcn_shape + ici_shape), axis_names=names)

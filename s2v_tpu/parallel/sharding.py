@@ -124,6 +124,10 @@ def parse_mesh_spec(spec: str) -> Dict[str, int]:
                 f"bad mesh spec {part!r} (want e.g. 'dp2,tp4' or 'sp8'; "
                 f"axes: dp/data, tp/model, sp/seq)"
             )
+        if alias[name] in out:
+            raise ValueError(f"duplicate mesh axis {name!r} in {spec!r}")
+        if int(size) < 1:
+            raise ValueError(f"mesh axis {part!r} must have size >= 1")
         out[alias[name]] = int(size)
     if not out:
         raise ValueError(f"empty mesh spec {spec!r}")

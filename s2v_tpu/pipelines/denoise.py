@@ -263,6 +263,17 @@ def _build_eps_update_fns(
     return eps_fn, update_fn
 
 
+def _with_progress(step, n):
+    """Wrap a fori_loop step body with the per-step host progress callback
+    (shared by the fused, adaptive, and segmented loops)."""
+
+    def wrapped(i, carry):
+        jax.debug.callback(_progress_cb, i, n, ordered=False)
+        return step(i, carry)
+
+    return wrapped
+
+
 def _progress_cb(i, n):
     import sys
 
@@ -309,12 +320,7 @@ def denoise(
     )
     n = len(schedule.timesteps)
     if progress:
-        inner = step
-
-        def step(i, carry):  # noqa: F811
-            jax.debug.callback(_progress_cb, i, n, ordered=False)
-            return inner(i, carry)
-
+        step = _with_progress(step, n)
     init = (latents, jnp.zeros_like(latents))
     final, _ = jax.lax.fori_loop(0, n, step, init)
     return final
@@ -337,6 +343,7 @@ def denoise_adaptive(
     cfg_mode: str = "batched",
     cond_latents: Optional[jnp.ndarray] = None,
     cfg_skip_threshold: float = 0.0,
+    progress: bool = False,
 ):
     """Training-free adaptive step skipping (opt-in serving fast path; NOT
     the reference algorithm — the exact loop is :func:`denoise`).
@@ -355,10 +362,11 @@ def denoise_adaptive(
         threshold, do_cfg, rng_key, attention_backend, pos_embedding, cfg_mode,
         cond_latents, cfg_skip_threshold,
     )
+    n = len(schedule.timesteps)
+    if progress:
+        step = _with_progress(step, n)
     init = adaptive_init_carry(latents)
-    final, _, _, _, _, skips = jax.lax.fori_loop(
-        0, len(schedule.timesteps), step, init
-    )
+    final, _, _, _, _, skips = jax.lax.fori_loop(0, n, step, init)
     return final, skips
 
 
@@ -428,6 +436,7 @@ def make_segmented_denoise(
     cond_latents: Optional[jnp.ndarray] = None,
     cfg_skip_threshold: float = 0.0,
     adaptive_threshold: float = 0.0,
+    progress: bool = False,
 ):
     """Host-steppable denoise: returns ``run(params, carry, ref, emb, rng,
     i0, i1)`` — the single segmented-loop runner (generate() drives it for
@@ -465,6 +474,8 @@ def make_segmented_denoise(
                 rope_sin, do_cfg, rng, attention_backend, pos_embedding,
                 cfg_mode, cond_latents, cfg_skip_threshold,
             )
+        if progress:
+            step = _with_progress(step, len(schedule.timesteps))
         return jax.lax.fori_loop(i0, i1, step, carry)
 
     return run

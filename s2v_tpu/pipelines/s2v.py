@@ -460,8 +460,6 @@ class S2VPipeline:
                 # v5e — docs/SCALING.md)
                 backend = "sp_allgather"
             elif backend in ("pallas_int8", "windowed", "windowed_gather"):
-                from s2v_tpu.ops.attention import WINDOWED_BACKENDS  # noqa: F401
-
                 raise ValueError(
                     f"attention_backend={backend!r} has no sequence-parallel "
                     f"wrapper; under a seq mesh use 'auto'/'pallas' "
@@ -633,7 +631,7 @@ class S2VPipeline:
                 run_seg = make_segmented_denoise(
                     None, cfg, schedule, rope_cos, rope_sin, do_cfg, None,
                     backend, pos_embedding, cfg_mode, None,
-                    cfg_skip_threshold, adaptive_threshold,
+                    cfg_skip_threshold, adaptive_threshold, progress=progress,
                 )
                 self._compiled_denoise[seg_key] = run_seg
             with phase("denoise", log=True), self._mesh_ctx():
@@ -676,7 +674,7 @@ class S2VPipeline:
                         threshold=adaptive_threshold,
                         do_cfg=do_cfg, rng_key=rng, attention_backend=backend,
                         pos_embedding=pos_embedding, cfg_mode=cfg_mode,
-                        cfg_skip_threshold=cfg_skip_threshold,
+                        cfg_skip_threshold=cfg_skip_threshold, progress=progress,
                     )
                 )
             else:

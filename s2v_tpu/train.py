@@ -93,6 +93,18 @@ def main(args=None):
     if args.mesh:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from s2v_tpu.parallel.sharding import parse_mesh_spec
+
+        if parse_mesh_spec(args.mesh).get("seq", 1) > 1 and args.attention_backend in (
+            "pallas", "windowed"
+        ):
+            # same reasoning as generate()'s guard: a Pallas call under
+            # plain GSPMD does not partition over the seq axis
+            raise ValueError(
+                f"--attention_backend {args.attention_backend} cannot "
+                f"partition under a seq mesh; train with 'ring', 'chunked' "
+                f"or 'xla' (or drop the sp axis)"
+            )
         pipe.set_mesh(args.mesh)  # TP-shards the base params in place
         if "data" in pipe.mesh.axis_names:
             batch_sharding = NamedSharding(pipe.mesh, P("data"))

@@ -88,3 +88,18 @@ def test_fused_loop_progress_callback(pipe, capfd):
     assert np.isfinite(np.asarray(out, np.float32)).all()
     err = capfd.readouterr().err
     assert "denoise step 1/2" in err and "denoise step 2/2" in err
+
+
+def test_progress_works_on_segmented_and_adaptive_paths(pipe, capfd):
+    """progress=True must not be silently dropped on the other loop shapes."""
+    out = pipe.generate(**_kw(pipe, num_inference_steps=3), progress=True,
+                        segment_steps=2)
+    jax.effects_barrier()
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    assert "denoise step 3/3" in capfd.readouterr().err
+
+    out = pipe.generate(**_kw(pipe, num_inference_steps=3), progress=True,
+                        adaptive_threshold=0.5)
+    jax.effects_barrier()
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    assert "denoise step 3/3" in capfd.readouterr().err

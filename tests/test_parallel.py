@@ -255,38 +255,12 @@ def test_ring_attention_grads_match_xla():
 # ---------------------------------------------------------------------------
 
 
-def _tiny_pipeline():
-    from s2v_tpu.config import VAEConfig
-    from s2v_tpu.models.vae import init_vae_params
-    from s2v_tpu.pipelines.s2v import S2VPipeline
-
-    cfg = TransformerConfig.tiny()
-    vcfg = VAEConfig.tiny(latent_channels=cfg.in_channels)
-    return S2VPipeline(
-        transformer_params=init_transformer_params(jax.random.PRNGKey(0), cfg),
-        transformer_cfg=cfg,
-        vae_params=init_vae_params(jax.random.PRNGKey(1), vcfg),
-        vae_cfg=vcfg,
-        attention_backend="xla",
-    )
+from s2v_tpu.testing import tiny_generate_kwargs, tiny_pipeline as _tiny_pipeline
 
 
 def _gen_kwargs(pipe, seed=7):
-    cfg = pipe.transformer_cfg
-    sc = pipe.vae_cfg.spatial_compression_ratio
     tc = pipe.vae_cfg.temporal_compression_ratio
-    H = W = 2 * sc * cfg.patch_size  # tiny but divisible geometry
-    F = 2 * tc + 1  # 2 latent frames... 
-    emb = jax.random.normal(
-        jax.random.PRNGKey(5), (2, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32
-    )
-    ref = jax.random.normal(
-        jax.random.PRNGKey(6), (1, 1, H // sc, W // sc, cfg.in_channels), jnp.float32
-    )
-    return dict(
-        prompt_embeds=emb, ref_latents=ref, height=H, width=W, num_frames=F,
-        num_inference_steps=2, guidance_scale=6.0, seed=seed, output_type="np",
-    )
+    return tiny_generate_kwargs(pipe, num_frames=2 * tc + 1, seed=seed)
 
 
 def test_generate_dp_tp_mesh_matches_single_device():
