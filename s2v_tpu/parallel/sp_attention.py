@@ -38,8 +38,18 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 
 def _default_local_attn(q, k, v, scale):
-    """Per-device attention fn: Pallas flash kernel on TPU, XLA elsewhere."""
+    """Per-device attention fn: Pallas flash kernel on TPU, XLA elsewhere.
+
+    The TPU path goes through ``flash_attention_trainable`` (custom-VJP
+    flash kernels both ways), so sp_allgather is differentiable — sharded
+    LoRA training gets the fast backward kernels too.  A non-default scale
+    (none of the product callers pass one) falls back to the inference-only
+    kernel."""
     if jax.default_backend() == "tpu":
+        if abs(scale - 1.0 / math.sqrt(q.shape[-1])) < 1e-12:
+            from s2v_tpu.ops.attention import flash_attention_trainable
+
+            return flash_attention_trainable(q, k, v)
         from s2v_tpu.ops.pallas.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)

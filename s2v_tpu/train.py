@@ -39,7 +39,7 @@ def get_args(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--attention_backend", type=str, default="auto",
-                   choices=["auto", "xla", "chunked", "pallas", "ring", "windowed"],
+                   choices=["auto", "xla", "chunked", "pallas", "ring", "sp_allgather", "windowed"],
                    help="auto = pallas on TPU / xla on CPU; pallas = flash "
                         "kernels both ways; windowed = banded sliding-window "
                         "kernels both ways (long clips). pallas_int8 is "
@@ -102,8 +102,8 @@ def main(args=None):
             # plain GSPMD does not partition over the seq axis
             raise ValueError(
                 f"--attention_backend {args.attention_backend} cannot "
-                f"partition under a seq mesh; train with 'ring', 'chunked' "
-                f"or 'xla' (or drop the sp axis)"
+                f"partition under a seq mesh; train with 'sp_allgather' "
+                f"(flash kernels both ways), 'ring', 'chunked' or 'xla'"
             )
         pipe.set_mesh(args.mesh)  # TP-shards the base params in place
         if "data" in pipe.mesh.axis_names:

@@ -397,3 +397,25 @@ def test_int8_params_tp_sharded_forward_matches():
         fn = jax.jit(lambda p, l, r, e: transformer_forward(p, cfg, l, r, e, t, cs, sn))
         got = fn(sharded, lat2, ref2, emb)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4, rtol=1e-4)
+
+
+def test_sp_allgather_gradients_flow():
+    """sp_allgather is differentiable (the TPU path routes through the
+    custom-VJP flash kernels; the CPU test path through xla attention) —
+    sharded training can use the AG-KV backend."""
+    from s2v_tpu.parallel.sp_attention import allgather_kv_attention
+
+    q, k, v = _qkv(s=19)
+    mesh = make_mesh({"seq": 8})
+
+    def loss(q_, k_, v_):
+        return jnp.sum(allgather_kv_attention(q_, k_, v_, mesh) ** 2)
+
+    g_q, g_k, g_v = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    def loss_ref(q_, k_, v_):
+        return jnp.sum(jax.nn.dot_product_attention(q_, k_, v_) ** 2)
+
+    e_q, e_k, e_v = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, e in ((g_q, e_q), (g_k, e_k), (g_v, e_v)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(e), atol=5e-5, rtol=1e-4)
