@@ -439,7 +439,7 @@ class S2VPipeline:
         adaptive_threshold: float = 0.0,  # >0: opt-in step-skipping fast path
         cfg_skip_threshold: float = 0.0,  # >0: skip uncond forwards once dynamic g-1 < thr
         segment_steps: int = 0,  # >0: host-stepped segments of this many steps
-        callback_on_segment_end=None,  # f(step_index, latents) between segments
+        callback_on_segment_end=None,  # f(step, latents) -> None | False (stop) | new latents
         progress: bool = False,  # per-step progress from inside the fused loop
     ):
         """Generate a clip; returns [B, T, H, W, 3] float in [0,1] (np) or
@@ -648,8 +648,14 @@ class S2VPipeline:
                     )
                     jax.block_until_ready(carry)
                     if callback_on_segment_end is not None:
-                        if callback_on_segment_end(i1, carry[0]) is False:
+                        cb = callback_on_segment_end(i1, carry[0])
+                        if cb is False:
                             break  # cooperative interrupt (reference :242-243)
+                        if cb is not None and cb is not True:
+                            # reference callback_on_step_end latents override
+                            # (custom_cogvideox_pipe.py:299-303): a returned
+                            # array replaces the trajectory's latents
+                            carry = (jnp.asarray(cb, carry[0].dtype),) + tuple(carry[1:])
                 final = carry[0]
                 if adaptive:
                     from s2v_tpu.utils.logging import get_logger

@@ -103,3 +103,20 @@ def test_progress_works_on_segmented_and_adaptive_paths(pipe, capfd):
     jax.effects_barrier()
     assert np.isfinite(np.asarray(out, np.float32)).all()
     assert "denoise step 3/3" in capfd.readouterr().err
+
+
+def test_segment_callback_latents_override(pipe):
+    """Reference callback_on_step_end parity: a returned array replaces the
+    trajectory latents (custom_cogvideox_pipe.py:299-303)."""
+    kw = _kw(pipe, num_inference_steps=4)
+    plain = pipe.generate(**kw, segment_steps=2)
+
+    frozen = {}
+
+    def freeze(i, lat):
+        frozen.setdefault("lat", np.asarray(lat))
+        return frozen["lat"]  # pin latents to the first segment's output
+
+    pinned = pipe.generate(**kw, segment_steps=2, callback_on_segment_end=freeze)
+    assert not np.allclose(np.asarray(plain), np.asarray(pinned))
+    assert np.isfinite(np.asarray(pinned, np.float32)).all()
