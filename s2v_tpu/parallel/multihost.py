@@ -80,15 +80,26 @@ def make_hybrid_mesh(
         # global shape: pad each side with 1s so our named axes stay distinct
         ici_full = [1] * len(dcn_shape) + ici_shape
         dcn_full = dcn_shape + [1] * len(ici_shape)
-        # process_is_granule: group by process ONLY when slice_index is
-        # uninformative (CPU/simulated hosts all report the same or no
-        # slice, which would collapse the DCN axis to one granule).  Real
-        # multi-slice pods keep slice granules — a slice can span several
-        # processes (2 slices x 2 hosts each: 2 granules, 4 processes).
+        # Granule choice adapts to the requested DCN product: slice
+        # granules when the caller's DCN axes span pod slices (a slice can
+        # cover several processes), process granules when they span
+        # processes (CPU/simulated hosts report one slice for everything,
+        # and a "data = n_hosts" layout is per-process by construction).
         n_slices = len({getattr(d, "slice_index", 0) or 0 for d in devices})
+        dcn_total = int(np.prod(dcn_shape))
+        if dcn_total == n_slices:
+            process_is_granule = False
+        elif dcn_total == n_proc:
+            process_is_granule = True
+        else:
+            raise ValueError(
+                f"DCN axes {dcn_axes} (product {dcn_total}) match neither "
+                f"the slice count ({n_slices}) nor the process count "
+                f"({n_proc}); size the outer axes to one of those granules"
+            )
         arr = mesh_utils.create_hybrid_device_mesh(
             ici_full, dcn_full, devices=devices,
-            process_is_granule=n_slices <= 1,
+            process_is_granule=process_is_granule,
         )
         return Mesh(arr, axis_names=names)
     return Mesh(np.asarray(devices).reshape(dcn_shape + ici_shape), axis_names=names)

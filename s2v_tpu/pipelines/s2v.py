@@ -649,12 +649,14 @@ class S2VPipeline:
                     jax.block_until_ready(carry)
                     if callback_on_segment_end is not None:
                         cb = callback_on_segment_end(i1, carry[0])
-                        if cb is False:
-                            break  # cooperative interrupt (reference :242-243)
-                        if cb is not None and cb is not True:
+                        if isinstance(cb, (bool, np.bool_)):
+                            if not cb:
+                                break  # cooperative interrupt (reference :242-243)
+                        elif getattr(cb, "shape", None) == carry[0].shape:
                             # reference callback_on_step_end latents override
                             # (custom_cogvideox_pipe.py:299-303): a returned
-                            # array replaces the trajectory's latents
+                            # same-shape array replaces the trajectory's
+                            # latents; any other return is ignored
                             carry = (jnp.asarray(cb, carry[0].dtype),) + tuple(carry[1:])
                 final = carry[0]
                 if adaptive:

@@ -95,17 +95,21 @@ def main(args=None):
 
         from s2v_tpu.parallel.sharding import parse_mesh_spec
 
-        if parse_mesh_spec(args.mesh).get("seq", 1) > 1 and args.attention_backend in (
-            "pallas", "windowed"
-        ):
-            # same reasoning as generate()'s guard: a Pallas call under
-            # plain GSPMD does not partition over the seq axis
-            raise ValueError(
-                f"--attention_backend {args.attention_backend} cannot "
-                f"partition under a seq mesh; train with 'sp_allgather' "
-                f"(flash kernels both ways), 'ring', 'chunked' or 'xla'"
-            )
-        pipe.set_mesh(args.mesh)  # TP-shards the base params in place
+        axes = parse_mesh_spec(args.mesh)
+        if axes.get("seq", 1) > 1:
+            # a Pallas call under plain GSPMD does not partition over the
+            # seq axis: reroute the flash kernel to its shard_map AG-KV
+            # wrapper (same policy as generate()), reject windowed (no SP
+            # wrapper exists for the banded kernel)
+            if args.attention_backend == "pallas":
+                args.attention_backend = "sp_allgather"
+            elif args.attention_backend == "windowed":
+                raise ValueError(
+                    "--attention_backend windowed cannot partition under a "
+                    "seq mesh; train with 'sp_allgather' (flash kernels "
+                    "both ways), 'ring', 'chunked' or 'xla'"
+                )
+        pipe.set_mesh(axes)  # TP-shards the base params in place
         if "data" in pipe.mesh.axis_names:
             batch_sharding = NamedSharding(pipe.mesh, P("data"))
     mesh_ctx = pipe._mesh_ctx  # fresh (re-entrant) context per step

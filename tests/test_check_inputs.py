@@ -6,23 +6,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from s2v_tpu.config import TransformerConfig, VAEConfig
-from s2v_tpu.models.transformer import init_transformer_params
-from s2v_tpu.models.vae import init_vae_params
-from s2v_tpu.pipelines.s2v import S2VPipeline
+from s2v_tpu.testing import tiny_pipeline
 
 
 @pytest.fixture(scope="module")
 def pipe():
-    cfg = TransformerConfig.tiny()
-    vcfg = VAEConfig.tiny(latent_channels=cfg.in_channels)
-    return S2VPipeline(
-        transformer_params=init_transformer_params(jax.random.PRNGKey(0), cfg),
-        transformer_cfg=cfg,
-        vae_params=init_vae_params(jax.random.PRNGKey(1), vcfg),
-        vae_cfg=vcfg,
-        attention_backend="xla",
-    )
+    return tiny_pipeline()
 
 
 def _kw(pipe, **over):
@@ -120,3 +109,19 @@ def test_segment_callback_latents_override(pipe):
     pinned = pipe.generate(**kw, segment_steps=2, callback_on_segment_end=freeze)
     assert not np.allclose(np.asarray(plain), np.asarray(pinned))
     assert np.isfinite(np.asarray(pinned, np.float32)).all()
+
+
+def test_segment_callback_numpy_bool_interrupt(pipe):
+    """numpy bools follow the same stop/continue contract as python bools
+    (a health-check callback like `np.isfinite(lat).all()` must not be
+    mistaken for a latents override)."""
+    calls = []
+
+    def cb(i, lat):
+        calls.append(i)
+        return np.bool_(False)  # stop after the first segment
+
+    out = pipe.generate(**_kw(pipe, num_inference_steps=4), segment_steps=2,
+                        callback_on_segment_end=cb)
+    assert calls == [2]
+    assert np.isfinite(np.asarray(out, np.float32)).all()
