@@ -19,7 +19,18 @@ from s2v_tpu.config import T5Config, TransformerConfig, VAEConfig
 
 
 def _j(x, dtype):
-    return jnp.asarray(np.asarray(x), dtype=dtype)
+    # host-side cast (bf16 via ml_dtypes-backed numpy): conversion stays a
+    # pure numpy transform; _to_device does ONE bulk transfer at the end.
+    # Eager per-leaf jnp ops each cost a relay round-trip (a degraded relay
+    # measured ~1 s/dispatch -> minutes of load time for the VAE's 436
+    # leaves)
+    return np.asarray(x).astype(np.dtype(dtype))
+
+
+def _to_device(tree):
+    """One bulk device_put of a converted numpy pytree (no per-leaf python
+    round-trips; respects jax.default_device, e.g. the T5 host path)."""
+    return jax.device_put(tree)
 
 
 def _linear(sd, prefix, dtype, bias=True):
@@ -44,7 +55,7 @@ def _quantize_host(kernel_np: np.ndarray, bias, dtype):
     scale = np.max(np.abs(k), axis=-2, keepdims=True) / 127.0
     scale = np.where(scale == 0, 1.0, scale)
     q = np.clip(np.round(k / scale), -127, 127).astype(np.int8)
-    return {"q": jnp.asarray(q), "scale": jnp.asarray(scale, jnp.float32), "bias": _j(bias, dtype)}
+    return {"q": q, "scale": scale.astype(np.float32), "bias": _j(bias, dtype)}
 
 
 def convert_transformer_state_dict(
@@ -126,9 +137,9 @@ def convert_transformer_state_dict(
         blocks.append(
             {"norm1": norm1_tree, "attn": attn_tree, "norm2": norm2_tree, "ff": ff_tree}
         )
-    blocks = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+    blocks = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *blocks)
 
-    return {
+    return _to_device({
         "patch_embed": {
             "proj": {"kernel": _j(proj_kernel, dt), "bias": _j(sd["patch_embed.proj.bias"], dt)},
             "text_proj": _linear(sd, "patch_embed.text_proj", dt),
@@ -144,7 +155,7 @@ def convert_transformer_state_dict(
             "norm": _affine(sd, "norm_out.norm", dt),
         },
         "proj_out": _linear(sd, "proj_out", dt),
-    }
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -236,7 +247,7 @@ def convert_vae_state_dict(sd: Dict[str, np.ndarray], cfg: VAEConfig):
             block["upsampler"] = {"conv": _conv2d(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv", dt)}
         dec["up_blocks"].append(block)
 
-    return {"encoder": enc, "decoder": dec}
+    return _to_device({"encoder": enc, "decoder": dec})
 
 
 # ---------------------------------------------------------------------------
@@ -266,13 +277,13 @@ def convert_t5_state_dict(sd: Dict[str, np.ndarray], cfg: T5Config):
                 },
             }
         )
-    blocks = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    blocks = jax.tree.map(lambda *xs: np.stack(xs), *blocks)
     emb_key = "shared.weight" if "shared.weight" in sd else "encoder.embed_tokens.weight"
-    return {
+    return _to_device({
         "embedding": _j(sd[emb_key], dt),
         "relative_attention_bias": _j(
             sd["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"], dt
         ),
         "blocks": blocks,
         "final_ln": {"weight": _j(sd["encoder.final_layer_norm.weight"], dt)},
-    }
+    })
