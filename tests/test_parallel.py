@@ -419,3 +419,20 @@ def test_sp_allgather_gradients_flow():
     e_q, e_k, e_v = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for g, e in ((g_q, e_q), (g_k, e_k), (g_v, e_v)):
         np.testing.assert_allclose(np.asarray(g), np.asarray(e), atol=5e-5, rtol=1e-4)
+
+
+def test_generate_composed_dp_sp_mesh_matches_single_device():
+    """Composed data x seq mesh through the product surface: the sp
+    constraints and the dp batch sharding must coexist."""
+    pipe = _tiny_pipeline()
+    kw = _gen_kwargs(pipe)
+    # 2 prompts (dp=2): CFG layout is [uncond rows | cond rows]
+    u, c = kw["prompt_embeds"][:1], kw["prompt_embeds"][1:]
+    kw["prompt_embeds"] = jnp.concatenate([u, u, c, c], axis=0)
+    kw["cfg_mode"] = "batched"
+    expected = pipe.generate(**kw)
+
+    sharded = _tiny_pipeline()
+    sharded.set_mesh({"data": 2, "seq": 4})
+    got = sharded.generate(**kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4, rtol=1e-4)
