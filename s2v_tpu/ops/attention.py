@@ -32,7 +32,8 @@ WINDOWED_BACKENDS = ("windowed", "windowed_gather", "windowed_xla")
 # every backend an entry point may select.  "auto" resolves per platform at
 # pipeline-configuration time (resolve_attention_backend).
 ATTENTION_BACKENDS = (
-    "auto", "xla", "pallas", "pallas_int8", "chunked", "ring", "sp_allgather",
+    "auto", "xla", "pallas", "pallas_int8", "chunked", "ring",
+    "sp_allgather", "sp_int8",
 ) + WINDOWED_BACKENDS
 
 
@@ -179,11 +180,12 @@ def joint_attention(
                 None if backend == "windowed_gather" else jax.nn.dot_product_attention
             )
             out = windowed_attention(q, k, v, g_len, tpf, w, attention_fn=attn_fn)
-    elif backend in ("ring", "sp_allgather"):
-        # sequence-parallel exact attention over the active mesh's seq axis:
+    elif backend in ("ring", "sp_allgather", "sp_int8"):
+        # sequence-parallel attention over the active mesh's seq axis:
         # ring = ppermute'd KV shards (memory-lean), sp_allgather = one
         # all-gather + the full-extent flash kernel (faster at the flagship
-        # geometry — docs/SCALING.md)
+        # geometry — docs/SCALING.md), sp_int8 = same shape with the
+        # int8-QK serving kernel per shard (inference-only)
         from s2v_tpu.parallel.context import active_mesh, active_axis
 
         mesh = active_mesh()
@@ -197,8 +199,17 @@ def joint_attention(
         else:
             from s2v_tpu.parallel.sp_attention import allgather_kv_attention
 
+            attn_fn = None
+            if backend == "sp_int8":
+                from s2v_tpu.ops.pallas.int8_attention import flash_attention_qk_int8
+
+                interp = jax.default_backend() != "tpu"
+
+                def attn_fn(q_, k_, v_, scale):
+                    return flash_attention_qk_int8(q_, k_, v_, scale=scale, interpret=interp)
+
             out = allgather_kv_attention(
-                q, k, v, mesh, axis_name=axis,
+                q, k, v, mesh, axis_name=axis, attn_fn=attn_fn,
                 dp_axis=active_axis("dp"), tp_axis=active_axis("tp"),
             )
     else:

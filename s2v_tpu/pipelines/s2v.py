@@ -459,12 +459,14 @@ class S2VPipeline:
                 # the ring engine's 63.8 ms at the flagship geometry on
                 # v5e — docs/SCALING.md)
                 backend = "sp_allgather"
-            elif backend in ("pallas_int8", "windowed", "windowed_gather"):
+            elif backend == "pallas_int8":
+                backend = "sp_int8"  # int8-QK kernel via the AG-KV wrapper
+            elif backend in ("windowed", "windowed_gather"):
                 raise ValueError(
                     f"attention_backend={backend!r} has no sequence-parallel "
                     f"wrapper; under a seq mesh use 'auto'/'pallas' "
-                    f"(all-gather-KV), 'ring', or the GSPMD 'xla'/"
-                    f"'windowed_xla' paths"
+                    f"(all-gather-KV), 'sp_int8', 'ring', or the GSPMD "
+                    f"'xla'/'windowed_xla' paths"
                 )
         cfg = self.transformer_cfg
 

@@ -436,3 +436,23 @@ def test_generate_composed_dp_sp_mesh_matches_single_device():
     sharded.set_mesh({"data": 2, "seq": 4})
     got = sharded.generate(**kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4, rtol=1e-4)
+
+
+def test_sp_int8_backend_matches_dense_within_int8_tolerance():
+    """sp_int8 = all-gather-KV + the int8-QK kernel per shard (interpret
+    mode on the CPU mesh); logits quantization bounds the error."""
+    from s2v_tpu.ops.attention import joint_attention
+    from s2v_tpu.ops.attention import init_attention_params
+
+    cfg = TransformerConfig.tiny()
+    d, h = cfg.inner_dim, cfg.num_attention_heads
+    params = init_attention_params(jax.random.PRNGKey(0), d, h)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 19, d), jnp.float32)
+
+    expected = joint_attention(params, x, h, backend="xla")
+    mesh = make_mesh({"seq": 8})
+    with mesh_context(mesh, default_logical_map(mesh)):
+        got = jax.jit(
+            lambda p_, x_: joint_attention(p_, x_, h, backend="sp_int8")
+        )(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=5e-3, rtol=5e-2)
