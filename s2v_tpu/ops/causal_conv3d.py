@@ -42,14 +42,21 @@ def temporal_halo(axis_name: str):
         _HALO["axis"] = prev
 
 
-def _halo_cache(x: jnp.ndarray, kt: int, axis_name: str) -> jnp.ndarray:
-    """Receive the previous chunk's input tail from the ring neighbour;
-    the first device replicate-pads its own first frame (reference
-    fake_context_parallel_forward semantics)."""
+def _halo_cache(x: jnp.ndarray, kt: int, axis_name: str, init=None) -> jnp.ndarray:
+    """Receive the previous chunk's input tail from the ring neighbour.
+
+    The first device uses ``init`` — the cache carried out of an earlier
+    (host-streamed) chunk — when given, so a sharded run can continue an
+    existing stream mid-trajectory; otherwise it replicate-pads its own
+    first frame (reference fake_context_parallel_forward stream-start
+    semantics)."""
     ring = lax.psum(1, axis_name)
     tail = x[:, -(kt - 1):]
     recv = lax.ppermute(tail, axis_name, [(i, i + 1) for i in range(ring - 1)])
-    first = jnp.repeat(x[:, :1], kt - 1, axis=1)
+    if init is not None:
+        first = init.astype(x.dtype)
+    else:
+        first = jnp.repeat(x[:, :1], kt - 1, axis=1)
     idx = lax.axis_index(axis_name)
     return jnp.where(idx == 0, first, recv)
 
@@ -71,7 +78,9 @@ def causal_conv3d(
 
     if kt > 1:
         if _HALO["axis"] is not None:
-            pad = _halo_cache(x, kt, _HALO["axis"]).astype(x.dtype)
+            # in halo mode a provided cache is the stream state device 0
+            # continues from (canonical-schedule CP decode)
+            pad = _halo_cache(x, kt, _HALO["axis"], init=cache).astype(x.dtype)
         elif cache is None:
             pad = jnp.repeat(x[:, :1], kt - 1, axis=1)
         else:

@@ -58,6 +58,84 @@ def sharded_vae_decode(params, cfg: VAEConfig, z, mesh: Mesh, axis_name: str = "
     return _sharded(decoder_forward, dec, cfg, z, mesh, axis_name)
 
 
+def sharded_vae_decode_canonical(
+    params, cfg: VAEConfig, z, mesh: Mesh, axis_name: str = "seq"
+):
+    """Context-parallel decode of the reference's *canonical* chunk
+    schedule — EXACT parity with the default streaming decode for any
+    frame count (the plain :func:`sharded_vae_decode` matches only
+    uniform-chunk streaming).
+
+    Reference schedule (autoencoder_kl_cogvideox.py:1186-1194): the first
+    chunk absorbs the remainder (13 frames -> [0:3], [3:5], ..., [11:13]).
+    The odd first chunk is inherently stream-initial (no cache, odd-size
+    temporal-upsample semantics), so it runs as one host-streamed step;
+    its conv caches are then *injected* as device 0's halo state and the
+    remaining uniform chunks decode in parallel, ``ppermute``-chaining
+    caches exactly as the sequential stream would have.
+
+    Falls back to nothing here — callers should check
+    ``canonical_cp_chunks`` for feasibility first.
+    """
+    from jax import shard_map
+
+    dec = params["decoder"] if "decoder" in params else params
+    fb = cfg.num_latent_frames_batch_size
+    t = z.shape[1]
+    first = fb + t % fb if t > fb else t
+    n_rest = (t - first) // fb
+    if n_rest <= 0:
+        y, _ = decoder_forward(dec, cfg, z, None)
+        return y
+    if n_rest > mesh.shape[axis_name]:
+        raise ValueError(
+            f"canonical CP decode needs ring >= {n_rest} chunks "
+            f"(have {mesh.shape[axis_name]})"
+        )
+
+    # phase 1: the stream-initial odd chunk (sequential by nature)
+    y0, cache = decoder_forward(dec, cfg, z[:, :first], None)
+
+    # phase 2: uniform chunks in parallel, device 0 seeded with the cache
+    sub = Mesh(
+        mesh.devices.ravel()[:n_rest].reshape(n_rest), axis_names=(axis_name,)
+    )
+
+    def local_fn(p, c, z_local):
+        with temporal_halo(axis_name):
+            y, _ = decoder_forward(p, cfg, z_local, c)
+        return y
+
+    spec_z = P(None, axis_name, None, None, None)
+    fn = shard_map(
+        local_fn, mesh=sub, in_specs=(P(), P(), spec_z), out_specs=spec_z,
+        check_vma=False,
+    )
+    # the sub-mesh may be a strict subset of the caller's mesh: re-place
+    # operands so their shardings name the same device set
+    from jax.sharding import NamedSharding
+
+    rep = NamedSharding(sub, P())
+    y_rest = jax.jit(fn)(
+        jax.device_put(dec, rep),
+        jax.device_put(cache, rep),
+        jax.device_put(z[:, first:], NamedSharding(sub, spec_z)),
+    )
+    # bring both phases onto the same device set before joining
+    y_rest = jax.device_put(y_rest, y0.sharding)
+    return jax.numpy.concatenate([y0, y_rest], axis=1)
+
+
+def canonical_cp_chunks(cfg: VAEConfig, num_latent_frames: int) -> int:
+    """Number of parallel (phase-2) chunks the canonical schedule yields;
+    the mesh's seq axis must be at least this for
+    :func:`sharded_vae_decode_canonical`."""
+    fb = cfg.num_latent_frames_batch_size
+    t = num_latent_frames
+    first = fb + t % fb if t > fb else t
+    return max((t - first) // fb, 0)
+
+
 def sharded_vae_encode(params, cfg: VAEConfig, x, mesh: Mesh, axis_name: str = "seq"):
     """Pixels [B, T, H, W, 3] (T divisible by ring) -> posterior moments."""
     enc = params["encoder"] if "encoder" in params else params

@@ -373,15 +373,25 @@ class S2VPipeline:
         """latents [B, F, h, w, C] -> [B, T, H, W, 3] float32 in [0, 1]
         (reference decode_latents :346-351 + postprocess_video).
 
-        With a mesh carrying a ``seq`` axis and a divisible frame count the
-        decode runs context-parallel (parallel/vae_temporal.py: all chunks
-        simultaneously, conv caches exchanged over ICI) — numerics match a
-        uniform-chunk streaming decode, wall-clock ~1/ring of it.  The
-        canonical 13-frame schedule is indivisible and keeps the streaming
-        path."""
+        With a mesh carrying a ``seq`` axis the decode runs
+        context-parallel (parallel/vae_temporal.py): the canonical-schedule
+        variant reproduces the reference's remainder-fold chunking EXACTLY
+        (the odd first chunk streams on one device, its conv caches are
+        injected as device 0's halo state, the uniform rest decodes in
+        parallel) — so the flagship 13-frame decode is CP-served too.
+        Untiled (the CP paths decode whole frames)."""
         z = latents.astype(self.vae_cfg.dtype) / self.vae_cfg.scaling_factor
         ring = self._seq_ring()
-        if ring > 1 and z.shape[1] % ring == 0:
+        n_cp = 0
+        if ring > 1:
+            from s2v_tpu.parallel.vae_temporal import canonical_cp_chunks
+
+            n_cp = canonical_cp_chunks(self.vae_cfg, z.shape[1])
+        if ring > 1 and 1 <= n_cp <= ring:
+            from s2v_tpu.parallel.vae_temporal import sharded_vae_decode_canonical
+
+            frames = sharded_vae_decode_canonical(self.vae_params, self.vae_cfg, z, self.mesh)
+        elif ring > 1 and z.shape[1] % ring == 0:
             from s2v_tpu.parallel.vae_temporal import sharded_vae_decode
 
             frames = sharded_vae_decode(self.vae_params, self.vae_cfg, z, self.mesh)

@@ -456,3 +456,31 @@ def test_sp_int8_backend_matches_dense_within_int8_tolerance():
             lambda p_, x_: joint_attention(p_, x_, h, backend="sp_int8")
         )(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=5e-3, rtol=5e-2)
+
+
+def test_canonical_cp_vae_decode_matches_default_streaming():
+    """The canonical-schedule CP decode (odd first chunk streamed, caches
+    injected into device 0's halo, uniform rest in parallel) must EXACTLY
+    match the default single-device streaming decode — including the
+    flagship 13-frame schedule the plain uniform CP path cannot serve."""
+    from s2v_tpu.config import VAEConfig
+    from s2v_tpu.models.vae import init_vae_params, _decode_plain
+    from s2v_tpu.parallel.vae_temporal import (
+        canonical_cp_chunks,
+        sharded_vae_decode_canonical,
+    )
+
+    cfg = VAEConfig.tiny()  # num_latent_frames_batch_size = 2
+    params = init_vae_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh({"seq": 8})
+    for t in (13, 7, 4):  # odd-remainder (flagship shape), odd, divisible
+        z = jax.random.normal(jax.random.PRNGKey(t), (1, t, 4, 4, cfg.latent_channels), jnp.float32)
+        expected = _decode_plain(params, cfg, z)  # the reference schedule
+        n = canonical_cp_chunks(cfg, t)
+        assert 1 <= n <= 8
+        got = sharded_vae_decode_canonical(params, cfg, z, mesh)
+        assert got.shape == expected.shape, (t, got.shape, expected.shape)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), atol=2e-5, rtol=1e-4,
+            err_msg=f"t={t}",
+        )
