@@ -27,14 +27,14 @@ from s2v_tpu.parallel.context import constrain
 
 # backend names that route through the sliding-temporal-window paths (the
 # single source of truth for entry points configuring the window width)
-WINDOWED_BACKENDS = ("windowed", "windowed_gather", "windowed_xla")
+WINDOWED_BACKENDS = ("windowed", "windowed_gather", "windowed_xla", "sp_windowed")
 
 # every backend an entry point may select.  "auto" resolves per platform at
 # pipeline-configuration time (resolve_attention_backend).
 ATTENTION_BACKENDS = (
     "auto", "xla", "pallas", "pallas_int8", "chunked", "ring",
     "sp_allgather", "sp_int8",
-) + WINDOWED_BACKENDS
+) + WINDOWED_BACKENDS  # incl. sp_windowed (sequence-parallel banded kernel)
 
 
 def resolve_attention_backend(backend: str) -> str:
@@ -170,6 +170,20 @@ def joint_attention(
             # 92/108 ms (w=1/2) vs 123 ms exact, and 3.4x/2.8x at 39 frames.
             # Differentiable: custom VJP with banded backward kernels.
             out = banded_attention_trainable(q, k, v, g_len, tpf, w)
+        elif backend == "sp_windowed":
+            # sequence-parallel banded kernel: frames sharded over the seq
+            # axis, KV all-gathered, shard offsets via scalar prefetch
+            from s2v_tpu.parallel.context import active_axis, active_mesh
+            from s2v_tpu.parallel.sp_attention import banded_allgather_attention
+
+            mesh = active_mesh()
+            axis = active_axis("sp")
+            if mesh is None or axis is None:
+                raise ValueError("sp_windowed needs an active mesh with an 'sp' axis")
+            out = banded_allgather_attention(
+                q, k, v, mesh, axis, g_len, tpf, w,
+                dp_axis=active_axis("dp"), tp_axis=active_axis("tp"),
+            )
         else:
             # gather path: materialized per-frame KV windows (kernel-free
             # "windowed_xla" fallback; "windowed_gather" keeps the old

@@ -262,3 +262,107 @@ def banded_flash_attention(
     lse_vid = lse_vid_pad.reshape(b * h, n_frames, fp)[:, :, :tpf]
     lse_vid = lse_vid.reshape(b, h, n_frames * tpf)
     return o, jnp.concatenate([lse_glob, lse_vid], axis=-1)  # [B, H, S]
+
+
+# ---------------------------------------------------------------------------
+# shard-local variant (sequence-parallel banded attention)
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel_sp(off_ref, q_ref, kt_ref, v_ref, o_ref, *rest):
+    """The plain flash kernel with a leading scalar-prefetch ref (the
+    shard's global frame offset — consumed by the index_maps, not here)."""
+    del off_ref
+    return _flash_kernel(q_ref, kt_ref, v_ref, o_ref, *rest)
+
+
+def banded_flash_attention_local(
+    q_vid: jnp.ndarray,
+    k_full: jnp.ndarray,
+    v_full: jnp.ndarray,
+    global_len: int,
+    tokens_per_frame: int,
+    window_frames: int,
+    frame_offset: jnp.ndarray,  # [1] int32 — this shard's first video frame
+    n_frames_total: int,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Banded attention for a shard of video-frame queries against the FULL
+    key sequence (sequence-parallel building block).
+
+    ``q_vid``: ``[B, F_loc * tpf, H, d]`` — video rows only, this shard's
+    frames.  ``k_full/v_full``: ``[B, S, H, d]`` with
+    ``S = global_len + n_frames_total * tpf`` (e.g. from an all-gather).
+    ``frame_offset`` is a *traced* scalar array routed to the kernel's
+    index_maps via scalar prefetch, so one compiled kernel serves every
+    device of a shard_map.  Window clamping uses the GLOBAL frame range —
+    shard-edge frames attend across the shard boundary exactly like the
+    single-chip kernel.  Padded-q frames (ring padding) produce garbage
+    rows the caller drops.
+    """
+    b, sq, h, d = q_vid.shape
+    tpf = tokens_per_frame
+    f_loc = sq // tpf
+    assert f_loc * tpf == sq, "ragged local video segment"
+    g = global_len
+    if g <= 0:
+        raise ValueError("banded_flash_attention_local needs global_len > 0")
+    s_full = k_full.shape[1]
+    assert s_full == g + n_frames_total * tpf, "k/v must be the full sequence"
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    lay = band_layout(s_full, g, tpf, window_frames)
+    n_k = lay.n_glob + lay.span
+    rs = band_row_split(lay.fp, 1)
+    fq = lay.fp // rs
+
+    qb = fold_heads(q_vid)
+    kb, vb = fold_heads(k_full), fold_heads(v_full)
+    valid = key_valid_mask(g, tpf, lay)
+
+    loc_lay = lay._replace(n_frames=f_loc, sv=f_loc * lay.fp)
+    q_pad = pad_video_rows(qb * jnp.asarray(scale, q_vid.dtype), tpf, loc_lay)
+    q_aug = jnp.concatenate(
+        [q_pad, jnp.full((b * h, loc_lay.sv, 1), NEG_INF, q_vid.dtype)], axis=-1
+    )
+    kt_aug = padded_kt_aug(pad_full_layout(kb, g, tpf, lay), valid)
+    v_pad = pad_full_layout(vb, g, tpf, lay)
+    ones = jnp.broadcast_to(
+        valid.astype(v_full.dtype)[None, :, None], (b * h, lay.k_tot, 1)
+    )
+    v_aug = jnp.concatenate([v_pad, ones], axis=-1)
+
+    w = window_frames
+
+    def k_block(bh, qi, j, off):
+        # index_maps receive (grid indices..., scalar-prefetch refs...)
+        f = qi // rs + off[0]
+        ws = jnp.clip(f - w, 0, lay.n_frames - lay.span)
+        return jnp.where(j < lay.n_glob, j, lay.n_glob + ws + (j - lay.n_glob))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * h, f_loc * rs, n_k),
+        in_specs=[
+            pl.BlockSpec((1, fq, d + 1), lambda bh, qi, j, off: (bh, qi, 0)),
+            pl.BlockSpec((1, d + 1, lay.fp), lambda bh, qi, j, off: (bh, 0, k_block(bh, qi, j, off))),
+            pl.BlockSpec((1, lay.fp, d + 1), lambda bh, qi, j, off: (bh, k_block(bh, qi, j, off), 0)),
+        ],
+        out_specs=pl.BlockSpec((1, fq, d), lambda bh, qi, j, off: (bh, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((fq, _LANES), jnp.float32),  # m
+            pltpu.VMEM((fq, d + 1), jnp.float32),  # acc | l
+        ],
+    )
+    out = pl.pallas_call(
+        _flash_kernel_sp,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, f_loc * lay.fp, d), q_vid.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(frame_offset, jnp.int32).reshape(1), q_aug, kt_aug, v_aug)
+
+    return unfold_heads(unpad_video_rows(out, tpf, loc_lay), b)

@@ -106,3 +106,81 @@ def allgather_kv_attention(
         check_vma=False,
     )
     return jax.jit(fn)(q, k, v)[:, :s]
+
+
+def banded_allgather_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str,
+    global_len: int,
+    tokens_per_frame: int,
+    window_frames: int,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+    dp_axis: Optional[str] = None,
+    tp_axis: Optional[str] = None,
+) -> jnp.ndarray:
+    """Sequence-parallel banded windowed attention.
+
+    Video frames are sharded over ``axis_name``; K/V are all-gathered per
+    device and the shard runs the banded kernel with its global frame
+    offset routed through scalar prefetch
+    (``banded_flash_attention_local``) — window clamping stays global, so
+    shard-edge frames attend across shard boundaries exactly like the
+    single-chip banded kernel.  The (small) text|ref global segment is
+    computed replicated with exact full attention.  Frame count is padded
+    to a ring multiple; dummy-frame outputs are dropped.
+    """
+    from jax import shard_map
+
+    b, s, h, d = q.shape
+    g = global_len
+    tpf = tokens_per_frame
+    n_frames = (s - g) // tpf
+    assert g + n_frames * tpf == s, "ragged video segment"
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ring = mesh.shape[axis_name]
+    f_pad = -(-n_frames // ring) * ring
+    f_loc = f_pad // ring
+
+    q_glob = q[:, :g]
+    pad_rows = (f_pad - n_frames) * tpf
+    q_vid = jnp.pad(q[:, g:], ((0, 0), (0, pad_rows), (0, 0), (0, 0)))
+    # KV row-sharded for the gather; pad S to a ring multiple
+    kv_pad = (-s) % ring
+    k_in = jnp.pad(k, ((0, 0), (0, kv_pad), (0, 0), (0, 0)))
+    v_in = jnp.pad(v, ((0, 0), (0, kv_pad), (0, 0), (0, 0)))
+
+    def local_fn(qg, qv_loc, k_loc, v_loc):
+        k_full = lax.all_gather(k_loc, axis_name, axis=1, tiled=True)[:, :s]
+        v_full = lax.all_gather(v_loc, axis_name, axis=1, tiled=True)[:, :s]
+        if interpret:
+            o_g = jax.nn.dot_product_attention(qg, k_full, v_full, scale=scale)
+        else:
+            from s2v_tpu.ops.pallas.flash_attention import flash_attention
+
+            o_g = flash_attention(qg, k_full, v_full, scale=scale)
+        from s2v_tpu.ops.pallas.banded_attention import banded_flash_attention_local
+
+        off = (lax.axis_index(axis_name) * f_loc).reshape(1)
+        o_v = banded_flash_attention_local(
+            qv_loc, k_full, v_full, g, tpf, window_frames, off, n_frames,
+            scale=scale, interpret=interpret,
+        )
+        return o_g, o_v
+
+    spec_seq = P(dp_axis, axis_name, tp_axis, None)
+    spec_rep = P(dp_axis, None, tp_axis, None)
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(spec_rep, spec_seq, spec_seq, spec_seq),
+        out_specs=(spec_rep, spec_seq),
+        check_vma=False,
+    )
+    o_glob, o_vid = jax.jit(fn)(q_glob, q_vid, k_in, v_in)
+    return jnp.concatenate([o_glob, o_vid[:, : n_frames * tpf]], axis=1)

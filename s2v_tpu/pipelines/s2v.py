@@ -471,12 +471,14 @@ class S2VPipeline:
                 backend = "sp_allgather"
             elif backend == "pallas_int8":
                 backend = "sp_int8"  # int8-QK kernel via the AG-KV wrapper
-            elif backend in ("windowed", "windowed_gather"):
+            elif backend == "windowed":
+                backend = "sp_windowed"  # banded kernel via frame sharding
+            elif backend == "windowed_gather":
                 raise ValueError(
-                    f"attention_backend={backend!r} has no sequence-parallel "
-                    f"wrapper; under a seq mesh use 'auto'/'pallas' "
-                    f"(all-gather-KV), 'sp_int8', 'ring', or the GSPMD "
-                    f"'xla'/'windowed_xla' paths"
+                    "attention_backend='windowed_gather' has no sequence-"
+                    "parallel wrapper; under a seq mesh use 'windowed' "
+                    "(reroutes to the sp_windowed banded kernel) or "
+                    "'windowed_xla'"
                 )
         cfg = self.transformer_cfg
 

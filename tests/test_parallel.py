@@ -484,3 +484,54 @@ def test_canonical_cp_vae_decode_matches_default_streaming():
             np.asarray(got), np.asarray(expected), atol=2e-5, rtol=1e-4,
             err_msg=f"t={t}",
         )
+
+
+def test_sp_windowed_matches_single_chip_banded():
+    """Sequence-parallel banded attention (frames sharded, KV gathered,
+    scalar-prefetch offsets) == the single-chip banded kernel, including
+    window clamping across shard boundaries and non-divisible frame
+    counts."""
+    from s2v_tpu.ops.pallas.banded_attention import banded_flash_attention
+    from s2v_tpu.parallel.sp_attention import banded_allgather_attention
+
+    B, H, D = 1, 2, 8
+    g, tpf, w = 5, 4, 1
+    mesh = make_mesh({"seq": 4}, jax.devices()[:4])
+    for F in (8, 6):  # divisible by the ring + padded case
+        S = g + F * tpf
+        ks = jax.random.split(jax.random.PRNGKey(F), 3)
+        q = jax.random.normal(ks[0], (B, S, H, D), jnp.float32)
+        k = jax.random.normal(ks[1], (B, S, H, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, S, H, D), jnp.float32)
+        expected = banded_flash_attention(q, k, v, g, tpf, w, interpret=True)
+        got = banded_allgather_attention(
+            q, k, v, mesh, "seq", g, tpf, w, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), atol=2e-5, rtol=1e-4,
+            err_msg=f"F={F}",
+        )
+
+
+def test_sp_windowed_backend_through_transformer():
+    """attention_backend='windowed' under a seq mesh (product reroute to
+    sp_windowed) matches the single-device windowed backend."""
+    import dataclasses
+
+    cfg, params, lat, ref, emb, cs, sn = _setup()
+    cfg = dataclasses.replace(cfg, attention_window_frames=1)
+    t = jnp.array([500, 500], jnp.int32)
+    lat2 = jnp.concatenate([lat, lat])
+    ref2 = jnp.concatenate([ref, ref])
+    expected = transformer_forward(
+        params, cfg, lat2, ref2, emb, t, cs, sn,
+        attention_backend="windowed_xla",
+    )
+    mesh = make_mesh({"seq": 8})
+    with mesh_context(mesh, default_logical_map(mesh)):
+        got = jax.jit(
+            lambda p, l, r, e: transformer_forward(
+                p, cfg, l, r, e, t, cs, sn, attention_backend="sp_windowed"
+            )
+        )(params, lat2, ref2, emb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4, rtol=1e-4)
