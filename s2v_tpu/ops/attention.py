@@ -215,12 +215,12 @@ def joint_attention(
 
             attn_fn = None
             if backend == "sp_int8":
-                from s2v_tpu.ops.pallas.int8_attention import flash_attention_qk_int8
-
                 interp = jax.default_backend() != "tpu"
 
                 def attn_fn(q_, k_, v_, scale):
-                    return flash_attention_qk_int8(q_, k_, v_, scale=scale, interpret=interp)
+                    # inference-only wrapper: differentiating raises the
+                    # descriptive error instead of a raw Pallas autodiff one
+                    return _int8_attention_inference_only(q_, k_, v_, scale, interp)
 
             out = allgather_kv_attention(
                 q, k, v, mesh, axis_name=axis, attn_fn=attn_fn,
@@ -236,21 +236,25 @@ def joint_attention(
     return constrain(out, "dp", "sp", None)
 
 
-@jax.custom_vjp
-def _int8_attention_inference_only(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _int8_attention_inference_only(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    scale: Optional[float] = None, interpret: bool = False,
+) -> jnp.ndarray:
     from s2v_tpu.ops.pallas.int8_attention import flash_attention_qk_int8
 
-    return flash_attention_qk_int8(q, k, v)
+    return flash_attention_qk_int8(q, k, v, scale=scale, interpret=interpret)
 
 
-def _int8_fwd(q, k, v):
-    return _int8_attention_inference_only(q, k, v), None
+def _int8_fwd(q, k, v, scale, interpret):
+    return _int8_attention_inference_only(q, k, v, scale, interpret), None
 
 
-def _int8_bwd(_res, _g):
+def _int8_bwd(_scale, _interpret, _res, _g):
     raise NotImplementedError(
-        "attention_backend='pallas_int8' is inference-only (no backward "
-        "kernels); train with 'pallas', 'windowed', or 'chunked'"
+        "the int8-QK attention backends ('pallas_int8'/'sp_int8') are "
+        "inference-only (no backward kernels); train with 'pallas', "
+        "'sp_allgather', 'windowed', or 'chunked'"
     )
 
 

@@ -336,10 +336,9 @@ def banded_flash_attention_local(
     w = window_frames
 
     def k_block(bh, qi, j, off):
-        # index_maps receive (grid indices..., scalar-prefetch refs...)
-        f = qi // rs + off[0]
-        ws = jnp.clip(f - w, 0, lay.n_frames - lay.span)
-        return jnp.where(j < lay.n_glob, j, lay.n_glob + ws + (j - lay.n_glob))
+        # index_maps receive (grid indices..., scalar-prefetch refs...);
+        # reuse band_k_block so the fwd/bwd/SP kernels stay in lockstep
+        return band_k_block(qi // rs + off[0], j, w, lay)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -138,6 +138,11 @@ def banded_allgather_attention(
     b, s, h, d = q.shape
     g = global_len
     tpf = tokens_per_frame
+    if g <= 0:
+        raise ValueError(
+            "banded_allgather_attention needs global_len > 0 (the "
+            "[text | ref] prefix is the exact-attention segment)"
+        )
     n_frames = (s - g) // tpf
     assert g + n_frames * tpf == s, "ragged video segment"
     if scale is None:

@@ -82,8 +82,8 @@ def sharded_vae_decode_canonical(
     dec = params["decoder"] if "decoder" in params else params
     fb = cfg.num_latent_frames_batch_size
     t = z.shape[1]
-    first = fb + t % fb if t > fb else t
-    n_rest = (t - first) // fb
+    n_rest = canonical_cp_chunks(cfg, t)
+    first = t - n_rest * fb
     if n_rest <= 0:
         y, _ = decoder_forward(dec, cfg, z, None)
         return y

@@ -382,16 +382,27 @@ class S2VPipeline:
         Untiled (the CP paths decode whole frames)."""
         z = latents.astype(self.vae_cfg.dtype) / self.vae_cfg.scaling_factor
         ring = self._seq_ring()
+        t = z.shape[1]
+        fb = self.vae_cfg.num_latent_frames_batch_size
         n_cp = 0
         if ring > 1:
             from s2v_tpu.parallel.vae_temporal import canonical_cp_chunks
 
-            n_cp = canonical_cp_chunks(self.vae_cfg, z.shape[1])
-        if ring > 1 and 1 <= n_cp <= ring:
+            n_cp = canonical_cp_chunks(self.vae_cfg, t)
+        if ring > 1 and t % ring == 0 and t // ring == fb:
+            # uniform chunking IS the canonical schedule here and runs
+            # fully parallel (the canonical path would stream its first
+            # chunk sequentially for no parity gain)
+            from s2v_tpu.parallel.vae_temporal import sharded_vae_decode
+
+            frames = sharded_vae_decode(self.vae_params, self.vae_cfg, z, self.mesh)
+        elif ring > 1 and 1 <= n_cp <= ring:
             from s2v_tpu.parallel.vae_temporal import sharded_vae_decode_canonical
 
             frames = sharded_vae_decode_canonical(self.vae_params, self.vae_cfg, z, self.mesh)
-        elif ring > 1 and z.shape[1] % ring == 0:
+        elif ring > 1 and t % ring == 0:
+            # uniform-chunk semantics (differ from the canonical schedule;
+            # exact vs a uniform-chunk streaming run)
             from s2v_tpu.parallel.vae_temporal import sharded_vae_decode
 
             frames = sharded_vae_decode(self.vae_params, self.vae_cfg, z, self.mesh)
@@ -663,8 +674,14 @@ class S2VPipeline:
                     jax.block_until_ready(carry)
                     if callback_on_segment_end is not None:
                         cb = callback_on_segment_end(i1, carry[0])
+                        flag = None
                         if isinstance(cb, (bool, np.bool_)):
-                            if not cb:
+                            flag = bool(cb)
+                        elif (getattr(cb, "shape", None) == ()
+                              and jnp.issubdtype(getattr(cb, "dtype", np.float32), np.bool_)):
+                            flag = bool(cb)  # 0-d bool array (e.g. jnp.all)
+                        if flag is not None:
+                            if not flag:
                                 break  # cooperative interrupt (reference :242-243)
                         elif getattr(cb, "shape", None) == carry[0].shape:
                             # reference callback_on_step_end latents override

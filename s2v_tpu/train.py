@@ -99,14 +99,17 @@ def main(args=None):
         if axes.get("seq", 1) > 1:
             # a Pallas call under plain GSPMD does not partition over the
             # seq axis: reroute the flash kernel to its shard_map AG-KV
-            # wrapper (same policy as generate()), reject windowed (no SP
-            # wrapper exists for the banded kernel)
+            # wrapper (same policy as generate()); windowed stays rejected
+            # for TRAINING because sp_windowed is forward-only
             if args.attention_backend == "pallas":
                 args.attention_backend = "sp_allgather"
             elif args.attention_backend == "windowed":
+                # sp_windowed exists but is forward-only (no banded SP
+                # backward kernel yet — STATUS round-3 gaps)
                 raise ValueError(
-                    "--attention_backend windowed cannot partition under a "
-                    "seq mesh; train with 'sp_allgather' (flash kernels "
+                    "--attention_backend windowed cannot train under a "
+                    "seq mesh (the sequence-parallel banded kernel has no "
+                    "backward); train with 'sp_allgather' (flash kernels "
                     "both ways), 'ring', 'chunked' or 'xla'"
                 )
         pipe.set_mesh(axes)  # TP-shards the base params in place
