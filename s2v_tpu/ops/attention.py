@@ -172,17 +172,22 @@ def joint_attention(
             out = banded_attention_trainable(q, k, v, g_len, tpf, w)
         elif backend == "sp_windowed":
             # sequence-parallel banded kernel: frames sharded over the seq
-            # axis, KV all-gathered, shard offsets via scalar prefetch
+            # axis, KV all-gathered, shard offsets via scalar prefetch.
+            # Differentiable: custom VJP with the SP banded backward
+            # (banded dq at the shard offset, offset-gated inverse-band
+            # dk/dv, psum_scatter as the all-gather transpose).
             from s2v_tpu.parallel.context import active_axis, active_mesh
-            from s2v_tpu.parallel.sp_attention import banded_allgather_attention
+            from s2v_tpu.parallel.sp_attention import (
+                banded_allgather_attention_trainable,
+            )
 
             mesh = active_mesh()
             axis = active_axis("sp")
             if mesh is None or axis is None:
                 raise ValueError("sp_windowed needs an active mesh with an 'sp' axis")
-            out = banded_allgather_attention(
-                q, k, v, mesh, axis, g_len, tpf, w,
-                dp_axis=active_axis("dp"), tp_axis=active_axis("tp"),
+            out = banded_allgather_attention_trainable(
+                q, k, v, mesh, axis, g_len, tpf, w, None,
+                active_axis("dp"), active_axis("tp"),
             )
         else:
             # gather path: materialized per-frame KV windows (kernel-free

@@ -287,6 +287,7 @@ def banded_flash_attention_local(
     n_frames_total: int,
     scale: Optional[float] = None,
     interpret: bool = False,
+    return_lse: bool = False,
 ) -> jnp.ndarray:
     """Banded attention for a shard of video-frame queries against the FULL
     key sequence (sequence-parallel building block).
@@ -300,6 +301,10 @@ def banded_flash_attention_local(
     shard-edge frames attend across the shard boundary exactly like the
     single-chip kernel.  Padded-q frames (ring padding) produce garbage
     rows the caller drops.
+
+    ``return_lse=True`` also returns the per-row log-sum-exp
+    ``[B, H, F_loc * tpf]`` — the residual for the sequence-parallel
+    banded backward (banded_attention_bwd.banded_flash_attention_local_bwd).
     """
     b, sq, h, d = q_vid.shape
     tpf = tokens_per_frame
@@ -340,6 +345,11 @@ def banded_flash_attention_local(
         # reuse band_k_block so the fwd/bwd/SP kernels stay in lockstep
         return band_k_block(qi // rs + off[0], j, w, lay)
 
+    out_specs = pl.BlockSpec((1, fq, d), lambda bh, qi, j, off: (bh, qi, 0))
+    out_shape = jax.ShapeDtypeStruct((b * h, f_loc * lay.fp, d), q_vid.dtype)
+    if return_lse:
+        out_specs = [out_specs, pl.BlockSpec((1, fq, 1), lambda bh, qi, j, off: (bh, qi, 0))]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((b * h, f_loc * lay.fp, 1), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b * h, f_loc * rs, n_k),
@@ -348,7 +358,7 @@ def banded_flash_attention_local(
             pl.BlockSpec((1, d + 1, lay.fp), lambda bh, qi, j, off: (bh, 0, k_block(bh, qi, j, off))),
             pl.BlockSpec((1, lay.fp, d + 1), lambda bh, qi, j, off: (bh, k_block(bh, qi, j, off), 0)),
         ],
-        out_specs=pl.BlockSpec((1, fq, d), lambda bh, qi, j, off: (bh, qi, 0)),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((fq, _LANES), jnp.float32),  # m
             pltpu.VMEM((fq, d + 1), jnp.float32),  # acc | l
@@ -357,11 +367,17 @@ def banded_flash_attention_local(
     out = pl.pallas_call(
         _flash_kernel_sp,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b * h, f_loc * lay.fp, d), q_vid.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(jnp.asarray(frame_offset, jnp.int32).reshape(1), q_aug, kt_aug, v_aug)
+    if return_lse:
+        out, lse_pad = out
 
-    return unfold_heads(unpad_video_rows(out, tpf, loc_lay), b)
+    o = unfold_heads(unpad_video_rows(out, tpf, loc_lay), b)
+    if not return_lse:
+        return o
+    lse = lse_pad.reshape(b * h, f_loc, lay.fp)[:, :, :tpf]
+    return o, lse.reshape(b, h, f_loc * tpf)

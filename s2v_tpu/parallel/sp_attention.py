@@ -108,6 +108,23 @@ def allgather_kv_attention(
     return jax.jit(fn)(q, k, v)[:, :s]
 
 
+def _full_attn_with_lse(qg, k_full, v_full, scale, interpret):
+    """Exact attention for the (small) global query segment, with the
+    per-row log-sum-exp residual: Pallas on TPU, a plain fp32 softmax in
+    interpret/CPU mode (jax.nn.dot_product_attention has no lse output)."""
+    if not interpret:
+        from s2v_tpu.ops.pallas.flash_attention import flash_attention
+
+        return flash_attention(qg, k_full, v_full, scale=scale, return_lse=True)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", qg.astype(jnp.float32), k_full.astype(jnp.float32)
+    ) * scale
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)  # [B, H, Sq]
+    w = jnp.exp(logits - lse[..., None])
+    o = jnp.einsum("bhqk,bkhd->bqhd", w, v_full.astype(jnp.float32))
+    return o.astype(qg.dtype), lse
+
+
 def banded_allgather_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -121,6 +138,7 @@ def banded_allgather_attention(
     interpret: Optional[bool] = None,
     dp_axis: Optional[str] = None,
     tp_axis: Optional[str] = None,
+    return_lse: bool = False,
 ) -> jnp.ndarray:
     """Sequence-parallel banded windowed attention.
 
@@ -132,6 +150,9 @@ def banded_allgather_attention(
     single-chip banded kernel.  The (small) text|ref global segment is
     computed replicated with exact full attention.  Frame count is padded
     to a ring multiple; dummy-frame outputs are dropped.
+
+    ``return_lse=True`` also returns the per-row log-sum-exp ``[B, H, S]``
+    (the training residual for :func:`banded_allgather_attention_trainable`).
     """
     from jax import shard_map
 
@@ -164,15 +185,22 @@ def banded_allgather_attention(
     def local_fn(qg, qv_loc, k_loc, v_loc):
         k_full = lax.all_gather(k_loc, axis_name, axis=1, tiled=True)[:, :s]
         v_full = lax.all_gather(v_loc, axis_name, axis=1, tiled=True)[:, :s]
+        from s2v_tpu.ops.pallas.banded_attention import banded_flash_attention_local
+
+        off = (lax.axis_index(axis_name) * f_loc).reshape(1)
+        if return_lse:
+            o_g, lse_g = _full_attn_with_lse(qg, k_full, v_full, scale, interpret)
+            o_v, lse_v = banded_flash_attention_local(
+                qv_loc, k_full, v_full, g, tpf, window_frames, off, n_frames,
+                scale=scale, interpret=interpret, return_lse=True,
+            )
+            return o_g, o_v, lse_g, lse_v
         if interpret:
             o_g = jax.nn.dot_product_attention(qg, k_full, v_full, scale=scale)
         else:
             from s2v_tpu.ops.pallas.flash_attention import flash_attention
 
             o_g = flash_attention(qg, k_full, v_full, scale=scale)
-        from s2v_tpu.ops.pallas.banded_attention import banded_flash_attention_local
-
-        off = (lax.axis_index(axis_name) * f_loc).reshape(1)
         o_v = banded_flash_attention_local(
             qv_loc, k_full, v_full, g, tpf, window_frames, off, n_frames,
             scale=scale, interpret=interpret,
@@ -181,11 +209,164 @@ def banded_allgather_attention(
 
     spec_seq = P(dp_axis, axis_name, tp_axis, None)
     spec_rep = P(dp_axis, None, tp_axis, None)
+    # lse is [B, H, S]: heads on tp, rows on seq (or replicated for global)
+    lse_seq = P(dp_axis, tp_axis, axis_name)
+    lse_rep = P(dp_axis, tp_axis, None)
+    out_specs = (
+        (spec_rep, spec_seq, lse_rep, lse_seq) if return_lse
+        else (spec_rep, spec_seq)
+    )
     fn = shard_map(
         local_fn, mesh=mesh,
         in_specs=(spec_rep, spec_seq, spec_seq, spec_seq),
-        out_specs=(spec_rep, spec_seq),
+        out_specs=out_specs,
         check_vma=False,
     )
-    o_glob, o_vid = jax.jit(fn)(q_glob, q_vid, k_in, v_in)
+    out = jax.jit(fn)(q_glob, q_vid, k_in, v_in)
+    if return_lse:
+        o_glob, o_vid, lse_glob, lse_vid = out
+        o = jnp.concatenate([o_glob, o_vid[:, : n_frames * tpf]], axis=1)
+        lse = jnp.concatenate(
+            [lse_glob, lse_vid[..., : n_frames * tpf]], axis=-1)
+        return o, lse
+    o_glob, o_vid = out
     return jnp.concatenate([o_glob, o_vid[:, : n_frames * tpf]], axis=1)
+
+
+def _full_attn_bwd(qg, k_full, v_full, og, lseg, gg, scale, interpret):
+    """Backward of the global-query exact-attention segment: the full
+    flash backward kernels on TPU, jax.vjp of the fp32 closed form in
+    interpret/CPU mode (mirrors :func:`_full_attn_with_lse`)."""
+    if not interpret:
+        from s2v_tpu.ops.pallas.flash_attention_bwd import flash_attention_bwd
+
+        return flash_attention_bwd(qg, k_full, v_full, og, lseg, gg, scale=scale)
+
+    def f(q_, k_, v_):
+        return _full_attn_with_lse(q_, k_, v_, scale, True)[0]
+
+    _, vjp = jax.vjp(f, qg, k_full, v_full)
+    return vjp(gg.astype(qg.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+def banded_allgather_attention_trainable(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str,
+    global_len: int,
+    tokens_per_frame: int,
+    window_frames: int,
+    interpret: Optional[bool] = None,
+    dp_axis: Optional[str] = None,
+    tp_axis: Optional[str] = None,
+) -> jnp.ndarray:
+    """Differentiable sequence-parallel banded attention: Pallas kernels
+    both ways on every shard.
+
+    Forward = :func:`banded_allgather_attention` (saving the per-row lse
+    residual).  Backward runs, per device: the SP banded backward
+    (``banded_flash_attention_local_bwd`` — banded dq at the shard's frame
+    offset, offset-gated inverse-band dk/dv over the FULL key extent) for
+    the local video queries, plus the replicated full flash backward for
+    the (small) global-query segment; the full-extent dk/dv partials are
+    then ``psum_scatter``'d over the seq axis — the exact transpose of the
+    forward's tiled all-gather.  Enables windowed-attention LoRA training
+    with frames sharded over the mesh (the reference trains single-GPU
+    only; both the band and SP are TPU-new)."""
+    return banded_allgather_attention(
+        q, k, v, mesh, axis_name, global_len, tokens_per_frame,
+        window_frames, interpret=interpret, dp_axis=dp_axis, tp_axis=tp_axis,
+    )
+
+
+def _bagat_fwd(q, k, v, mesh, axis_name, global_len, tokens_per_frame,
+               window_frames, interpret, dp_axis, tp_axis):
+    o, lse = banded_allgather_attention(
+        q, k, v, mesh, axis_name, global_len, tokens_per_frame,
+        window_frames, interpret=interpret, dp_axis=dp_axis, tp_axis=tp_axis,
+        return_lse=True,
+    )
+    return o, (q, k, v, o, lse)
+
+
+def _bagat_bwd(mesh, axis_name, global_len, tokens_per_frame, window_frames,
+               interpret, dp_axis, tp_axis, residuals, gr):
+    from jax import shard_map
+
+    q, k, v, o, lse = residuals
+    g = global_len
+    tpf = tokens_per_frame
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, s, h, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    n_frames = (s - g) // tpf
+    ring = mesh.shape[axis_name]
+    f_pad = -(-n_frames // ring) * ring
+    f_loc = f_pad // ring
+    pad_rows = (f_pad - n_frames) * tpf
+    kv_pad = (-s) % ring
+    gr = gr.astype(q.dtype)
+
+    def pad_vid(x):  # video rows, frame-padded to the ring multiple
+        return jnp.pad(x[:, g:], ((0, 0), (0, pad_rows), (0, 0), (0, 0)))
+
+    def pad_kv(x):
+        return jnp.pad(x, ((0, 0), (0, kv_pad), (0, 0), (0, 0)))
+
+    # dummy ring-pad frames: dO rows zero and lse finite (0) => their
+    # contributions to dq/dk/dv vanish identically (kernel contract)
+    q_vid, o_vid, g_vid = pad_vid(q), pad_vid(o), pad_vid(gr)
+    lse_vid = jnp.pad(lse[:, :, g:], ((0, 0), (0, 0), (0, pad_rows)))
+
+    def local_fn(qg, og, gg, lsg, qv, ov, gv, lsv, k_loc, v_loc):
+        k_full = lax.all_gather(k_loc, axis_name, axis=1, tiled=True)[:, :s]
+        v_full = lax.all_gather(v_loc, axis_name, axis=1, tiled=True)[:, :s]
+        off = (lax.axis_index(axis_name) * f_loc).reshape(1)
+        from s2v_tpu.ops.pallas.banded_attention_bwd import (
+            banded_flash_attention_local_bwd,
+        )
+
+        dq_v, dk_full, dv_full = banded_flash_attention_local_bwd(
+            qv, k_full, v_full, ov, lsv, gv, g, tpf, window_frames, off,
+            n_frames, interpret=interpret,
+        )
+        # global queries are replicated: every device computes the same
+        # full dk/dv contribution, so scale by 1/ring before the psum
+        dq_g, dk_g, dv_g = _full_attn_bwd(
+            qg, k_full, v_full, og, lsg, gg, scale, interpret
+        )
+        inv = jnp.asarray(1.0 / ring, dk_g.dtype)
+        dk_full = dk_full + dk_g * inv
+        dv_full = dv_full + dv_g * inv
+        # transpose of the forward's tiled all-gather
+        dk_loc = lax.psum_scatter(
+            pad_kv(dk_full), axis_name, scatter_dimension=1, tiled=True)
+        dv_loc = lax.psum_scatter(
+            pad_kv(dv_full), axis_name, scatter_dimension=1, tiled=True)
+        return dq_g, dq_v, dk_loc, dv_loc
+
+    spec_seq = P(dp_axis, axis_name, tp_axis, None)
+    spec_rep = P(dp_axis, None, tp_axis, None)
+    lse_seq = P(dp_axis, tp_axis, axis_name)
+    lse_rep = P(dp_axis, tp_axis, None)
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(spec_rep, spec_rep, spec_rep, lse_rep,
+                  spec_seq, spec_seq, spec_seq, lse_seq,
+                  spec_seq, spec_seq),
+        out_specs=(spec_rep, spec_seq, spec_seq, spec_seq),
+        check_vma=False,
+    )
+    dq_g, dq_v, dk, dv = jax.jit(fn)(
+        q[:, :g], o[:, :g], gr[:, :g], lse[:, :, :g],
+        q_vid, o_vid, g_vid, lse_vid, pad_kv(k), pad_kv(v),
+    )
+    dq = jnp.concatenate([dq_g, dq_v[:, : n_frames * tpf]], axis=1)
+    return dq, dk[:, :s], dv[:, :s]
+
+
+banded_allgather_attention_trainable.defvjp(_bagat_fwd, _bagat_bwd)

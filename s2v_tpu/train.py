@@ -99,19 +99,13 @@ def main(args=None):
         if axes.get("seq", 1) > 1:
             # a Pallas call under plain GSPMD does not partition over the
             # seq axis: reroute the flash kernel to its shard_map AG-KV
-            # wrapper (same policy as generate()); windowed stays rejected
-            # for TRAINING because sp_windowed is forward-only
+            # wrapper and the banded kernel to its SP form (same policy as
+            # generate()); both are differentiable (custom-VJP Pallas
+            # kernels both ways), so sharded LoRA training gets them too
             if args.attention_backend == "pallas":
                 args.attention_backend = "sp_allgather"
             elif args.attention_backend == "windowed":
-                # sp_windowed exists but is forward-only (no banded SP
-                # backward kernel yet — STATUS round-3 gaps)
-                raise ValueError(
-                    "--attention_backend windowed cannot train under a "
-                    "seq mesh (the sequence-parallel banded kernel has no "
-                    "backward); train with 'sp_allgather' (flash kernels "
-                    "both ways), 'ring', 'chunked' or 'xla'"
-                )
+                args.attention_backend = "sp_windowed"
         pipe.set_mesh(axes)  # TP-shards the base params in place
         if "data" in pipe.mesh.axis_names:
             batch_sharding = NamedSharding(pipe.mesh, P("data"))

@@ -421,6 +421,32 @@ def test_sp_allgather_gradients_flow():
         np.testing.assert_allclose(np.asarray(g), np.asarray(e), atol=5e-5, rtol=1e-4)
 
 
+def test_sp_windowed_gradients_through_transformer():
+    """attention_backend='sp_windowed' differentiates end-to-end through
+    transformer_forward (the trainer reroutes 'windowed' here under a seq
+    mesh); grads match the single-device windowed_xla backend."""
+    import dataclasses
+
+    cfg, params, lat, ref, emb, cs, sn = _setup()
+    cfg = dataclasses.replace(cfg, attention_window_frames=1)
+    t = jnp.array([500], jnp.int32)
+
+    def loss(p, backend):
+        out = transformer_forward(
+            p, cfg, lat, ref, emb[:1], t, cs, sn, attention_backend=backend
+        )
+        return jnp.sum(out ** 2)
+
+    expected = jax.grad(lambda p: loss(p, "windowed_xla"))(params)
+    mesh = make_mesh({"seq": 8})
+    with mesh_context(mesh, default_logical_map(mesh)):
+        got = jax.jit(jax.grad(lambda p: loss(p, "sp_windowed")))(params)
+    flat_e, _ = jax.tree_util.tree_flatten(expected)
+    flat_g, _ = jax.tree_util.tree_flatten(got)
+    for a, b in zip(flat_g, flat_e):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=2e-3)
+
+
 def test_generate_composed_dp_sp_mesh_matches_single_device():
     """Composed data x seq mesh through the product surface: the sp
     constraints and the dp batch sharding must coexist."""
@@ -511,6 +537,44 @@ def test_sp_windowed_matches_single_chip_banded():
             np.asarray(got), np.asarray(expected), atol=2e-5, rtol=1e-4,
             err_msg=f"F={F}",
         )
+
+
+def test_sp_windowed_trainable_grads_match_reference():
+    """jax.grad through banded_allgather_attention_trainable (frames
+    sharded over a 4-device seq mesh, custom-VJP SP banded backward with
+    psum_scatter) == grads of the O(S^2) masked reference — including a
+    frame count not divisible by the ring (ring-pad dummy frames must
+    contribute zero gradient) and window rows crossing shard boundaries."""
+    from s2v_tpu.ops.windowed_attention import windowed_attention_reference
+    from s2v_tpu.parallel.sp_attention import banded_allgather_attention_trainable
+
+    B, H, D = 1, 2, 8
+    g, tpf, w = 5, 4, 1
+    mesh = make_mesh({"seq": 4}, jax.devices()[:4])
+    for F in (8, 6):
+        S = g + F * tpf
+        ks = jax.random.split(jax.random.PRNGKey(100 + F), 4)
+        q = jax.random.normal(ks[0], (B, S, H, D), jnp.float32)
+        k = jax.random.normal(ks[1], (B, S, H, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, S, H, D), jnp.float32)
+        ct = jax.random.normal(ks[3], (B, S, H, D), jnp.float32)
+
+        def loss_sp(q_, k_, v_):
+            o = banded_allgather_attention_trainable(
+                q_, k_, v_, mesh, "seq", g, tpf, w, True
+            )
+            return jnp.sum(o * ct)
+
+        def loss_ref(q_, k_, v_):
+            return jnp.sum(windowed_attention_reference(q_, k_, v_, g, tpf, w) * ct)
+
+        got = jax.grad(loss_sp, argnums=(0, 1, 2))(q, k, v)
+        ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b_ in zip(("dq", "dk", "dv"), got, ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-3,
+                err_msg=f"F={F} {name}",
+            )
 
 
 def test_sp_windowed_backend_through_transformer():
