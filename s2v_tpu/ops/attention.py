@@ -33,7 +33,7 @@ WINDOWED_BACKENDS = ("windowed", "windowed_gather", "windowed_xla", "sp_windowed
 # pipeline-configuration time (resolve_attention_backend).
 ATTENTION_BACKENDS = (
     "auto", "xla", "pallas", "pallas_int8", "chunked", "ring",
-    "sp_allgather", "sp_int8",
+    "sp_allgather", "sp_int8", "sp_ulysses",
 ) + WINDOWED_BACKENDS  # incl. sp_windowed (sequence-parallel banded kernel)
 
 
@@ -199,12 +199,14 @@ def joint_attention(
                 None if backend == "windowed_gather" else jax.nn.dot_product_attention
             )
             out = windowed_attention(q, k, v, g_len, tpf, w, attention_fn=attn_fn)
-    elif backend in ("ring", "sp_allgather", "sp_int8"):
+    elif backend in ("ring", "sp_allgather", "sp_int8", "sp_ulysses"):
         # sequence-parallel attention over the active mesh's seq axis:
         # ring = ppermute'd KV shards (memory-lean), sp_allgather = one
         # all-gather + the full-extent flash kernel (faster at the flagship
-        # geometry — docs/SCALING.md), sp_int8 = same shape with the
-        # int8-QK serving kernel per shard (inference-only)
+        # geometry — docs/SCALING.md), sp_ulysses = all-to-all head
+        # scatter (r/2 x less ICI traffic than the all-gather; needs
+        # heads % ring == 0), sp_int8 = the AG-KV shape with the int8-QK
+        # serving kernel per shard (inference-only)
         from s2v_tpu.parallel.context import active_mesh, active_axis
 
         mesh = active_mesh()
@@ -215,6 +217,13 @@ def joint_attention(
             from s2v_tpu.parallel.ring_attention import ring_attention
 
             out = ring_attention(q, k, v, mesh, axis_name=axis)
+        elif backend == "sp_ulysses":
+            from s2v_tpu.parallel.sp_attention import ulysses_attention
+
+            out = ulysses_attention(
+                q, k, v, mesh, axis_name=axis,
+                dp_axis=active_axis("dp"), tp_axis=active_axis("tp"),
+            )
         else:
             from s2v_tpu.parallel.sp_attention import allgather_kv_attention
 

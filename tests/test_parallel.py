@@ -539,6 +539,65 @@ def test_sp_windowed_matches_single_chip_banded():
         )
 
 
+def test_ulysses_attention_matches_dense():
+    """sp_ulysses (all-to-all head scatter / seq gather) == dense
+    attention, including a sequence length not divisible by the ring."""
+    from s2v_tpu.parallel.sp_attention import ulysses_attention
+
+    q, k, v = _qkv(s=19, h=8)
+    expected = jax.nn.dot_product_attention(q, k, v)
+    mesh = make_mesh({"seq": 8})
+    got = ulysses_attention(q, k, v, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5, rtol=1e-4)
+
+
+def test_ulysses_gradients_flow():
+    """sp_ulysses differentiates for free (all_to_all is linear, the local
+    kernel is the trainable flash path)."""
+    from s2v_tpu.parallel.sp_attention import ulysses_attention
+
+    q, k, v = _qkv(key=7, s=19, h=8)
+    mesh = make_mesh({"seq": 8})
+
+    def loss(q_, k_, v_):
+        return jnp.sum(ulysses_attention(q_, k_, v_, mesh) ** 2)
+
+    def loss_ref(q_, k_, v_):
+        return jnp.sum(jax.nn.dot_product_attention(q_, k_, v_) ** 2)
+
+    got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, e in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(e), atol=5e-5, rtol=1e-4)
+
+
+def test_ulysses_rejects_indivisible_heads():
+    from s2v_tpu.parallel.sp_attention import ulysses_attention
+
+    q, k, v = _qkv(h=2)
+    mesh = make_mesh({"seq": 8})
+    with pytest.raises(ValueError, match="heads divisible"):
+        ulysses_attention(q, k, v, mesh)
+
+
+def test_sp_ulysses_backend_through_transformer():
+    """The 'sp_ulysses' backend end-to-end through transformer_forward
+    (4 tiny-config heads over a seq4 mesh) matches the xla backend."""
+    cfg, params, lat, ref, emb, cs, sn = _setup()
+    t = jnp.array([500], jnp.int32)
+    expected = transformer_forward(
+        params, cfg, lat, ref, emb[:1], t, cs, sn, attention_backend="xla"
+    )
+    mesh = make_mesh({"seq": 4}, jax.devices()[:4])
+    with mesh_context(mesh, default_logical_map(mesh)):
+        got = jax.jit(
+            lambda p, l, r, e: transformer_forward(
+                p, cfg, l, r, e, t, cs, sn, attention_backend="sp_ulysses"
+            )
+        )(params, lat, ref, emb[:1])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4, rtol=1e-4)
+
+
 def test_sp_windowed_trainable_grads_match_reference():
     """jax.grad through banded_allgather_attention_trainable (frames
     sharded over a 4-device seq mesh, custom-VJP SP banded backward with
