@@ -67,7 +67,11 @@ def main(args=None):
 
     from s2v_tpu.loaders.safetensors_io import save_safetensors
     from s2v_tpu.pipelines.s2v import S2VPipeline
-    from s2v_tpu.training.data import VideoFolderDataset, latent_batches
+    from s2v_tpu.training.data import (
+        VideoFolderDataset,
+        latent_batches,
+        prefetch_batches,
+    )
     from s2v_tpu.training.lora import (
         LoRASpec,
         export_lora_to_reference_format,
@@ -146,8 +150,16 @@ def main(args=None):
         lora, opt_state, step = state["lora"], state["opt_state"], int(state["step"])
         log.info("resumed from %s at step %d", args.resume_from_checkpoint, step)
     t0 = time.perf_counter()
+    # clips are encoded once (VAE moments + T5 embeds cached host-side;
+    # posterior noise stays per-epoch), and the host-side batch prep runs
+    # on a background thread overlapping the device train step
+    encode_cache: dict = {}
     while step < args.max_train_steps:
-        for batch in latent_batches(dataset, pipe, args.train_batch_size, seed=args.seed + epoch):
+        batches = prefetch_batches(
+            latent_batches(dataset, pipe, args.train_batch_size,
+                           seed=args.seed + epoch, cache=encode_cache)
+        )
+        for batch in batches:
             rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), step)
             if batch_sharding is not None:
                 for k in ("video_latents", "ref_latents", "text_embeds"):

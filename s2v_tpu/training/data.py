@@ -105,41 +105,71 @@ class VideoFolderDataset:
         return {"video": video, "ref_image": ref, "prompt": self.prompts[idx % len(self.prompts)]}
 
 
+def _encode_item_moments(dataset: VideoFolderDataset, pipe, idx: int) -> dict:
+    """Deterministic per-item encodings: VAE posterior *moments*
+    (mean|logvar — NOT a sample, so caching them does not freeze the
+    per-epoch posterior noise) and the T5 prompt embedding."""
+    import jax.numpy as jnp
+
+    from s2v_tpu.models.t5 import t5_encode
+    from s2v_tpu.models.vae import vae_encode
+
+    it = dataset[idx]
+    video = jnp.asarray(it["video"], pipe.vae_cfg.dtype)[None]
+    ref = jnp.asarray(it["ref_image"], pipe.vae_cfg.dtype)[None, None]
+    vm = vae_encode(pipe.vae_params, pipe.vae_cfg, video)
+    rm = vae_encode(pipe.vae_params, pipe.vae_cfg, ref)
+    ids = pipe.tokenizer.encode([it["prompt"]], pipe.transformer_cfg.max_text_seq_length)
+    emb = t5_encode(pipe.t5_params, pipe.t5_cfg, jnp.asarray(ids))
+    return {"vm": vm[0], "rm": rm[0], "emb": emb[0]}
+
+
 def latent_batches(
     dataset: VideoFolderDataset,
     pipe,  # S2VPipeline (vae + t5 + tokenizer)
     batch_size: int = 1,
     seed: int = 0,
     rng_noise: bool = True,
+    cache: Optional[dict] = None,
 ) -> Iterator[dict]:
     """Shuffled epoch of training batches: VAE-encoded video latents
     (sampled posterior x scaling factor), ref latents, T5 prompt embeds —
-    the inputs of ``s2v_tpu.training.lora.lora_loss_fn``."""
+    the inputs of ``s2v_tpu.training.lora.lora_loss_fn``.
+
+    ``cache``: pass the same dict across epochs to encode each clip ONCE —
+    the deterministic VAE moments / T5 embeds are reused, while the
+    posterior noise is still freshly sampled per epoch (identical
+    semantics to re-encoding; the heavy host decode + encoder forwards
+    are skipped from epoch 2 on)."""
     import jax
     import jax.numpy as jnp
 
-    from s2v_tpu.models.t5 import t5_encode
-    from s2v_tpu.models.vae import gaussian_sample, vae_encode
+    from s2v_tpu.models.vae import gaussian_sample
 
     order = list(range(len(dataset)))
     random.Random(seed).shuffle(order)
     key = jax.random.PRNGKey(seed)
 
+    def moments(idx: int) -> dict:
+        if cache is None:
+            return _encode_item_moments(dataset, pipe, idx)
+        if idx not in cache:
+            cache[idx] = _encode_item_moments(dataset, pipe, idx)
+        return cache[idx]
+
     for start in range(0, len(order) - batch_size + 1, batch_size):
-        items = [dataset[i] for i in order[start : start + batch_size]]
-        video = jnp.asarray(np.stack([it["video"] for it in items]), pipe.vae_cfg.dtype)
-        ref = jnp.asarray(np.stack([it["ref_image"] for it in items]), pipe.vae_cfg.dtype)[:, None]
+        items = [moments(i) for i in order[start : start + batch_size]]
+        vm = jnp.stack([it["vm"] for it in items])
+        rm = jnp.stack([it["rm"] for it in items])
+        text_embeds = jnp.stack([it["emb"] for it in items])
 
         key, k1, k2 = jax.random.split(key, 3)
-        vm = vae_encode(pipe.vae_params, pipe.vae_cfg, video)
         noise_v = (
             jax.random.normal(k1, vm.shape[:-1] + (vm.shape[-1] // 2,), jnp.float32)
             if rng_noise
             else None
         )
         video_latents = gaussian_sample(vm, noise_v) * pipe.vae_cfg.scaling_factor
-
-        rm = vae_encode(pipe.vae_params, pipe.vae_cfg, ref)
         noise_r = (
             jax.random.normal(k2, rm.shape[:-1] + (rm.shape[-1] // 2,), jnp.float32)
             if rng_noise
@@ -147,13 +177,42 @@ def latent_batches(
         )
         ref_latents = gaussian_sample(rm, noise_r) * pipe.vae_cfg.scaling_factor
 
-        ids = pipe.tokenizer.encode(
-            [it["prompt"] for it in items], pipe.transformer_cfg.max_text_seq_length
-        )
-        text_embeds = t5_encode(pipe.t5_params, pipe.t5_cfg, jnp.asarray(ids))
-
         yield {
             "video_latents": video_latents,
             "ref_latents": ref_latents,
             "text_embeds": text_embeds,
         }
+
+
+def prefetch_batches(it: Iterator[dict], depth: int = 2) -> Iterator[dict]:
+    """Run ``it`` on a background thread with a bounded queue so the
+    host-side work of batch i+1 (cv2 decode, preprocessing, dispatch of
+    the encoder forwards) overlaps the device train step on batch i.
+    JAX dispatch is async, but the cv2 decode is blocking host work the
+    train loop would otherwise serialize with.
+
+    Exceptions from the producer re-raise at the consuming ``next()``."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def produce():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
+            q.put((_END, e))
+            return
+        q.put((_END, None))
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _END:
+            if item[1] is not None:
+                raise item[1]
+            return
+        yield item

@@ -12,7 +12,12 @@ from s2v_tpu.models.t5 import init_t5_params
 from s2v_tpu.models.transformer import init_transformer_params
 from s2v_tpu.models.vae import init_vae_params
 from s2v_tpu.pipelines.s2v import S2VPipeline
-from s2v_tpu.training.data import VideoFolderDataset, latent_batches, read_video_frames
+from s2v_tpu.training.data import (
+    VideoFolderDataset,
+    latent_batches,
+    prefetch_batches,
+    read_video_frames,
+)
 from s2v_tpu.training.lora import LoRASpec, init_lora_params, make_lora_train_step
 
 
@@ -84,3 +89,61 @@ def test_latent_batches_feed_train_step(tmp_path):
         assert np.isfinite(float(loss))
         n += 1
     assert n == 1
+
+
+def _tiny_pipe_and_ds(tmp_path):
+    _write_video(tmp_path / "a.mp4", frames=9, h=32, w=32)
+    _write_video(tmp_path / "b.mp4", frames=9, h=32, w=32)
+    (tmp_path / "prompts.txt").write_text("a pig\na cat\n")
+    tcfg = TransformerConfig.tiny()
+    vcfg = VAEConfig.tiny(latent_channels=tcfg.in_channels, sample_height=64, sample_width=64)
+    t5cfg = T5Config.tiny(d_model=tcfg.text_embed_dim)
+    key = jax.random.PRNGKey(0)
+    pipe = S2VPipeline(
+        transformer_params=init_transformer_params(key, tcfg),
+        transformer_cfg=tcfg,
+        vae_params=init_vae_params(key, vcfg),
+        vae_cfg=vcfg,
+        t5_params=init_t5_params(key, t5cfg),
+        t5_cfg=t5cfg,
+        scheduler_cfg=SchedulerConfig(),
+        tokenizer=_FakeTokenizer(),
+    )
+    return pipe, VideoFolderDataset(str(tmp_path), num_frames=9, height=32, width=32)
+
+
+def test_latent_batches_cache_is_transparent(tmp_path):
+    """Batches produced through the encode cache (epoch 2 reuses epoch 1's
+    VAE moments / T5 embeds) == batches re-encoded from scratch, for the
+    same epoch seed — caching moments (not samples) keeps the per-epoch
+    posterior noise semantics exactly."""
+    pipe, ds = _tiny_pipe_and_ds(tmp_path)
+    cache: dict = {}
+    for epoch in (0, 1):
+        cached = list(latent_batches(ds, pipe, batch_size=1, seed=epoch, cache=cache))
+        fresh = list(latent_batches(ds, pipe, batch_size=1, seed=epoch))
+        assert len(cached) == len(fresh) == 2
+        for bc, bf in zip(cached, fresh):
+            for k in ("video_latents", "ref_latents", "text_embeds"):
+                np.testing.assert_allclose(
+                    np.asarray(bc[k]), np.asarray(bf[k]), atol=1e-6, rtol=1e-6,
+                    err_msg=f"epoch={epoch} {k}",
+                )
+    assert len(cache) == 2  # one entry per clip, filled in epoch 0
+    # different epochs draw different posterior noise from the same moments
+    a = np.asarray(next(iter(latent_batches(ds, pipe, 1, seed=0, cache=cache)))["video_latents"])
+    b = np.asarray(next(iter(latent_batches(ds, pipe, 1, seed=1, cache=cache)))["video_latents"])
+    assert np.abs(a - b).max() > 1e-4
+
+
+def test_prefetch_batches_order_and_errors():
+    assert list(prefetch_batches(iter(range(7)), depth=2)) == list(range(7))
+
+    def boom():
+        yield 1
+        raise RuntimeError("decode failed")
+
+    it = prefetch_batches(boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(it)
