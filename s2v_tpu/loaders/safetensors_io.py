@@ -26,6 +26,11 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
 def save_safetensors(tensors: Dict[str, np.ndarray], path: str) -> None:
     from safetensors import numpy as st_numpy
 
+    # safetensors 0.8 serializes the RAW buffer of non-contiguous arrays
+    # (a transposed view round-trips as its un-transposed buffer with the
+    # transposed shape — silently wrong values); every converter here
+    # emits .T/.transpose views, so contiguous-ify at the choke point
+    tensors = {k: np.ascontiguousarray(v) for k, v in tensors.items()}
     st_numpy.save_file(tensors, path)
 
 

@@ -65,6 +65,9 @@ class S2VPipeline:
     # context-parallel VAE when a seq axis exists.
     mesh: Optional[object] = None
     logical_map: Optional[dict] = None
+    # the resolved source snapshot dir (set by from_pretrained); lets
+    # save_pretrained copy non-weight assets (tokenizer files)
+    model_dir: Optional[str] = None
 
     def set_mesh(self, mesh, shard_now: bool = True) -> None:
         """Attach a device mesh: ``"dp2,tp4"`` | ``{"data": 2, "model": 4}``
@@ -272,10 +275,20 @@ class S2VPipeline:
             tokenizer=tokenizer,
             attention_backend=resolve_attention_backend(attention_backend),
             t5_on_host=t5_on_host,
+            model_dir=model_dir,
         )
         if mesh is not None:
             pipe.set_mesh(mesh)
         return pipe
+
+    def save_pretrained(self, out_dir: str) -> str:
+        """Write the current weights as an HF-layout snapshot loadable by
+        ``from_pretrained`` (or the reference stack).  LoRA is merged at
+        load here, so this exports *fused* weights — the reference has no
+        save path at all (SURVEY §5 checkpoint/resume: load-only)."""
+        from s2v_tpu.loaders.export_hf import save_pipeline_snapshot
+
+        return save_pipeline_snapshot(self, out_dir)
 
     # ------------------------------------------------------------------
     # stages

@@ -1,0 +1,48 @@
+"""save_pretrained: export the pipeline back to the reference HF snapshot
+layout and round-trip it through from_pretrained."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.slow  # builds tiny pipelines (jit-heavy)
+
+
+def test_save_pretrained_roundtrip(tmp_path):
+    from s2v_tpu.pipelines.s2v import S2VPipeline
+    from s2v_tpu.testing import tiny_generate_kwargs, tiny_pipeline
+
+    pipe = tiny_pipeline()
+    out = str(tmp_path / "snapshot")
+    pipe.save_pretrained(out)
+
+    re = S2VPipeline.from_pretrained(out, dtype=jnp.float32)
+    # identical weights through the export -> load inversion pair
+    for a, b in zip(
+        jax.tree.leaves(pipe.transformer_params), jax.tree.leaves(re.transformer_params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(pipe.vae_params), jax.tree.leaves(re.vae_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    if pipe.t5_params is not None:
+        assert re.t5_params is not None
+        for a, b in zip(jax.tree.leaves(pipe.t5_params), jax.tree.leaves(re.t5_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # identical generations (the product-level statement of the round trip)
+    kw = tiny_generate_kwargs(pipe, num_inference_steps=1, output_type="latent")
+    np.testing.assert_allclose(
+        np.asarray(pipe.generate(**kw)), np.asarray(re.generate(**kw)),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
+def test_save_pretrained_rejects_int8(tmp_path):
+    from s2v_tpu.ops.quant import quantize_transformer_params
+    from s2v_tpu.testing import tiny_pipeline
+
+    pipe = tiny_pipeline()
+    pipe.transformer_params = quantize_transformer_params(pipe.transformer_params)
+    with pytest.raises(ValueError, match="int8-quantized"):
+        pipe.save_pretrained(str(tmp_path / "snap"))

@@ -329,6 +329,22 @@ def test_safetensors_roundtrip_and_best_guess(tmp_path):
     np.testing.assert_array_equal(loaded["a.weight"], sd["a.weight"])
 
 
+def test_save_safetensors_noncontiguous_views(tmp_path):
+    """safetensors 0.8 serializes the raw buffer of non-contiguous arrays
+    (a .T view silently round-trips as its un-transposed buffer); every
+    export converter emits transposed views, so the writer must
+    contiguous-ify.  Regression for a bug that mangled every exported
+    linear weight."""
+    rng = np.random.RandomState(3)
+    a = rng.randn(4, 6).astype(np.float32)
+    c = rng.randn(2, 3, 5).astype(np.float32)
+    p = str(tmp_path / "t.safetensors")
+    save_safetensors({"t": a.T, "p": c.transpose(2, 0, 1)}, p)
+    back = load_safetensors(p)
+    np.testing.assert_array_equal(back["t"], a.T)
+    np.testing.assert_array_equal(back["p"], c.transpose(2, 0, 1))
+
+
 def test_normalize_peft_default_keys():
     sd = {"transformer.x.lora_A.default.weight": np.zeros(1), "transformer.x.lora_B.default.weight": np.zeros(1)}
     out = normalize_lora_keys(sd)

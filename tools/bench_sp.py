@@ -39,13 +39,24 @@ def _sync(out):
     float(np.asarray(leaf).ravel()[0])
 
 
-def timeit(fn, *args, n=10):
+def timeit(fn, *args, n1=4, n2=12, reps=3):
+    """Two-point chain fit: the relay adds a LARGE, *variable* fixed cost
+    per host fetch (4-14 s observed), so a single averaged chain is
+    fixed-cost-dominated for sub-second ops.  Time chains of n1 and n2
+    dispatches (one fetch each), repeat, and take the slope between the
+    per-length minima — the fixed cost cancels, the min damps drift."""
     _sync(fn(*args))  # compile + warm
     _sync(fn(*args))
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(n)]
-    _sync(outs[-1])
-    return (time.perf_counter() - t0) / n
+
+    def chain(n):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(n)]
+        _sync(outs[-1])
+        return time.perf_counter() - t0
+
+    t1 = min(chain(n1) for _ in range(reps))
+    t2 = min(chain(n2) for _ in range(reps))
+    return max((t2 - t1) / (n2 - n1), 1e-9)
 
 
 def main():
@@ -73,6 +84,17 @@ def main():
     print(f"AG-KV shard kernel:       {t_ag * 1e3:8.2f} ms  (ideal = full/{RING} "
           f"= {t_full / RING * 1e3:.2f} ms)")
 
+    # 2b. Ulysses per-device compute: FULL S x S extent, H/ring heads
+    # (all-to-all head scatter; validates that shrinking the head axis —
+    # a parallel grid dimension — keeps kernel efficiency)
+    h_loc = H // RING
+    t_uly = timeit(
+        jax.jit(lambda a, b_, c: flash_attention(a, b_, c)),
+        q[:, :, :h_loc], k[:, :, :h_loc], v[:, :, :h_loc],
+    )
+    print(f"Ulysses shard kernel:     {t_uly * 1e3:8.2f} ms  ({h_loc} heads x full "
+          f"SxS; ideal = full/{RING} = {t_full / RING * 1e3:.2f} ms)")
+
     # 3. ring per-hop kernel: query shard x one K shard (ragged k extent)
     mask = jnp.zeros((S_LOC,), bool)
     t_hop = timeit(
@@ -97,7 +119,7 @@ def main():
             lse_acc = lse_new
         return o_acc
 
-    t_ring = timeit(jax.jit(ring_sim), q_loc, k_loc, v_loc, n=5)
+    t_ring = timeit(jax.jit(ring_sim), q_loc, k_loc, v_loc)
     print(f"ring {RING}-hop loop (sim):    {t_ring * 1e3:8.2f} ms  (merge overhead "
           f"{(t_ring - RING * t_hop) * 1e3:.2f} ms)")
 

@@ -39,156 +39,25 @@ import jax.numpy as jnp  # noqa: E402
 from s2v_tpu.config import SchedulerConfig, T5Config, TransformerConfig, VAEConfig  # noqa: E402
 
 
-def _np(x):
-    return np.asarray(x, np.float32)
-
-
-def _linear(sd, prefix, p, bias=True):
-    sd[prefix + ".weight"] = _np(p["kernel"]).T
-    if bias and "bias" in p:
-        sd[prefix + ".bias"] = _np(p["bias"])
-
-
-def _affine(sd, prefix, p):
-    sd[prefix + ".weight"] = _np(p["weight"])
-    sd[prefix + ".bias"] = _np(p["bias"])
-
-
-# ---------------------------------------------------------------------------
-# transformer (inverse of loaders.hf.convert_transformer_state_dict)
-# ---------------------------------------------------------------------------
-
-
 def transformer_sd(cfg: TransformerConfig):
+    from s2v_tpu.loaders.export_hf import transformer_state_dict
     from s2v_tpu.models.transformer import init_transformer_params
 
-    params = init_transformer_params(jax.random.PRNGKey(0), cfg)
-    sd = {}
-    p = cfg.patch_size
-    d = cfg.inner_dim
-
-    kern = _np(params["patch_embed"]["proj"]["kernel"])  # [p*p*C, D]
-    sd["patch_embed.proj.weight"] = kern.reshape(p, p, cfg.in_channels, d).transpose(3, 2, 0, 1)
-    sd["patch_embed.proj.bias"] = _np(params["patch_embed"]["proj"]["bias"])
-    _linear(sd, "patch_embed.text_proj", params["patch_embed"]["text_proj"])
-    _linear(sd, "time_embedding.linear_1", params["time_embedding"]["linear_1"])
-    _linear(sd, "time_embedding.linear_2", params["time_embedding"]["linear_2"])
-
-    blocks = params["blocks"]
-    for i in range(cfg.num_layers):
-        b = jax.tree.map(lambda x: x[i], blocks)
-        pre = f"transformer_blocks.{i}"
-        qkv = _np(b["attn"]["qkv"]["kernel"])  # [D, 3D]
-        qb = _np(b["attn"]["qkv"]["bias"])
-        for j, n in enumerate(("q", "k", "v")):
-            sd[f"{pre}.attn1.to_{n}.weight"] = qkv[:, j * d : (j + 1) * d].T
-            sd[f"{pre}.attn1.to_{n}.bias"] = qb[j * d : (j + 1) * d]
-        _affine(sd, f"{pre}.attn1.norm_q", b["attn"]["norm_q"])
-        _affine(sd, f"{pre}.attn1.norm_k", b["attn"]["norm_k"])
-        _linear(sd, f"{pre}.attn1.to_out.0", b["attn"]["to_out"])
-        _linear(sd, f"{pre}.norm1.linear", b["norm1"]["linear"])
-        _affine(sd, f"{pre}.norm1.norm", b["norm1"]["norm"])
-        _linear(sd, f"{pre}.norm2.linear", b["norm2"]["linear"])
-        _affine(sd, f"{pre}.norm2.norm", b["norm2"]["norm"])
-        _linear(sd, f"{pre}.ff.net.0.proj", b["ff"]["net_0"])
-        _linear(sd, f"{pre}.ff.net.2", b["ff"]["net_2"])
-
-    _affine(sd, "norm_final", params["norm_final"])
-    _linear(sd, "norm_out.linear", params["norm_out"]["linear"])
-    _affine(sd, "norm_out.norm", params["norm_out"]["norm"])
-    _linear(sd, "proj_out", params["proj_out"])
-    return sd
-
-
-# ---------------------------------------------------------------------------
-# VAE (inverse of loaders.hf.convert_vae_state_dict)
-# ---------------------------------------------------------------------------
-
-
-def _conv3d(sd, prefix, p):
-    sd[prefix + ".weight"] = _np(p["kernel"]).transpose(4, 3, 0, 1, 2)
-    sd[prefix + ".bias"] = _np(p["bias"])
-
-
-def _conv2d(sd, prefix, p):
-    sd[prefix + ".weight"] = _np(p["kernel"]).transpose(3, 2, 0, 1)
-    sd[prefix + ".bias"] = _np(p["bias"])
-
-
-def _norm(sd, prefix, p):
-    if "conv_y" in p:  # SpatialNorm3D
-        _affine(sd, prefix + ".norm_layer", p["norm"])
-        _conv3d(sd, prefix + ".conv_y.conv", p["conv_y"])
-        _conv3d(sd, prefix + ".conv_b.conv", p["conv_b"])
-    else:
-        _affine(sd, prefix, p)
-
-
-def _resnet(sd, prefix, p):
-    _conv3d(sd, prefix + ".conv1.conv", p["conv1"])
-    _conv3d(sd, prefix + ".conv2.conv", p["conv2"])
-    _norm(sd, prefix + ".norm1", p["norm1"])
-    _norm(sd, prefix + ".norm2", p["norm2"])
-    if "conv_shortcut" in p:
-        _conv3d(sd, prefix + ".conv_shortcut", p["conv_shortcut"])
+    return transformer_state_dict(init_transformer_params(jax.random.PRNGKey(0), cfg), cfg)
 
 
 def vae_sd(cfg: VAEConfig):
+    from s2v_tpu.loaders.export_hf import vae_state_dict
     from s2v_tpu.models.vae import init_vae_params
 
-    params = init_vae_params(jax.random.PRNGKey(1), cfg)
-    sd = {}
-    enc, dec = params["encoder"], params["decoder"]
-
-    _conv3d(sd, "encoder.conv_in.conv", enc["conv_in"])
-    for i, block in enumerate(enc["down_blocks"]):
-        for j, r in enumerate(block["resnets"]):
-            _resnet(sd, f"encoder.down_blocks.{i}.resnets.{j}", r)
-        if "downsampler" in block:
-            _conv2d(sd, f"encoder.down_blocks.{i}.downsamplers.0.conv", block["downsampler"]["conv"])
-    for j, r in enumerate(enc["mid_block"]["resnets"]):
-        _resnet(sd, f"encoder.mid_block.resnets.{j}", r)
-    _affine(sd, "encoder.norm_out", enc["norm_out"])
-    _conv3d(sd, "encoder.conv_out.conv", enc["conv_out"])
-
-    _conv3d(sd, "decoder.conv_in.conv", dec["conv_in"])
-    for j, r in enumerate(dec["mid_block"]["resnets"]):
-        _resnet(sd, f"decoder.mid_block.resnets.{j}", r)
-    for i, block in enumerate(dec["up_blocks"]):
-        for j, r in enumerate(block["resnets"]):
-            _resnet(sd, f"decoder.up_blocks.{i}.resnets.{j}", r)
-        if "upsampler" in block:
-            _conv2d(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv", block["upsampler"]["conv"])
-    _norm(sd, "decoder.norm_out", dec["norm_out"])
-    _conv3d(sd, "decoder.conv_out.conv", dec["conv_out"])
-    return sd
-
-
-# ---------------------------------------------------------------------------
-# T5 (inverse of loaders.hf.convert_t5_state_dict)
-# ---------------------------------------------------------------------------
+    return vae_state_dict(init_vae_params(jax.random.PRNGKey(1), cfg), cfg)
 
 
 def t5_sd(cfg: T5Config):
+    from s2v_tpu.loaders.export_hf import t5_state_dict
     from s2v_tpu.models.t5 import init_t5_params
 
-    params = init_t5_params(jax.random.PRNGKey(2), cfg)
-    sd = {"shared.weight": _np(params["embedding"])}
-    sd["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"] = _np(
-        params["relative_attention_bias"]
-    )
-    blocks = params["blocks"]
-    for i in range(cfg.num_layers):
-        b = jax.tree.map(lambda x: x[i], blocks)
-        pre = f"encoder.block.{i}"
-        sd[f"{pre}.layer.0.layer_norm.weight"] = _np(b["ln1"]["weight"])
-        for n in ("q", "k", "v", "o"):
-            _linear(sd, f"{pre}.layer.0.SelfAttention.{n}", b["attn"][n], bias=False)
-        sd[f"{pre}.layer.1.layer_norm.weight"] = _np(b["ln2"]["weight"])
-        for n in ("wi_0", "wi_1", "wo"):
-            _linear(sd, f"{pre}.layer.1.DenseReluDense.{n}", b["mlp"][n], bias=False)
-    sd["encoder.final_layer_norm.weight"] = _np(params["final_ln"]["weight"])
-    return sd
+    return t5_state_dict(init_t5_params(jax.random.PRNGKey(2), cfg), cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -243,15 +112,9 @@ def lora_checkpoint(tcfg: TransformerConfig, rank: int = 2, seed: int = 7):
 
 
 def _cfg_json(cfg, skip=("dtype", "param_dtype")):
-    import dataclasses
+    from s2v_tpu.loaders.export_hf import config_json
 
-    out = {}
-    for f in dataclasses.fields(cfg):
-        if f.name in skip:
-            continue
-        v = getattr(cfg, f.name)
-        out[f.name] = list(v) if isinstance(v, tuple) else v
-    return out
+    return config_json(cfg, skip=skip)
 
 
 def make_snapshot(out_dir: str, lora_out: str | None = None, family: str = "5b"):
