@@ -101,6 +101,9 @@ def get_args(argv=None):
                    help="per-step progress from inside the fused denoise loop "
                         "(host callback; on relayed devices prefer --segment_steps)")
     p.add_argument("--profile_dir", type=str, default=None, help="jax.profiler trace output dir")
+    p.add_argument("--save_merged_dir", type=str, default=None,
+                   help="also export the loaded (LoRA-merged) weights as an "
+                        "HF-layout snapshot to this dir (save_pretrained)")
     return p.parse_args(argv)
 
 
@@ -134,6 +137,10 @@ def main(args=None):
     pipe.vae_slicing = bool(args.enable_slicing)
     pipe.set_attention(args.attention_backend, args.attention_window)
     print(f"[s2v_tpu] models loaded in {time.perf_counter() - t0:.1f}s on {jax.devices()}")
+
+    if args.save_merged_dir:
+        pipe.save_pretrained(os.path.expanduser(args.save_merged_dir))
+        print(f"[s2v_tpu] merged snapshot written to {args.save_merged_dir}")
 
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
