@@ -31,3 +31,13 @@ from s2v_tpu.config import (  # noqa: F401
     T5Config,
     PipelineConfig,
 )
+
+
+def __getattr__(name):
+    # lazy top-level export (mirrors `from diffusers import DiffusionPipeline`
+    # ergonomics without importing the model stack at package import)
+    if name == "S2VPipeline":
+        from s2v_tpu.pipelines.s2v import S2VPipeline
+
+        return S2VPipeline
+    raise AttributeError(f"module 's2v_tpu' has no attribute {name!r}")
