@@ -214,9 +214,11 @@ def joint_attention(
         if mesh is None or axis is None:
             raise ValueError(f"{backend} attention needs an active mesh with an 'sp' axis")
         if backend == "ring":
-            from s2v_tpu.parallel.ring_attention import ring_attention
+            # differentiable: custom VJP runs a second ring pass (fp32
+            # per-hop math) — ring training is the memory-lean fallback
+            from s2v_tpu.parallel.ring_attention import ring_attention_trainable
 
-            out = ring_attention(q, k, v, mesh, axis_name=axis)
+            out = ring_attention_trainable(q, k, v, mesh, axis)
         elif backend == "sp_ulysses":
             from s2v_tpu.parallel.sp_attention import ulysses_attention
 

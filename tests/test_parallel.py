@@ -539,6 +539,35 @@ def test_sp_windowed_matches_single_chip_banded():
         )
 
 
+def test_ring_trainable_grads_match_dense():
+    """jax.grad through ring_attention_trainable (second-ring-pass custom
+    VJP) == grads of dense attention, on both per-hop engines and with a
+    ring-padded sequence length."""
+    from s2v_tpu.parallel.ring_attention import ring_attention_trainable
+
+    mesh = make_mesh({"seq": 4}, jax.devices()[:4])
+    for use_kernel, s in ((False, 19), (True, 16)):
+        q, k, v = _qkv(key=11, s=s, h=2)
+        ct = jax.random.normal(jax.random.PRNGKey(12), q.shape, jnp.float32)
+
+        def loss(q_, k_, v_):
+            o = ring_attention_trainable(
+                q_, k_, v_, mesh, "seq", None, use_kernel, True
+            )
+            return jnp.sum(o * ct)
+
+        def loss_ref(q_, k_, v_):
+            return jnp.sum(jax.nn.dot_product_attention(q_, k_, v_) * ct)
+
+        got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip(("dq", "dk", "dv"), got, ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4,
+                err_msg=f"use_kernel={use_kernel} {name}",
+            )
+
+
 def test_ulysses_attention_matches_dense():
     """sp_ulysses (all-to-all head scatter / seq gather) == dense
     attention, including a sequence length not divisible by the ring."""
