@@ -204,7 +204,7 @@ def config_json(cfg, skip=("dtype", "param_dtype")) -> dict:
     return out
 
 
-def save_pipeline_snapshot(pipe, out_dir: str) -> str:
+def save_pipeline_snapshot(pipe, out_dir: str, dtype: Optional[str] = None) -> str:
     """Write the pipeline's current weights as an HF-layout snapshot
     ``from_pretrained`` (here or in the reference stack) can load:
 
@@ -217,24 +217,44 @@ def save_pipeline_snapshot(pipe, out_dir: str) -> str:
     LoRA is merged at load in this framework, so the exported transformer
     carries the merged weights — the way to publish a fused checkpoint.
     Sharded (mesh) params are gathered host-side by ``np.asarray``.
+
+    ``dtype``: on-disk dtype, e.g. ``"bfloat16"`` to match the hub 5b
+    checkpoints' size; ``None`` keeps lossless fp32.  Submodules are
+    converted and written one at a time so peak host RAM is one model,
+    not the whole pipeline.
     """
     from s2v_tpu.loaders.safetensors_io import save_safetensors
 
+    cast = None
+    if dtype is not None:
+        import ml_dtypes
+
+        cast = dict(bfloat16=ml_dtypes.bfloat16, float32=np.float32,
+                    float16=np.float16)[dtype]
+
+    # thunks: build each state dict only inside the write loop and drop it
+    # before the next submodule (flagship T5+DiT+VAE would otherwise hold
+    # ~40 GB of fp32 numpy simultaneously)
     subs = [
         ("transformer", pipe.transformer_cfg,
-         transformer_state_dict(pipe.transformer_params, pipe.transformer_cfg)),
-        ("vae", pipe.vae_cfg, vae_state_dict(pipe.vae_params, pipe.vae_cfg)),
+         lambda: transformer_state_dict(pipe.transformer_params, pipe.transformer_cfg)),
+        ("vae", pipe.vae_cfg, lambda: vae_state_dict(pipe.vae_params, pipe.vae_cfg)),
     ]
     if pipe.t5_params is not None:
         subs.append(
-            ("text_encoder", pipe.t5_cfg, t5_state_dict(pipe.t5_params, pipe.t5_cfg))
+            ("text_encoder", pipe.t5_cfg,
+             lambda: t5_state_dict(pipe.t5_params, pipe.t5_cfg))
         )
-    for sub, cfg, sd in subs:
+    for sub, cfg, make_sd in subs:
         d = os.path.join(out_dir, sub)
         os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, "config.json"), "w") as f:
             json.dump(config_json(cfg), f, indent=1)
+        sd = make_sd()
+        if cast is not None:
+            sd = {k: v.astype(cast) for k, v in sd.items()}
         save_safetensors(sd, os.path.join(d, "model.safetensors"))
+        del sd
 
     os.makedirs(os.path.join(out_dir, "scheduler"), exist_ok=True)
     with open(os.path.join(out_dir, "scheduler", "scheduler_config.json"), "w") as f:

@@ -281,14 +281,16 @@ class S2VPipeline:
             pipe.set_mesh(mesh)
         return pipe
 
-    def save_pretrained(self, out_dir: str) -> str:
+    def save_pretrained(self, out_dir: str, dtype: Optional[str] = None) -> str:
         """Write the current weights as an HF-layout snapshot loadable by
         ``from_pretrained`` (or the reference stack).  LoRA is merged at
         load here, so this exports *fused* weights — the reference has no
-        save path at all (SURVEY §5 checkpoint/resume: load-only)."""
+        save path at all (SURVEY §5 checkpoint/resume: load-only).
+        ``dtype="bfloat16"`` halves the snapshot (hub-checkpoint size);
+        default keeps lossless fp32."""
         from s2v_tpu.loaders.export_hf import save_pipeline_snapshot
 
-        return save_pipeline_snapshot(self, out_dir)
+        return save_pipeline_snapshot(self, out_dir, dtype=dtype)
 
     # ------------------------------------------------------------------
     # stages

@@ -39,10 +39,13 @@ def get_args(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--attention_backend", type=str, default="auto",
-                   choices=["auto", "xla", "chunked", "pallas", "ring", "sp_allgather", "windowed"],
+                   choices=["auto", "xla", "chunked", "pallas", "ring",
+                            "sp_allgather", "sp_ulysses", "sp_windowed",
+                            "windowed"],
                    help="auto = pallas on TPU / xla on CPU; pallas = flash "
                         "kernels both ways; windowed = banded sliding-window "
-                        "kernels both ways (long clips). pallas_int8 is "
+                        "kernels both ways (long clips); sp_* / ring need "
+                        "--mesh with a seq axis. pallas_int8 is "
                         "inference-only (no backward kernels)")
     p.add_argument("--attention_window", type=int, default=2,
                    help="half-width (latent frames) for --attention_backend windowed")

@@ -154,7 +154,11 @@ def latent_batches(
         if cache is None:
             return _encode_item_moments(dataset, pipe, idx)
         if idx not in cache:
-            cache[idx] = _encode_item_moments(dataset, pipe, idx)
+            # Cache HOST-side (numpy): the cache grows with the dataset, and
+            # device-resident entries would accumulate in HBM across epochs
+            # (hundreds of clips x several MB of moments+embeds each).  The
+            # jnp.stack at batch build re-uploads just the batch.
+            cache[idx] = jax.device_get(_encode_item_moments(dataset, pipe, idx))
         return cache[idx]
 
     for start in range(0, len(order) - batch_size + 1, batch_size):
@@ -191,28 +195,52 @@ def prefetch_batches(it: Iterator[dict], depth: int = 2) -> Iterator[dict]:
     JAX dispatch is async, but the cv2 decode is blocking host work the
     train loop would otherwise serialize with.
 
-    Exceptions from the producer re-raise at the consuming ``next()``."""
+    Exceptions from the producer re-raise at the consuming ``next()``.
+    Closing/abandoning the generator early (e.g. ``break`` at
+    ``max_train_steps`` mid-epoch) signals the producer to stop, so no
+    thread stays blocked on a full queue pinning device buffers."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        # bounded put that gives up when the consumer has gone away
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def produce():
         try:
             for item in it:
-                q.put(item)
+                if not put(item):
+                    return
         except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
-            q.put((_END, e))
+            put((_END, e))
             return
-        q.put((_END, None))
+        put((_END, None))
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is _END:
-            if item[1] is not None:
-                raise item[1]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is _END:
+                if item[1] is not None:
+                    raise item[1]
+                return
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():  # unblock a producer mid-put, drop queued batches
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5.0)

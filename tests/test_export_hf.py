@@ -46,3 +46,29 @@ def test_save_pretrained_rejects_int8(tmp_path):
     pipe.transformer_params = quantize_transformer_params(pipe.transformer_params)
     with pytest.raises(ValueError, match="int8-quantized"):
         pipe.save_pretrained(str(tmp_path / "snap"))
+
+
+def test_save_pretrained_bfloat16_dtype(tmp_path):
+    """dtype="bfloat16" writes hub-sized snapshots that still load."""
+    import ml_dtypes
+    from safetensors import numpy as stn
+
+    from s2v_tpu.pipelines.s2v import S2VPipeline
+    from s2v_tpu.testing import tiny_pipeline
+
+    pipe = tiny_pipeline()
+    out = str(tmp_path / "snap_bf16")
+    pipe.save_pretrained(out, dtype="bfloat16")
+
+    sd = stn.load_file(f"{out}/transformer/model.safetensors")
+    assert all(v.dtype == ml_dtypes.bfloat16 for v in sd.values())
+
+    re = S2VPipeline.from_pretrained(out, dtype=jnp.float32)
+    for a, b in zip(
+        jax.tree.leaves(pipe.transformer_params), jax.tree.leaves(re.transformer_params)
+    ):
+        a = np.asarray(a)
+        np.testing.assert_allclose(
+            a.astype(ml_dtypes.bfloat16).astype(np.float32), np.asarray(b),
+            atol=0, rtol=0,  # exactly the bf16-rounded weights
+        )

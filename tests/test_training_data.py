@@ -147,3 +147,38 @@ def test_prefetch_batches_order_and_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="decode failed"):
         next(it)
+
+
+def test_prefetch_batches_early_close_stops_producer():
+    """Abandoning the generator (break at max_train_steps) must unblock
+    and stop the producer thread instead of leaving it pinned on q.put."""
+    import threading
+
+    produced = []
+
+    def source():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    it = prefetch_batches(source(), depth=1)
+    assert next(it) == 0
+    it.close()  # what `break` out of a for-loop does via GC
+    # the finally-block joins the producer; thread count returns to baseline
+    assert threading.active_count() <= before
+    assert len(produced) < 10  # producer stopped early, not after 1000
+
+
+def test_latent_batches_cache_holds_host_arrays(tmp_path):
+    """The encode-once cache must store numpy (host) arrays — device
+    entries would accumulate in HBM across a realistic dataset."""
+    import numpy as np
+
+    pipe, ds = _tiny_pipe_and_ds(tmp_path)
+    cache: dict = {}
+    next(iter(latent_batches(ds, pipe, batch_size=1, seed=0, cache=cache)))
+    assert cache
+    for entry in cache.values():
+        for v in entry.values():
+            assert isinstance(v, np.ndarray), type(v)

@@ -49,9 +49,11 @@ def scan_kernel(q, k, v0, n):
     return v_final
 
 
-def slope_time(q, k, v, n1, n2, reps=2):
-    f1 = jax.jit(functools.partial(scan_kernel, n=n1))
-    f2 = jax.jit(functools.partial(scan_kernel, n=n2))
+def slope_time(q, k, v, n1, n2, reps=2, fn=scan_kernel):
+    """Per-iteration time of ``fn(q, k, v, n)`` as the slope between two
+    scan lengths (cancels the one per-execution fetch cost)."""
+    f1 = jax.jit(functools.partial(fn, n=n1))
+    f2 = jax.jit(functools.partial(fn, n=n2))
     _sync(f1(q, k, v))  # compile
     _sync(f2(q, k, v))
 
@@ -95,22 +97,7 @@ def main():
         out, _ = jax.lax.scan(body, v_, None, length=n)
         return out
 
-    def slope(fn, n1, n2, reps=2):
-        f1 = jax.jit(functools.partial(fn, n=n1))
-        f2 = jax.jit(functools.partial(fn, n=n2))
-        _sync(f1(q_loc, k, v))
-        _sync(f2(q_loc, k, v))
-
-        def run(f):
-            t0 = time.perf_counter()
-            _sync(f(q_loc, k, v))
-            return time.perf_counter() - t0
-
-        t1 = min(run(f1) for _ in range(reps))
-        t2 = min(run(f2) for _ in range(reps))
-        return (t2 - t1) / (n2 - n1), t1, t2
-
-    t_ag, a, b = slope(scan_ag, 50, 350)
+    t_ag, a, b = slope_time(q_loc, k, v, 50, 350, fn=scan_ag)
     print(f"AG-KV shard kernel:   {t_ag * 1e3:8.2f} ms  (ideal full/8 = "
           f"{t_full / 8 * 1e3:.2f}; ratio {t_ag / (t_full / 8):.2f}x)  "
           f"[chains {a:.1f}/{b:.1f} s]")
@@ -119,26 +106,7 @@ def main():
     h_loc = H // RING
     qh, kh, vh = q[:, :, :h_loc], k[:, :, :h_loc], v[:, :, :h_loc]
 
-    def scan_uly(q_, k_, v_, n):
-        def body(vv, _):
-            return flash_attention(q_, k_, vv).astype(vv.dtype), None
-
-        out, _ = jax.lax.scan(body, v_, None, length=n)
-        return out
-
-    f1 = jax.jit(functools.partial(scan_uly, n=50))
-    f2 = jax.jit(functools.partial(scan_uly, n=350))
-    _sync(f1(qh, kh, vh))
-    _sync(f2(qh, kh, vh))
-
-    def run2(f):
-        t0 = time.perf_counter()
-        _sync(f(qh, kh, vh))
-        return time.perf_counter() - t0
-
-    t1 = min(run2(f1) for _ in range(2))
-    t2 = min(run2(f2) for _ in range(2))
-    t_uly = (t2 - t1) / 300
+    t_uly, t1, t2 = slope_time(qh, kh, vh, 50, 350)
     print(f"Ulysses shard kernel: {t_uly * 1e3:8.2f} ms  ({h_loc} heads x full "
           f"SxS; ideal full/8 = {t_full / 8 * 1e3:.2f}; ratio "
           f"{t_uly / (t_full / 8):.2f}x)  [chains {t1:.1f}/{t2:.1f} s]")
