@@ -23,6 +23,8 @@ import time
 
 from s2v_tpu.cli_utils import (
     ATTENTION_BACKEND_CHOICES,
+    add_compilation_cache_flag,
+    enable_compilation_cache,
     str2bool as _str2bool,
     tiling_policy as _tiling_policy,
 )
@@ -104,6 +106,7 @@ def get_args(argv=None):
     p.add_argument("--save_merged_dir", type=str, default=None,
                    help="also export the loaded (LoRA-merged) weights as an "
                         "HF-layout snapshot to this dir (save_pretrained)")
+    add_compilation_cache_flag(p)
     return p.parse_args(argv)
 
 
@@ -120,6 +123,7 @@ def main(args=None):
     from s2v_tpu.pipelines.s2v import S2VPipeline
     from s2v_tpu.utils.video import export_to_video, to_uint8_frames
 
+    enable_compilation_cache(args.compilation_cache_dir)
     t0 = time.perf_counter()
     pipe = S2VPipeline.from_pretrained(
         os.path.expanduser(args.pretrained_model_name_or_path),

@@ -22,6 +22,8 @@ import sys
 
 from s2v_tpu.cli_utils import (
     ATTENTION_BACKEND_CHOICES,
+    add_compilation_cache_flag,
+    enable_compilation_cache,
     str2bool as _str2bool,
     tiling_policy as _tiling_policy,
 )
@@ -54,6 +56,7 @@ def get_args(argv=None):
     p.add_argument("--warmup", type=str, default=None,
                    help="JSON generate-kwargs to precompile at startup, e.g. "
                         '\'{"height": 480, "width": 720, "num_frames": 49}\'')
+    add_compilation_cache_flag(p)
     return p.parse_args(argv)
 
 
@@ -76,6 +79,9 @@ def main(args=None):
     from s2v_tpu.utils.logging import get_logger
 
     log = get_logger("s2v_tpu.serve")
+    cache_dir = enable_compilation_cache(args.compilation_cache_dir)
+    if cache_dir:
+        log.info("persistent compilation cache: %s", cache_dir)
     pipe = S2VPipeline.from_pretrained(
         os.path.expanduser(args.pretrained_model_name_or_path),
         lora_checkpoint=args.checkpoint_path,

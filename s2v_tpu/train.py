@@ -59,6 +59,9 @@ def get_args(argv=None):
                    help="multi-chip training mesh, e.g. 'dp2,tp4': base "
                         "params TP-sharded, batches dp-sharded, adapters "
                         "replicated (gradients all-reduced by GSPMD)")
+    from s2v_tpu.cli_utils import add_compilation_cache_flag
+
+    add_compilation_cache_flag(p)
     return p.parse_args(argv)
 
 
@@ -84,7 +87,10 @@ def main(args=None):
     from s2v_tpu.utils.logging import get_logger
 
     log = get_logger("s2v_tpu.train")
+    from s2v_tpu.cli_utils import enable_compilation_cache
     from s2v_tpu.ops.attention import resolve_attention_backend
+
+    enable_compilation_cache(args.compilation_cache_dir)
 
     args.attention_backend = resolve_attention_backend(args.attention_backend)
     pipe = S2VPipeline.from_pretrained(os.path.expanduser(args.pretrained_model_name_or_path))
