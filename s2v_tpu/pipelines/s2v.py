@@ -281,6 +281,65 @@ class S2VPipeline:
             pipe.set_mesh(mesh)
         return pipe
 
+    def load_lora(self, lora_checkpoint: Optional[str],
+                  lora_alpha: float = 64.0) -> None:
+        """Hot-swap the merged LoRA adapter without reloading the pipeline.
+
+        Re-reads the BASE transformer weights from the source snapshot
+        (``model_dir``, via the converted-param/host cache), merges the new
+        adapter (``None`` resets to base weights), and swaps the param tree
+        in place.  Compiled executables stay valid — params are traced
+        arguments of the cached denoise programs and shapes/dtypes/
+        shardings are unchanged — so switching subjects in a serving
+        daemon costs one host reload + upload, not a re-jit.
+
+        The reference has no equivalent: swapping the subject LoRA there
+        means a new process and a full model reload + PEFT injection
+        (src/inference.py:172-247).
+        """
+        from s2v_tpu.loaders import (
+            convert_transformer_state_dict,
+            load_and_merge_lora,
+            load_sharded_safetensors,
+        )
+
+        if not self.model_dir:
+            raise ValueError(
+                "load_lora needs the source snapshot (pipeline was not "
+                "built by from_pretrained); reload with from_pretrained"
+            )
+        sd = load_sharded_safetensors(os.path.join(self.model_dir, "transformer"))
+        if self.transformer_cfg.disentangled_modulation:
+            for i in range(self.transformer_cfg.num_layers):
+                for n in ("norm1", "norm2"):
+                    for wb in ("weight", "bias"):
+                        sd[f"transformer_blocks.{i}.{n}.base_linear.{wb}"] = sd[
+                            f"transformer_blocks.{i}.{n}.linear.{wb}"
+                        ]
+        if lora_checkpoint is not None:
+            sd, _ = load_and_merge_lora(sd, lora_checkpoint, alpha=lora_alpha)
+        quantized = any(
+            getattr(x, "dtype", None) == jnp.int8
+            for x in jax.tree.leaves(self.transformer_params)
+        )
+        new_params = convert_transformer_state_dict(
+            sd, self.transformer_cfg, quantize_int8=quantized
+        )
+        if self.mesh is not None:
+            from s2v_tpu.parallel.sharding import (
+                replicate,
+                shard_params,
+                transformer_param_specs_like,
+            )
+
+            if "model" in self.mesh.axis_names and self.mesh.shape["model"] > 1:
+                specs = transformer_param_specs_like(new_params, "model")
+                new_params = shard_params(new_params, self.mesh, specs)
+            else:
+                new_params = replicate(new_params, self.mesh)
+        self.transformer_params = new_params
+        # NOTE: _compiled_denoise is intentionally NOT cleared (see above).
+
     def save_pretrained(self, out_dir: str, dtype: Optional[str] = None) -> str:
         """Write the current weights as an HF-layout snapshot loadable by
         ``from_pretrained`` (or the reference stack).  LoRA is merged at

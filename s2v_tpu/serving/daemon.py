@@ -18,6 +18,10 @@ Protocol: newline-delimited JSON request/response pairs.
    "output_path": ..., ...generate-kwargs}
   # "prompt" may be a list of strings: one batched denoise, one mp4 per
   # prompt (output_path gets _0/_1/... suffixes), subject image shared
+  {"op": "load_lora", "checkpoint_path": ..., "lora_alpha": 64}
+  # hot-swap the subject adapter (null checkpoint_path = base weights);
+  # compiled executables survive the swap (params are traced arguments),
+  # so switching subjects costs a host reload, not a re-jit
   {"op": "shutdown"}
 
 Responses: {"status": "ok", ...} | {"status": "error", "error": msg}.
@@ -63,6 +67,7 @@ class ServingDaemon:
         self.fps = fps
         self.requests_served = 0
         self.clips_generated = 0
+        self.lora_checkpoint: Optional[str] = None  # set by op load_lora
         self._latencies: list = []  # generate seconds, compile excluded
         self._t_start = time.time()
 
@@ -99,8 +104,22 @@ class ServingDaemon:
                 "requests_served": self.requests_served,
                 "clips_generated": self.clips_generated,
                 "compiled_configs": len(self.pipe._compiled_denoise),
+                "lora_checkpoint": self.lora_checkpoint,
                 "uptime_s": round(time.time() - self._t_start, 1),
                 "generate_latency_s": {"p50": pct(0.5), "p90": pct(0.9), "max": pct(1.0)},
+            }
+        if op == "load_lora":
+            path = req.get("checkpoint_path")
+            if path is not None and not os.path.exists(path):
+                return {"status": "error", "error": f"checkpoint not found: {path}"}
+            t0 = time.time()
+            self.pipe.load_lora(path, lora_alpha=float(req.get("lora_alpha", 64.0)))
+            self.lora_checkpoint = path
+            return {
+                "status": "ok",
+                "lora_checkpoint": path,  # None => base weights
+                "seconds": round(time.time() - t0, 2),
+                "compiled_configs_kept": len(self.pipe._compiled_denoise),
             }
         if op == "shutdown":
             return {"status": "ok", "shutdown": True}
