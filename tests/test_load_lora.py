@@ -91,3 +91,29 @@ def test_daemon_load_lora_op(snap_and_lora, tmp_path):
 
     reset = d.handle({"op": "load_lora", "checkpoint_path": None})
     assert reset["status"] == "ok" and reset["lora_checkpoint"] is None
+
+
+def test_load_lora_preserves_int8_quantization(snap_and_lora):
+    """An int8-quantized pipeline re-quantizes the swapped weights."""
+    import jax
+
+    from s2v_tpu.pipelines.s2v import S2VPipeline
+
+    snap, lora = snap_and_lora
+    pipe = S2VPipeline.from_pretrained(snap, dtype=jnp.float32, quantize_int8=True)
+
+    def n_int8(tree):
+        return sum(
+            1 for x in jax.tree.leaves(tree)
+            if getattr(x, "dtype", None) == jnp.int8
+        )
+
+    before = n_int8(pipe.transformer_params)
+    assert before > 0
+    pipe.load_lora(lora)
+    assert n_int8(pipe.transformer_params) == before
+
+    ref = S2VPipeline.from_pretrained(
+        snap, lora_checkpoint=lora, dtype=jnp.float32, quantize_int8=True
+    )
+    np.testing.assert_allclose(_gen(pipe), _gen(ref), atol=1e-5, rtol=1e-5)
