@@ -117,3 +117,28 @@ def test_load_lora_preserves_int8_quantization(snap_and_lora):
         snap, lora_checkpoint=lora, dtype=jnp.float32, quantize_int8=True
     )
     np.testing.assert_allclose(_gen(pipe), _gen(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_load_lora_under_tp_mesh(snap_and_lora):
+    """Hot-swap on a sharded pipeline re-shards the new tree: matches a
+    pipeline freshly loaded with the adapter under the same mesh."""
+    from s2v_tpu.pipelines.s2v import S2VPipeline
+
+    snap, lora = snap_and_lora
+    pipe = S2VPipeline.from_pretrained(snap, dtype=jnp.float32, mesh="dp2,tp4")
+    assert pipe.mesh is not None and pipe.mesh.size == 8
+    pipe.load_lora(lora)
+    got = _gen(pipe)
+
+    ref = S2VPipeline.from_pretrained(
+        snap, lora_checkpoint=lora, dtype=jnp.float32, mesh="dp2,tp4"
+    )
+    np.testing.assert_allclose(got, _gen(ref), atol=2e-4, rtol=1e-4)
+    # swapped tree kept the megatron TP placement
+    import jax
+
+    shardings = {
+        str(x.sharding.spec) for x in jax.tree.leaves(pipe.transformer_params)
+        if hasattr(x, "sharding") and hasattr(x.sharding, "spec")
+    }
+    assert any("model" in s for s in shardings), shardings
