@@ -47,18 +47,32 @@ def enable_compilation_cache(spec: str = "auto", min_compile_seconds: float = 1.
     without this is the full trace+compile on every process start.  Keyed
     by HLO hash: any shape/flag change compiles fresh, unchanged programs
     load in ~100s of ms.  Returns the directory or None when disabled."""
+    import logging
     import os
 
     import jax
 
-    if spec is None or str(spec).lower() in ("off", "none", "false", "0", ""):
+    def _disabled(v) -> bool:
+        return v is None or str(v).lower() in ("off", "none", "false", "0", "")
+
+    if _disabled(spec):
         return None
     if str(spec).lower() == "auto":
         spec = os.environ.get(
             "S2V_TPU_CACHE_DIR", os.path.join("~", ".cache", "s2v_tpu", "xla")
         )
+        if _disabled(spec):  # S2V_TPU_CACHE_DIR=off disables too
+            return None
     path = os.path.expanduser(str(spec))
-    os.makedirs(path, exist_ok=True)
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError as e:
+        # the cache is an optimization: degrade to disabled, never fail the
+        # run (read-only HOME in a container, etc.)
+        logging.getLogger("s2v_tpu").warning(
+            "compilation cache disabled (cannot create %s: %s)", path, e
+        )
+        return None
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       float(min_compile_seconds))

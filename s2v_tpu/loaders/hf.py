@@ -59,14 +59,18 @@ def _quantize_host(kernel_np: np.ndarray, bias, dtype):
 
 
 def convert_transformer_state_dict(
-    sd: Dict[str, np.ndarray], cfg: TransformerConfig, quantize_int8: bool = False
+    sd: Dict[str, np.ndarray], cfg: TransformerConfig, quantize_int8: bool = False,
+    device: bool = True,
 ):
     """HF ``CogVideoXTransformer3DModel`` state dict -> our pytree.
 
     QKV projections are fused into one ``[D, 3D]`` kernel; per-layer params
     are stacked on a leading axis for ``lax.scan``.  ``quantize_int8``
     converts the qkv/to_out/ff kernels to the int8 serving format
-    (s2v_tpu.ops.quant) during conversion, host-side.
+    (s2v_tpu.ops.quant) during conversion, host-side.  ``device=False``
+    returns the host (numpy) tree — callers that must free an old device
+    tree before uploading (LoRA hot-swap: two 11-GB trees don't fit a
+    16 GB chip) or that place shards themselves (mesh) use this.
     """
     dt = cfg.param_dtype
     p = cfg.patch_size
@@ -139,7 +143,7 @@ def convert_transformer_state_dict(
         )
     blocks = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *blocks)
 
-    return _to_device({
+    host_tree = {
         "patch_embed": {
             "proj": {"kernel": _j(proj_kernel, dt), "bias": _j(sd["patch_embed.proj.bias"], dt)},
             "text_proj": _linear(sd, "patch_embed.text_proj", dt),
@@ -155,7 +159,8 @@ def convert_transformer_state_dict(
             "norm": _affine(sd, "norm_out.norm", dt),
         },
         "proj_out": _linear(sd, "proj_out", dt),
-    })
+    }
+    return _to_device(host_tree) if device else host_tree
 
 
 # ---------------------------------------------------------------------------

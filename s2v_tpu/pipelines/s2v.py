@@ -286,12 +286,15 @@ class S2VPipeline:
         """Hot-swap the merged LoRA adapter without reloading the pipeline.
 
         Re-reads the BASE transformer weights from the source snapshot
-        (``model_dir``, via the converted-param/host cache), merges the new
-        adapter (``None`` resets to base weights), and swaps the param tree
-        in place.  Compiled executables stay valid — params are traced
-        arguments of the cached denoise programs and shapes/dtypes/
-        shardings are unchanged — so switching subjects in a serving
-        daemon costs one host reload + upload, not a re-jit.
+        (``model_dir``), merges the new adapter (``None`` resets to base
+        weights), and swaps the param tree in place.  Compiled executables
+        stay valid — params are traced arguments of the cached denoise
+        programs and shapes/dtypes/shardings are unchanged — so switching
+        subjects in a serving daemon costs one host snapshot re-read +
+        merge + upload (seconds), not a re-jit (minutes).  The old device
+        tree is freed BEFORE the new one uploads: two flagship trees
+        (2 x 11.1 GB bf16) would not fit a 16 GB chip.  Host-side failures
+        (bad path, key mismatch) raise before the old tree is touched.
 
         The reference has no equivalent: swapping the subject LoRA there
         means a new process and a full model reload + PEFT injection
@@ -322,9 +325,13 @@ class S2VPipeline:
             getattr(x, "dtype", None) == jnp.int8
             for x in jax.tree.leaves(self.transformer_params)
         )
-        new_params = convert_transformer_state_dict(
-            sd, self.transformer_cfg, quantize_int8=quantized
+        # convert host-side (numpy), free the old device tree, THEN upload —
+        # never two transformer trees in HBM at once
+        host_params = convert_transformer_state_dict(
+            sd, self.transformer_cfg, quantize_int8=quantized, device=False
         )
+        del sd
+        self.transformer_params = None
         if self.mesh is not None:
             from s2v_tpu.parallel.sharding import (
                 replicate,
@@ -333,11 +340,12 @@ class S2VPipeline:
             )
 
             if "model" in self.mesh.axis_names and self.mesh.shape["model"] > 1:
-                specs = transformer_param_specs_like(new_params, "model")
-                new_params = shard_params(new_params, self.mesh, specs)
+                specs = transformer_param_specs_like(host_params, "model")
+                self.transformer_params = shard_params(host_params, self.mesh, specs)
             else:
-                new_params = replicate(new_params, self.mesh)
-        self.transformer_params = new_params
+                self.transformer_params = replicate(host_params, self.mesh)
+        else:
+            self.transformer_params = jax.device_put(host_params)
         # NOTE: _compiled_denoise is intentionally NOT cleared (see above).
 
     def save_pretrained(self, out_dir: str, dtype: Optional[str] = None) -> str:

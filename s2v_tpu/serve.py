@@ -94,7 +94,8 @@ def main(args=None):
     pipe.vae_tiling = args.enable_tiling  # True | False | "auto"
     pipe.vae_slicing = bool(args.enable_slicing)
     pipe.set_attention(args.attention_backend, args.attention_window)
-    daemon = ServingDaemon(pipe, args.socket, fps=args.fps)
+    daemon = ServingDaemon(pipe, args.socket, fps=args.fps,
+                           lora_checkpoint=args.checkpoint_path)
 
     if args.warmup:
         wu = {"op": "warmup", **json.loads(args.warmup)}

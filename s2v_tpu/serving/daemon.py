@@ -61,13 +61,17 @@ _GEN_KEYS = {
 
 
 class ServingDaemon:
-    def __init__(self, pipe, socket_path: str, fps: int = 8):
+    def __init__(self, pipe, socket_path: str, fps: int = 8,
+                 lora_checkpoint: Optional[str] = None):
         self.pipe = pipe
         self.socket_path = socket_path
         self.fps = fps
         self.requests_served = 0
         self.clips_generated = 0
-        self.lora_checkpoint: Optional[str] = None  # set by op load_lora
+        # the adapter merged at startup (serve --checkpoint_path), kept
+        # current by op load_lora; surfaced in stats so orchestrators can
+        # key subject-swap decisions on it
+        self.lora_checkpoint = lora_checkpoint
         self._latencies: list = []  # generate seconds, compile excluded
         self._t_start = time.time()
 

@@ -41,3 +41,17 @@ def test_enable_compilation_cache(tmp_path):
         assert os.listdir(d), "compiled executable not persisted"
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
+
+
+def test_enable_compilation_cache_env_off(tmp_path, monkeypatch):
+    """S2V_TPU_CACHE_DIR=off disables rather than creating a dir named 'off';
+    an uncreatable dir degrades to disabled instead of crashing."""
+    from s2v_tpu.cli_utils import enable_compilation_cache
+
+    monkeypatch.setenv("S2V_TPU_CACHE_DIR", "off")
+    assert enable_compilation_cache("auto") is None
+
+    blocker = tmp_path / "file"
+    blocker.write_text("x")
+    # a path under a regular file cannot be created -> disabled, no raise
+    assert enable_compilation_cache(str(blocker / "sub")) is None

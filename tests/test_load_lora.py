@@ -142,3 +142,13 @@ def test_load_lora_under_tp_mesh(snap_and_lora):
         if hasattr(x, "sharding") and hasattr(x.sharding, "spec")
     }
     assert any("model" in s for s in shardings), shardings
+
+
+def test_daemon_seeds_startup_lora_in_stats(snap_and_lora, tmp_path):
+    from s2v_tpu.pipelines.s2v import S2VPipeline
+    from s2v_tpu.serving import ServingDaemon
+
+    snap, lora = snap_and_lora
+    pipe = S2VPipeline.from_pretrained(snap, lora_checkpoint=lora, dtype=jnp.float32)
+    d = ServingDaemon(pipe, str(tmp_path / "s.sock"), lora_checkpoint=lora)
+    assert d.handle({"op": "stats"})["lora_checkpoint"] == lora
