@@ -21,7 +21,9 @@ Protocol: newline-delimited JSON request/response pairs.
   {"op": "load_lora", "checkpoint_path": ..., "lora_alpha": 64}
   # hot-swap the subject adapter (null checkpoint_path = base weights);
   # compiled executables survive the swap (params are traced arguments),
-  # so switching subjects costs a host reload, not a re-jit
+  # so switching subjects costs a host reload, not a re-jit.
+  # generate/warmup also accept "lora_checkpoint" (+"lora_alpha") inline:
+  # the daemon swaps automatically when it differs from the active adapter
   {"op": "shutdown"}
 
 Responses: {"status": "ok", ...} | {"status": "error", "error": msg}.
@@ -134,6 +136,18 @@ class ServingDaemon:
     def _generate(self, req: dict, export: bool) -> dict:
         from s2v_tpu.utils.video import export_to_video
 
+        swapped = False
+        if "lora_checkpoint" in req:
+            want = req["lora_checkpoint"]
+            if want is not None and not os.path.exists(want):
+                return {"status": "error", "error": f"checkpoint not found: {want}"}
+            if want != self.lora_checkpoint:
+                self.pipe.load_lora(
+                    want, lora_alpha=float(req.get("lora_alpha", 64.0))
+                )
+                self.lora_checkpoint = want
+                swapped = True
+
         kwargs = self._gen_kwargs(req)
         prompt = req.get("prompt")
         ref = req.get("ref_img_path")
@@ -168,6 +182,8 @@ class ServingDaemon:
             "compiled": compiled,  # False => executable cache hit
             "shape": list(np.asarray(video).shape),
         }
+        if swapped:
+            resp["lora_checkpoint"] = self.lora_checkpoint
         if export:
             out_path = req.get("output_path") or os.path.join(
                 req.get("output_dir", "."), f"s2v_{int(time.time())}.mp4"

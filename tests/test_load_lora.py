@@ -152,3 +152,43 @@ def test_daemon_seeds_startup_lora_in_stats(snap_and_lora, tmp_path):
     pipe = S2VPipeline.from_pretrained(snap, lora_checkpoint=lora, dtype=jnp.float32)
     d = ServingDaemon(pipe, str(tmp_path / "s.sock"), lora_checkpoint=lora)
     assert d.handle({"op": "stats"})["lora_checkpoint"] == lora
+
+
+def test_daemon_inline_lora_checkpoint_on_generate(snap_and_lora, tmp_path):
+    """generate accepts "lora_checkpoint": the daemon swaps only when it
+    differs from the active adapter."""
+    from PIL import Image
+
+    from s2v_tpu.pipelines.s2v import S2VPipeline
+    from s2v_tpu.serving import ServingDaemon
+
+    snap, lora = snap_and_lora
+    pipe = S2VPipeline.from_pretrained(snap, dtype=jnp.float32)
+    d = ServingDaemon(pipe, str(tmp_path / "s.sock"))
+
+    calls = []
+    real = pipe.load_lora
+    pipe.load_lora = lambda *a, **k: (calls.append(a), real(*a, **k))[1]
+
+    ref = str(tmp_path / "ref.png")
+    Image.fromarray(
+        (np.random.RandomState(0).rand(32, 32, 3) * 255).astype("uint8")
+    ).save(ref)
+    base = dict(op="generate", prompt="a pig", ref_img_path=ref,
+                output_path=str(tmp_path / "o.mp4"),
+                height=32, width=32, num_frames=5, num_inference_steps=1)
+
+    r1 = d.handle({**base, "lora_checkpoint": lora})
+    assert r1["status"] == "ok" and r1["lora_checkpoint"] == lora
+    assert len(calls) == 1
+
+    r2 = d.handle({**base, "lora_checkpoint": lora})  # same adapter: no swap
+    assert r2["status"] == "ok" and "lora_checkpoint" not in r2
+    assert len(calls) == 1
+
+    r3 = d.handle({**base, "lora_checkpoint": None})  # back to base
+    assert r3["status"] == "ok" and r3["lora_checkpoint"] is None
+    assert len(calls) == 2
+
+    bad = d.handle({**base, "lora_checkpoint": "/no/such"})
+    assert bad["status"] == "error"
