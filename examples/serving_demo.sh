@@ -40,5 +40,20 @@ python -m s2v_tpu.serve --socket "$SOCK" --request '{
   "seed": 7
 }'
 
+# 3. multi-subject: switch the LoRA adapter without restarting the daemon
+#    (compiled executables survive; or put "lora_checkpoint" directly in a
+#    generate request and the daemon swaps only when it differs)
+python -m s2v_tpu.serve --socket "$SOCK" --request '{
+  "op": "load_lora", "checkpoint_path": "/ckpts/subjectB"
+}'
+python -m s2v_tpu.serve --socket "$SOCK" --request '{
+  "op": "generate",
+  "prompt": "<cls> A corgi chasing a ball in the park",
+  "ref_img_path": "./samples/corgi.png",
+  "output_path": "./out/corgi_park.mp4",
+  "lora_checkpoint": "/ckpts/subjectB",
+  "seed": 11
+}'
+
 python -m s2v_tpu.serve --socket "$SOCK" --request '{"op": "stats"}'
 python -m s2v_tpu.serve --socket "$SOCK" --request '{"op": "shutdown"}'
