@@ -151,6 +151,9 @@ class S2VPipeline:
     # prompt -> embedding cache (serving: the "" negative prompt repeats
     # every request; host-side T5 is worth caching)
     _prompt_embed_cache: dict = field(default_factory=dict, repr=False)
+    # pre-merge base transformer state dict, host numpy (load_lora keeps
+    # it so repeat subject swaps skip the snapshot disk re-read)
+    _base_transformer_sd: Optional[dict] = field(default=None, repr=False)
 
     # ------------------------------------------------------------------
     # loading (reference src/inference.py:172-247)
@@ -282,12 +285,14 @@ class S2VPipeline:
         return pipe
 
     def load_lora(self, lora_checkpoint: Optional[str],
-                  lora_alpha: float = 64.0) -> None:
+                  lora_alpha: float = 64.0, cache_base: bool = True) -> None:
         """Hot-swap the merged LoRA adapter without reloading the pipeline.
 
         Re-reads the BASE transformer weights from the source snapshot
-        (``model_dir``), merges the new adapter (``None`` resets to base
-        weights), and swaps the param tree in place.  Compiled executables
+        (``model_dir``; with ``cache_base=True`` the host tree is kept, so
+        repeat swaps skip the disk re-read entirely), merges the new
+        adapter (``None`` resets to base weights), and swaps the param
+        tree in place.  Compiled executables
         stay valid — params are traced arguments of the cached denoise
         programs and shapes/dtypes/shardings are unchanged — so switching
         subjects in a serving daemon costs one host snapshot re-read +
@@ -306,19 +311,27 @@ class S2VPipeline:
             load_sharded_safetensors,
         )
 
-        if not self.model_dir:
-            raise ValueError(
-                "load_lora needs the source snapshot (pipeline was not "
-                "built by from_pretrained); reload with from_pretrained"
-            )
-        sd = load_sharded_safetensors(os.path.join(self.model_dir, "transformer"))
-        if self.transformer_cfg.disentangled_modulation:
-            for i in range(self.transformer_cfg.num_layers):
-                for n in ("norm1", "norm2"):
-                    for wb in ("weight", "bias"):
-                        sd[f"transformer_blocks.{i}.{n}.base_linear.{wb}"] = sd[
-                            f"transformer_blocks.{i}.{n}.linear.{wb}"
-                        ]
+        base = self._base_transformer_sd
+        if base is None:
+            if not self.model_dir:
+                raise ValueError(
+                    "load_lora needs the source snapshot (pipeline was not "
+                    "built by from_pretrained); reload with from_pretrained"
+                )
+            base = load_sharded_safetensors(os.path.join(self.model_dir, "transformer"))
+            if self.transformer_cfg.disentangled_modulation:
+                for i in range(self.transformer_cfg.num_layers):
+                    for n in ("norm1", "norm2"):
+                        for wb in ("weight", "bias"):
+                            base[f"transformer_blocks.{i}.{n}.base_linear.{wb}"] = base[
+                                f"transformer_blocks.{i}.{n}.linear.{wb}"
+                            ]
+            if cache_base:
+                # keep the pre-merge host tree (~11 GB bf16 for the 5b —
+                # host RAM, not HBM) so repeat subject swaps skip the
+                # snapshot re-read; the merge never mutates base arrays
+                self._base_transformer_sd = base
+        sd = dict(base)
         if lora_checkpoint is not None:
             sd, _ = load_and_merge_lora(sd, lora_checkpoint, alpha=lora_alpha)
         quantized = any(

@@ -192,3 +192,40 @@ def test_daemon_inline_lora_checkpoint_on_generate(snap_and_lora, tmp_path):
 
     bad = d.handle({**base, "lora_checkpoint": "/no/such"})
     assert bad["status"] == "error"
+
+
+def test_load_lora_base_cache_skips_disk(snap_and_lora, monkeypatch):
+    """Repeat swaps reuse the cached host base tree (no snapshot re-read)
+    and the cached base stays pristine across merges."""
+    import s2v_tpu.loaders as loaders
+    from s2v_tpu.pipelines.s2v import S2VPipeline
+
+    snap, lora = snap_and_lora
+    pipe = S2VPipeline.from_pretrained(snap, dtype=jnp.float32)
+    base_out = _gen(pipe)
+
+    import s2v_tpu.pipelines.s2v as s2v_mod
+
+    reads = []
+    real = loaders.load_sharded_safetensors
+
+    def counting(path):
+        reads.append(path)
+        return real(path)
+
+    monkeypatch.setattr("s2v_tpu.loaders.load_sharded_safetensors", counting)
+
+    pipe.load_lora(lora)
+    assert len(reads) == 1 and pipe._base_transformer_sd is not None
+    lora_out = _gen(pipe)
+    pipe.load_lora(None)  # second swap: served from the cache
+    assert len(reads) == 1
+    np.testing.assert_allclose(_gen(pipe), base_out, atol=1e-5, rtol=1e-5)
+    pipe.load_lora(lora)
+    assert len(reads) == 1
+    np.testing.assert_allclose(_gen(pipe), lora_out, atol=1e-5, rtol=1e-5)
+
+    # opt-out keeps nothing
+    pipe2 = S2VPipeline.from_pretrained(snap, dtype=jnp.float32)
+    pipe2.load_lora(lora, cache_base=False)
+    assert pipe2._base_transformer_sd is None
