@@ -95,3 +95,106 @@ def load_and_merge_lora(
     """Full reference load path (§3.5): resolve file -> normalize -> merge."""
     lora_sd = load_safetensors(best_guess_lora_file(ckpt_dir))
     return merge_lora_into_state_dict(base_sd, lora_sd, alpha=alpha, rank=rank)
+
+
+# ---------------------------------------------------------------------------
+# runtime (unmerged) factor trees — multi-tenant serving fast path
+# ---------------------------------------------------------------------------
+
+# reference per-block module suffix -> runtime target name
+_BLOCK_SUFFIXES = {
+    "attn1.to_q": "to_q",
+    "attn1.to_k": "to_k",
+    "attn1.to_v": "to_v",
+    "attn1.to_out.0": "to_out",
+    "norm1.linear": "norm1.linear",
+    "norm2.linear": "norm2.linear",
+    "ff.net.2": "ff.net.2",
+}
+
+
+def runtime_lora_tree(
+    lora_sd: Dict[str, np.ndarray],
+    num_layers: int,
+    alpha: float = 64.0,
+    rank: int | None = None,
+) -> dict:
+    """Reference-format LoRA state dict -> *runtime* factor tree (numpy).
+
+    The merge path above folds adapters into the base weights at load; the
+    runtime tree instead keeps the low-rank factors separate so the
+    transformer applies ``W + a @ b`` per layer inside its block scan
+    (models/transformer.py) — the reference's own PEFT-style runtime
+    adapters (src/inference.py:218-229), reshaped TPU-first: factors are
+    stacked ``[L, in, r]`` / ``[L, r, out]`` along the scan axis and the
+    ``alpha/r`` scale is pre-folded into ``a``, so swapping subjects is a
+    ~0.4 GB factor upload instead of an 11 GB re-merge.
+
+    Layout::
+
+        {"blocks": {name: {"a": [L, in, r], "b": [L, r, out]}},
+         "top":    {name: {"a": [in, r],    "b": [r, out]}}}
+
+    Block names: to_q | to_k | to_v | to_out | norm1.linear | norm2.linear
+    | ff.net.2 (the fused-qkv trainer form uses the single name "qkv").
+    Top names: patch_proj (conv factors flattened to the patchify-matmul
+    layout of loaders/hf.py) | text_proj.  Layers without an adapter for a
+    family get zero factors (the scan axis must be dense).
+    """
+    lora_sd = normalize_lora_keys(lora_sd)
+    per_block: Dict[str, dict] = {}
+    top: Dict[str, dict] = {}
+    for module, a, b in lora_pairs(lora_sd):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        r = rank or a.shape[0]
+        scale = alpha / r
+        if module == "patch_embed.proj":
+            # conv pair (A [r, C, kh, kw], B [out, r, 1, 1]) -> the
+            # space-to-depth matmul layout: kernel rows are (kh, kw, c)
+            r_, c, kh, kw = a.shape
+            a_m = a.transpose(2, 3, 1, 0).reshape(kh * kw * c, r_)
+            b_m = b.reshape(b.shape[0], r_).T
+            top["patch_proj"] = {"a": a_m * scale, "b": b_m}
+            continue
+        if module == "patch_embed.text_proj":
+            top["text_proj"] = {"a": a.T * scale, "b": b.T}
+            continue
+        if module.startswith("transformer_blocks."):
+            rest = module.split(".", 2)
+            layer, suffix = int(rest[1]), rest[2]
+            name = _BLOCK_SUFFIXES.get(suffix)
+            if name is None:
+                raise KeyError(f"unsupported runtime LoRA target: {module}")
+            per_block.setdefault(name, {})[layer] = (a.T * scale, b.T)
+            continue
+        raise KeyError(f"unsupported runtime LoRA target: {module}")
+
+    blocks = {}
+    for name, layers in per_block.items():
+        a0, b0 = next(iter(layers.values()))
+        a_stack = np.zeros((num_layers,) + a0.shape, np.float32)
+        b_stack = np.zeros((num_layers,) + b0.shape, np.float32)
+        for i, (a_i, b_i) in layers.items():
+            if a_i.shape != a0.shape or b_i.shape != b0.shape:
+                raise ValueError(
+                    f"runtime LoRA needs a uniform rank per family; {name} has "
+                    f"{a0.shape}/{b0.shape} and {a_i.shape}/{b_i.shape}"
+                )
+            a_stack[i], b_stack[i] = a_i, b_i
+        blocks[name] = {"a": a_stack, "b": b_stack}
+    tree = {}
+    if blocks:
+        tree["blocks"] = blocks
+    if top:
+        tree["top"] = top
+    return tree
+
+
+def load_runtime_lora(ckpt_dir: str, num_layers: int, alpha: float = 64.0,
+                      rank: int | None = None) -> dict:
+    """Resolve + read a reference checkpoint dir into a runtime factor tree."""
+    return runtime_lora_tree(
+        load_safetensors(best_guess_lora_file(ckpt_dir)), num_layers,
+        alpha=alpha, rank=rank,
+    )

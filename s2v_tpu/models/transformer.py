@@ -172,6 +172,104 @@ def init_transformer_params_stacked(
 
 
 # ---------------------------------------------------------------------------
+# runtime LoRA (unmerged adapters applied inside the forward)
+# ---------------------------------------------------------------------------
+
+# params-pytree key under which S2VPipeline attaches a runtime factor tree
+# (loaders/lora.py::runtime_lora_tree).  Riding inside the params pytree
+# means every jitted loop (fused/segmented/adaptive, all variants) picks the
+# adapter up as a traced argument — swapping subjects re-uses the compiled
+# executable, and removing the key restores the base model instantly.
+RUNTIME_LORA_KEY = "runtime_lora"
+
+# runtime target name -> (block-params path, fused-qkv column slot).
+# slot i means the delta lands in columns [i*d, (i+1)*d) of the fused
+# [D, 3D] qkv kernel (q|k|v order, loaders/hf.py); None = full width.
+_RT_BLOCK_TARGETS = {
+    "to_q": (("attn", "qkv"), 0),
+    "to_k": (("attn", "qkv"), 1),
+    "to_v": (("attn", "qkv"), 2),
+    "qkv": (("attn", "qkv"), None),  # trainer-form fused pair
+    "to_out": (("attn", "to_out"), None),
+    "norm1.linear": (("norm1", "linear"), None),
+    "norm2.linear": (("norm2", "linear"), None),
+    "ff.net.2": (("ff", "net_2"), None),
+}
+
+_RT_TOP_TARGETS = {
+    "patch_proj": ("patch_embed", "proj"),
+    "text_proj": ("patch_embed", "text_proj"),
+}
+
+
+def _lora_delta(ab) -> jnp.ndarray:
+    """fp32 low-rank delta (the alpha/r scale is pre-folded into ``a``)."""
+    return jnp.einsum(
+        "...ir,...ro->...io", ab["a"], ab["b"], preferred_element_type=jnp.float32
+    )
+
+
+def _add_delta(leaf: dict, delta: jnp.ndarray) -> dict:
+    if "kernel" not in leaf:
+        raise ValueError(
+            "runtime LoRA requires unquantized kernels (int8 trees merge "
+            "their adapters at load; use lora mode 'merge')"
+        )
+    kernel = leaf["kernel"]
+    if delta.shape != kernel.shape:
+        raise ValueError(
+            f"runtime LoRA delta {delta.shape} does not match kernel {kernel.shape}"
+        )
+    new = (kernel.astype(jnp.float32) + delta).astype(kernel.dtype)
+    return {**leaf, "kernel": new}
+
+
+def apply_runtime_lora_block(p: dict, lora: dict) -> dict:
+    """One block's params with its runtime deltas applied (copy-on-write;
+    transients are per-layer, so the scan never materializes a second
+    weight tree).
+
+    The separate q/k/v factor pairs of reference checkpoints are combined
+    into ONE full-width [D, 3D] delta (zero columns for absent slots) so
+    the add stays a plain elementwise op — the fused qkv kernel's column
+    slots (multiples of D) do not align to TP shard boundaries (3D/tp), and
+    a full-width add lets GSPMD keep the kernel's sharding untouched."""
+    out = {k: dict(v) if isinstance(v, dict) else v for k, v in p.items()}
+    slotted: dict = {}
+    for name, ab in lora.items():
+        path, slot = _RT_BLOCK_TARGETS[name]
+        delta = _lora_delta(ab)
+        if slot is not None:
+            slotted.setdefault(path, [None, None, None])[slot] = delta
+            continue
+        node = out
+        for key in path[:-1]:
+            node[key] = dict(node[key])
+            node = node[key]
+        node[path[-1]] = _add_delta(node[path[-1]], delta)
+    for path, deltas in slotted.items():
+        width = next(d for d in deltas if d is not None)
+        deltas = [jnp.zeros_like(width) if d is None else d for d in deltas]
+        node = out
+        for key in path[:-1]:
+            node[key] = dict(node[key])
+            node = node[key]
+        node[path[-1]] = _add_delta(node[path[-1]], jnp.concatenate(deltas, axis=-1))
+    return out
+
+
+def apply_runtime_lora_top(params: dict, top: dict) -> dict:
+    """Non-block targets (patch/text projections) with deltas applied."""
+    out = dict(params)
+    for name, ab in top.items():
+        group, leaf_name = _RT_TOP_TARGETS[name]
+        group_tree = dict(out[group])
+        group_tree[leaf_name] = _add_delta(group_tree[leaf_name], _lora_delta(ab))
+        out[group] = group_tree
+    return out
+
+
+# ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
@@ -271,6 +369,17 @@ def transformer_forward(
     b, f, h, w, _ = video_latents.shape
     p = cfg.patch_size
 
+    # runtime (unmerged) LoRA: a factor tree attached under RUNTIME_LORA_KEY
+    # is applied as per-layer ``W + a @ b`` updates inside the block scan —
+    # the TPU shape of the reference's PEFT runtime adapters
+    # (src/inference.py:218-229).  Extra cost is one [in,r]x[r,out] matmul
+    # pair per target per layer (~1 TFLOP over 42 layers, <0.5% of a step);
+    # delta transients stay per-layer.
+    runtime_lora = params.get(RUNTIME_LORA_KEY)
+    if runtime_lora is not None and "top" in runtime_lora:
+        params = apply_runtime_lora_top(params, runtime_lora["top"])
+    lora_blocks = (runtime_lora or {}).get("blocks")
+
     # 1. time conditioning: fp32 sinusoid -> compute-dtype MLP -> [B, Td]
     t_emb = get_timestep_embedding(
         timestep, cfg.inner_dim, cfg.flip_sin_to_cos, float(cfg.freq_shift)
@@ -296,7 +405,10 @@ def transformer_forward(
     # remat=True (training): only the per-layer stream carries are saved;
     # block internals (attention q/k/v/o, FF activations) are recomputed in
     # the backward sweep — O(1-layer) instead of O(42-layer) activations.
-    def scan_body(carry, layer_params):
+    def scan_body(carry, xs):
+        layer_params = xs[0] if lora_blocks is not None else xs
+        if lora_blocks is not None:
+            layer_params = apply_runtime_lora_block(layer_params, xs[1])
         v, t, r = carry
         v, t, r = block_forward(
             layer_params, v, t, r, temb, rope_cos, rope_sin, cfg, attention_backend
@@ -305,7 +417,10 @@ def transformer_forward(
 
     if remat:
         scan_body = jax.checkpoint(scan_body)
-    (video, text, ref), _ = jax.lax.scan(scan_body, (video, text, ref), params["blocks"])
+    xs = (
+        (params["blocks"], lora_blocks) if lora_blocks is not None else params["blocks"]
+    )
+    (video, text, ref), _ = jax.lax.scan(scan_body, (video, text, ref), xs)
 
     # 4. final norm over [text | video] (ref stream is discarded past here,
     #    reference :535-539)

@@ -159,6 +159,11 @@ def transformer_param_specs_like(params, model_axis: str = "model"):
         joined = "/".join(str(k) for k in keys)
         leaf_name = keys[-1] if keys else ""
         ndim = getattr(leaf, "ndim", 0)
+        if "runtime_lora" in joined:
+            # low-rank factor trees are tiny (~0.4 GB at rank 128) —
+            # replicate; the computed delta inherits the kernel's sharding
+            # through the elementwise add
+            return P()
         if ndim == 0 or "blocks" not in joined and "transformer_blocks" not in joined:
             return P()
         col = any(f"/{n}/" in f"/{joined}/" for n in _COL_PARALLEL)

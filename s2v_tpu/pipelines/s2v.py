@@ -86,6 +86,7 @@ class S2VPipeline:
 
         if mesh is None:
             self.mesh = self.logical_map = None
+            self._runtime_lora_cache.clear()
             self._compiled_denoise.clear()
             return
         if isinstance(mesh, str):
@@ -101,6 +102,10 @@ class S2VPipeline:
             else:
                 self.transformer_params = replicate(self.transformer_params, mesh)
             self.vae_params = replicate(self.vae_params, mesh)
+        # cached runtime-LoRA factor trees were placed for the previous
+        # mesh/device layout; an *attached* adapter was just re-placed with
+        # the params above, but the idle cache entries are stale
+        self._runtime_lora_cache.clear()
         self._compiled_denoise.clear()
 
     def _mesh_ctx(self):
@@ -154,6 +159,12 @@ class S2VPipeline:
     # pre-merge base transformer state dict, host numpy (load_lora keeps
     # it so repeat subject swaps skip the snapshot disk re-read)
     _base_transformer_sd: Optional[dict] = field(default=None, repr=False)
+    # (path, alpha) of the adapter currently FOLDED into the base weights
+    # (merge mode); runtime mode must start from pristine base kernels
+    _merged_lora: Optional[tuple] = field(default=None, repr=False)
+    # runtime-mode factor trees resident on device, keyed (path, alpha) —
+    # re-selecting a cached subject adapter is a dict assignment (~0 s)
+    _runtime_lora_cache: dict = field(default_factory=dict, repr=False)
 
     # ------------------------------------------------------------------
     # loading (reference src/inference.py:172-247)
@@ -280,15 +291,19 @@ class S2VPipeline:
             t5_on_host=t5_on_host,
             model_dir=model_dir,
         )
+        if lora_checkpoint is not None:
+            pipe._merged_lora = (os.path.realpath(lora_checkpoint), float(lora_alpha))
         if mesh is not None:
             pipe.set_mesh(mesh)
         return pipe
 
     def load_lora(self, lora_checkpoint: Optional[str],
-                  lora_alpha: float = 64.0, cache_base: bool = True) -> None:
-        """Hot-swap the merged LoRA adapter without reloading the pipeline.
+                  lora_alpha: float = 64.0, cache_base: bool = True,
+                  mode: str = "merge") -> None:
+        """Hot-swap the subject LoRA adapter without reloading the pipeline.
 
-        Re-reads the BASE transformer weights from the source snapshot
+        ``mode="merge"`` (default, the exact/zero-overhead path): re-reads
+        the BASE transformer weights from the source snapshot
         (``model_dir``; with ``cache_base=True`` the host tree is kept, so
         repeat swaps skip the disk re-read entirely), merges the new
         adapter (``None`` resets to base weights), and swaps the param
@@ -301,15 +316,39 @@ class S2VPipeline:
         (2 x 11.1 GB bf16) would not fit a 16 GB chip.  Host-side failures
         (bad path, key mismatch) raise before the old tree is touched.
 
-        The reference has no equivalent: swapping the subject LoRA there
-        means a new process and a full model reload + PEFT injection
-        (src/inference.py:172-247).
+        ``mode="runtime"`` (multi-tenant serving fast path): the base
+        kernels stay untouched and the adapter rides as a low-rank factor
+        tree inside the params pytree, applied per layer inside the block
+        scan (models/transformer.py, RUNTIME_LORA_KEY) — the reference's
+        own PEFT runtime-adapter architecture (src/inference.py:218-229),
+        TPU-shaped.  Swap cost is a ~0.4 GB factor upload (rank 128) — and
+        ~0 s for adapters already in the device cache — vs an 11 GB
+        re-merge; per-step overhead is <0.5% FLOPs.  Requires an
+        unquantized (bf16/fp32) base tree.  ``None`` detaches the factors
+        (instant base restore).  Structure changes (attach from base /
+        detach) recompile the denoise loop once; swapping between adapters
+        reuses executables.
+
+        The reference has no equivalent of either: swapping the subject
+        LoRA there means a new process and a full model reload + PEFT
+        injection (src/inference.py:172-247).
         """
         from s2v_tpu.loaders import (
             convert_transformer_state_dict,
             load_and_merge_lora,
             load_sharded_safetensors,
         )
+
+        if mode not in ("merge", "runtime"):
+            raise ValueError(f"lora mode must be 'merge' or 'runtime', got {mode!r}")
+        if mode == "runtime":
+            if self._merged_lora is not None:
+                # a merged adapter is folded into the kernels; restore the
+                # pristine base first so factors don't stack on top of it
+                self.load_lora(None, cache_base=cache_base, mode="merge")
+            self._set_runtime_lora_from_checkpoint(lora_checkpoint, lora_alpha)
+            return
+        self.set_runtime_lora(None)  # merge mode owns the kernels
 
         base = self._base_transformer_sd
         if base is None:
@@ -359,7 +398,67 @@ class S2VPipeline:
                 self.transformer_params = replicate(host_params, self.mesh)
         else:
             self.transformer_params = jax.device_put(host_params)
+        self._merged_lora = (
+            None if lora_checkpoint is None
+            else (os.path.realpath(lora_checkpoint), float(lora_alpha))
+        )
         # NOTE: _compiled_denoise is intentionally NOT cleared (see above).
+
+    def set_runtime_lora(self, tree: Optional[dict]) -> None:
+        """Attach (or detach, ``tree=None``) a runtime LoRA factor tree —
+        the layout of ``loaders.lora.runtime_lora_tree`` / the trainer's
+        ``runtime_tree_from_training``.  Low-level: callers hand a built
+        tree (host numpy or device arrays); ``load_lora(mode="runtime")``
+        is the checkpoint-path front end."""
+        from s2v_tpu.models.transformer import RUNTIME_LORA_KEY
+
+        if tree is None:
+            if isinstance(self.transformer_params, dict):
+                self.transformer_params.pop(RUNTIME_LORA_KEY, None)
+            return
+        if any(
+            getattr(x, "dtype", None) == jnp.int8
+            for x in jax.tree.leaves(self.transformer_params)
+        ):
+            raise ValueError(
+                "runtime LoRA requires an unquantized (bf16/fp32) base tree; "
+                "int8 pipelines fold adapters at load — use load_lora(..., "
+                "mode='merge')"
+            )
+        self.transformer_params[RUNTIME_LORA_KEY] = self._place_runtime_tree(tree)
+
+    def _place_runtime_tree(self, tree: dict):
+        dt = self.transformer_cfg.param_dtype
+        tree = jax.tree.map(lambda x: jnp.asarray(x, dt), tree)
+        if self.mesh is not None:
+            from s2v_tpu.parallel.sharding import replicate
+
+            tree = replicate(tree, self.mesh)
+        return tree
+
+    def _set_runtime_lora_from_checkpoint(
+        self, lora_checkpoint: Optional[str], lora_alpha: float
+    ) -> None:
+        if lora_checkpoint is None:
+            self.set_runtime_lora(None)
+            return
+        from s2v_tpu.models.transformer import RUNTIME_LORA_KEY
+
+        key = (os.path.realpath(lora_checkpoint), float(lora_alpha))
+        tree = self._runtime_lora_cache.get(key)
+        if tree is None:
+            from s2v_tpu.loaders.lora import load_runtime_lora
+
+            host = load_runtime_lora(
+                lora_checkpoint, self.transformer_cfg.num_layers, alpha=lora_alpha
+            )
+            self.set_runtime_lora(host)  # validates before placing
+            # cache the placed tree (FIFO, ~0.4 GB each at rank 128)
+            while len(self._runtime_lora_cache) >= 4:
+                self._runtime_lora_cache.pop(next(iter(self._runtime_lora_cache)))
+            self._runtime_lora_cache[key] = self.transformer_params[RUNTIME_LORA_KEY]
+        else:
+            self.transformer_params[RUNTIME_LORA_KEY] = tree
 
     def save_pretrained(self, out_dir: str, dtype: Optional[str] = None) -> str:
         """Write the current weights as an HF-layout snapshot loadable by
@@ -369,7 +468,16 @@ class S2VPipeline:
         ``dtype="bfloat16"`` halves the snapshot (hub-checkpoint size);
         default keeps lossless fp32."""
         from s2v_tpu.loaders.export_hf import save_pipeline_snapshot
+        from s2v_tpu.models.transformer import RUNTIME_LORA_KEY
 
+        if (isinstance(self.transformer_params, dict)
+                and RUNTIME_LORA_KEY in self.transformer_params):
+            raise ValueError(
+                "save_pretrained with a runtime LoRA attached would export "
+                "only the base weights; reload the adapter with "
+                "load_lora(path, mode='merge') to export fused weights, or "
+                "set_runtime_lora(None) to export the base model"
+            )
         return save_pipeline_snapshot(self, out_dir, dtype=dtype)
 
     # ------------------------------------------------------------------

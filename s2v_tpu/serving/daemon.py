@@ -18,12 +18,17 @@ Protocol: newline-delimited JSON request/response pairs.
    "output_path": ..., ...generate-kwargs}
   # "prompt" may be a list of strings: one batched denoise, one mp4 per
   # prompt (output_path gets _0/_1/... suffixes), subject image shared
-  {"op": "load_lora", "checkpoint_path": ..., "lora_alpha": 64}
+  {"op": "load_lora", "checkpoint_path": ..., "lora_alpha": 64,
+   "lora_mode": "merge" | "runtime"}
   # hot-swap the subject adapter (null checkpoint_path = base weights);
   # compiled executables survive the swap (params are traced arguments),
-  # so switching subjects costs a host reload, not a re-jit.
-  # generate/warmup also accept "lora_checkpoint" (+"lora_alpha") inline:
-  # the daemon swaps automatically when it differs from the active adapter
+  # so switching subjects costs a host reload, not a re-jit.  "runtime"
+  # keeps the base kernels untouched and attaches low-rank factors applied
+  # inside the block scan: swaps cost a ~0.4 GB factor upload (~0 s for
+  # cached adapters) at <0.5% per-step FLOPs — the multi-tenant mode.
+  # generate/warmup also accept "lora_checkpoint" (+"lora_alpha",
+  # "lora_mode") inline: the daemon swaps automatically when it differs
+  # from the active adapter
   {"op": "shutdown"}
 
 Responses: {"status": "ok", ...} | {"status": "error", "error": msg}.
@@ -64,7 +69,8 @@ _GEN_KEYS = {
 
 class ServingDaemon:
     def __init__(self, pipe, socket_path: str, fps: int = 8,
-                 lora_checkpoint: Optional[str] = None):
+                 lora_checkpoint: Optional[str] = None,
+                 lora_mode: str = "merge"):
         self.pipe = pipe
         self.socket_path = socket_path
         self.fps = fps
@@ -74,6 +80,8 @@ class ServingDaemon:
         # current by op load_lora; surfaced in stats so orchestrators can
         # key subject-swap decisions on it
         self.lora_checkpoint = lora_checkpoint
+        # default swap mode for requests that don't name one
+        self.lora_mode = lora_mode
         self._latencies: list = []  # generate seconds, compile excluded
         self._t_start = time.time()
 
@@ -111,6 +119,7 @@ class ServingDaemon:
                 "clips_generated": self.clips_generated,
                 "compiled_configs": len(self.pipe._compiled_denoise),
                 "lora_checkpoint": self.lora_checkpoint,
+                "lora_mode": self.lora_mode,
                 "uptime_s": round(time.time() - self._t_start, 1),
                 "generate_latency_s": {"p50": pct(0.5), "p90": pct(0.9), "max": pct(1.0)},
             }
@@ -118,12 +127,17 @@ class ServingDaemon:
             path = req.get("checkpoint_path")
             if path is not None and not os.path.exists(path):
                 return {"status": "error", "error": f"checkpoint not found: {path}"}
+            mode = str(req.get("lora_mode", self.lora_mode))
             t0 = time.time()
-            self.pipe.load_lora(path, lora_alpha=float(req.get("lora_alpha", 64.0)))
+            self.pipe.load_lora(
+                path, lora_alpha=float(req.get("lora_alpha", 64.0)), mode=mode
+            )
             self.lora_checkpoint = path
+            self.lora_mode = mode
             return {
                 "status": "ok",
                 "lora_checkpoint": path,  # None => base weights
+                "lora_mode": mode,
                 "seconds": round(time.time() - t0, 2),
                 "compiled_configs_kept": len(self.pipe._compiled_denoise),
             }
@@ -139,13 +153,16 @@ class ServingDaemon:
         swapped = False
         if "lora_checkpoint" in req:
             want = req["lora_checkpoint"]
+            want_mode = str(req.get("lora_mode", self.lora_mode))
             if want is not None and not os.path.exists(want):
                 return {"status": "error", "error": f"checkpoint not found: {want}"}
-            if want != self.lora_checkpoint:
+            if want != self.lora_checkpoint or want_mode != self.lora_mode:
                 self.pipe.load_lora(
-                    want, lora_alpha=float(req.get("lora_alpha", 64.0))
+                    want, lora_alpha=float(req.get("lora_alpha", 64.0)),
+                    mode=want_mode,
                 )
                 self.lora_checkpoint = want
+                self.lora_mode = want_mode
                 swapped = True
 
         kwargs = self._gen_kwargs(req)

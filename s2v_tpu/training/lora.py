@@ -197,6 +197,32 @@ def make_lora_train_step(
     return init_opt_state, train_step
 
 
+def runtime_tree_from_training(lora_params, spec: LoRASpec) -> dict:
+    """Trainer factor tree -> the inference runtime-LoRA layout
+    (models/transformer.py RUNTIME_LORA_KEY; scale pre-folded into ``a``).
+
+    Lets a just-trained adapter serve immediately via
+    ``S2VPipeline.set_runtime_lora`` — no reference-format export + re-read
+    round trip.  The fused trainer ``qkv`` pair maps to the full-width
+    runtime form directly."""
+    blocks, top = {}, {}
+    for name, ab in lora_params.items():
+        pair = {
+            "a": np.asarray(ab["a"], np.float32) * spec.scale,
+            "b": np.asarray(ab["b"], np.float32),
+        }
+        if name in ("patch_proj", "text_proj"):
+            top[name] = pair
+        else:
+            blocks[name] = pair
+    tree = {}
+    if blocks:
+        tree["blocks"] = blocks
+    if top:
+        tree["top"] = top
+    return tree
+
+
 def export_lora_to_reference_format(lora_params, spec: LoRASpec, cfg: TransformerConfig):
     """Export trained adapters as a diffusers-convention state dict
     (``transformer.<module>.lora_A/lora_B.weight`` torch layouts) loadable

@@ -1,0 +1,133 @@
+"""Measure LoRA hot-swap latency at the real 5b scale on the TPU.
+
+Fabricates a full-size (42-layer, 3072-dim) random transformer snapshot
+on disk (bf16, ~11 GB) + a rank-128 adapter over the reference's 9
+target families, then times on the chip:
+
+  1. from_pretrained         — cold load (disk -> host convert -> HBM)
+  2. load_lora(adapter)      — first swap: snapshot re-read + merge + upload
+  3. load_lora(None/adapter) — cached swaps: merge + upload only (the
+                               base host tree is kept after swap #1)
+
+Also validates the never-two-trees-in-HBM ordering at scale: a 16 GB
+chip cannot hold 2 x 11.1 GB, so a regression in the free-before-upload
+ordering OOMs here.
+
+Usage: python tools/bench_lora_swap.py [workdir]  (needs ~14 GB disk)
+"""
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def fabricate(workdir: str) -> tuple:
+    """Write the 5b-shape snapshot + rank-128 adapter (host side)."""
+    import jax
+
+    import ml_dtypes
+    from s2v_tpu.config import SchedulerConfig, TransformerConfig, VAEConfig
+    from s2v_tpu.loaders.export_hf import (
+        config_json,
+        transformer_state_dict,
+        vae_state_dict,
+    )
+    from s2v_tpu.loaders.safetensors_io import save_safetensors
+    from s2v_tpu.models.transformer import init_transformer_params
+    from s2v_tpu.models.vae import init_vae_params
+    from make_tiny_snapshot import lora_checkpoint  # noqa: E402
+    import json
+
+    snap = os.path.join(workdir, "snapshot_5b")
+    lora = os.path.join(workdir, "lora_5b")
+    if os.path.exists(os.path.join(snap, "transformer", "model.safetensors")):
+        return snap, lora  # reuse a previous fabrication
+
+    tcfg = TransformerConfig.cogvideox_5b()
+    # tiny VAE with matching latent channels: from_pretrained needs a vae/
+    # dir, but only the transformer matters for swap timing
+    vcfg = VAEConfig.tiny(latent_channels=tcfg.in_channels)
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        t0 = time.perf_counter()
+        params = init_transformer_params(jax.random.PRNGKey(0), tcfg)
+        sd = transformer_state_dict(params, tcfg)
+        del params
+        sd = {k: np.asarray(v).astype(ml_dtypes.bfloat16) for k, v in sd.items()}
+        print(f"# fabricated 5b state dict in {time.perf_counter() - t0:.0f}s "
+              f"({sum(v.nbytes for v in sd.values()) / 1e9:.1f} GB bf16)")
+
+        d = os.path.join(snap, "transformer")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "config.json"), "w") as f:
+            json.dump(config_json(tcfg), f, indent=1)
+        t0 = time.perf_counter()
+        save_safetensors(sd, os.path.join(d, "model.safetensors"))
+        print(f"# snapshot written in {time.perf_counter() - t0:.0f}s")
+        del sd
+
+        d = os.path.join(snap, "vae")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "config.json"), "w") as f:
+            json.dump(config_json(vcfg), f, indent=1)
+        save_safetensors(
+            vae_state_dict(init_vae_params(jax.random.PRNGKey(1), vcfg), vcfg),
+            os.path.join(d, "model.safetensors"),
+        )
+        os.makedirs(os.path.join(snap, "scheduler"), exist_ok=True)
+        with open(os.path.join(snap, "scheduler", "scheduler_config.json"), "w") as f:
+            json.dump(config_json(SchedulerConfig(), skip=()), f, indent=1)
+
+        os.makedirs(lora, exist_ok=True)
+        save_safetensors(
+            lora_checkpoint(tcfg, rank=128),
+            os.path.join(lora, "pytorch_lora_weights_transformer.safetensors"),
+        )
+    return snap, lora
+
+
+def main():
+    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/s2v_swap_bench"
+    os.makedirs(workdir, exist_ok=True)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    snap, lora = fabricate(workdir)
+
+    import jax
+
+    from s2v_tpu.pipelines.s2v import S2VPipeline
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.device_kind}")
+
+    t0 = time.perf_counter()
+    pipe = S2VPipeline.from_pretrained(snap)
+    jax.block_until_ready(pipe.transformer_params)
+    t_load = time.perf_counter() - t0
+    print(f"from_pretrained (cold): {t_load:7.1f} s")
+
+    t0 = time.perf_counter()
+    pipe.load_lora(lora)  # first swap: disk re-read + merge + upload
+    jax.block_until_ready(pipe.transformer_params)
+    t_first = time.perf_counter() - t0
+    print(f"load_lora first swap:   {t_first:7.1f} s (snapshot re-read + merge + upload)")
+
+    for label, ckpt in (("-> base", None), ("-> adapter", lora)):
+        t0 = time.perf_counter()
+        pipe.load_lora(ckpt)
+        jax.block_until_ready(pipe.transformer_params)
+        print(f"load_lora cached {label:10s}: {time.perf_counter() - t0:7.1f} s "
+              f"(merge + upload only)")
+
+    if os.environ.get("S2V_SWAP_BENCH_KEEP") != "1":
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
