@@ -5,13 +5,20 @@ on disk (bf16, ~11 GB) + a rank-128 adapter over the reference's 9
 target families, then times on the chip:
 
   1. from_pretrained         — cold load (disk -> host convert -> HBM)
-  2. load_lora(adapter)      — first swap: snapshot re-read + merge + upload
-  3. load_lora(None/adapter) — cached swaps: merge + upload only (the
-                               base host tree is kept after swap #1)
+  2. load_lora(adapter)      — first merge swap: snapshot re-read + merge
+                               + upload
+  3. load_lora(None/adapter) — cached merge swaps: merge + upload only
+                               (the base host tree is kept after swap #1)
+  4. mode="runtime"          — factor attach (disk read + ~0.4 GB upload),
+                               cached re-attach (~0 s), detach
 
 Also validates the never-two-trees-in-HBM ordering at scale: a 16 GB
 chip cannot hold 2 x 11.1 GB, so a regression in the free-before-upload
-ordering OOMs here.
+ordering OOMs here — and that base + runtime factors co-fit.
+
+S2V_SWAP_BENCH_STEP=1 additionally times a flagship-geometry denoise
+step with vs without the runtime factors attached (the <0.5% per-step
+overhead claim; costs two extra compiles).
 
 Usage: python tools/bench_lora_swap.py [workdir]  (needs ~14 GB disk)
 """
@@ -125,8 +132,59 @@ def main():
         print(f"load_lora cached {label:10s}: {time.perf_counter() - t0:7.1f} s "
               f"(merge + upload only)")
 
+    # runtime mode: factors ride inside the params pytree; base kernels
+    # untouched.  Unwinds the merged adapter first (one more cached merge).
+    t0 = time.perf_counter()
+    pipe.load_lora(lora, mode="runtime")
+    jax.block_until_ready(pipe.transformer_params)
+    print(f"runtime attach (first):  {time.perf_counter() - t0:7.1f} s "
+          f"(incl. merged-adapter unwind + factor disk read + upload)")
+    t0 = time.perf_counter()
+    pipe.load_lora(None, mode="runtime")
+    print(f"runtime detach:          {time.perf_counter() - t0:7.3f} s")
+    t0 = time.perf_counter()
+    pipe.load_lora(lora, mode="runtime")
+    print(f"runtime re-attach cached:{time.perf_counter() - t0:7.3f} s")
+
+    if os.environ.get("S2V_SWAP_BENCH_STEP") == "1":
+        _bench_step_overhead(pipe)
+
     if os.environ.get("S2V_SWAP_BENCH_KEEP") != "1":
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _bench_step_overhead(pipe):
+    """Flagship-geometry transformer forward with vs without the attached
+    runtime factors (CFG-batched B=2, S=19126, pallas backend)."""
+    import jax
+    import jax.numpy as jnp
+
+    from s2v_tpu.models.transformer import RUNTIME_LORA_KEY, transformer_forward
+    from s2v_tpu.ops.rope import build_segmented_rope, prepare_video_and_ref_rope
+
+    cfg = pipe.transformer_cfg
+    vc, vs, rc, rs = prepare_video_and_ref_rope(480, 720, 13, cfg.attention_head_dim,
+                                                cfg.patch_size, 8)
+    cos, sin = build_segmented_rope(cfg.max_text_seq_length, rc, rs, vc, vs)
+    k = jax.random.PRNGKey(0)
+    video = jax.random.normal(k, (2, 13, 60, 90, cfg.in_channels), cfg.dtype)
+    ref = jax.random.normal(k, (2, 1, 60, 90, cfg.in_channels), cfg.dtype)
+    text = jax.random.normal(k, (2, cfg.max_text_seq_length, cfg.text_embed_dim), cfg.dtype)
+    t = jnp.array([500, 500])
+
+    fwd = jax.jit(lambda p: transformer_forward(
+        p, cfg, video, ref, text, t, cos, sin, attention_backend="pallas"))
+
+    assert RUNTIME_LORA_KEY in pipe.transformer_params
+    for label in ("with runtime lora", "base (detached)  "):
+        out = fwd(pipe.transformer_params)  # compile
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = fwd(pipe.transformer_params)
+        jax.block_until_ready(out)
+        print(f"forward {label}: {(time.perf_counter() - t0) / 3:7.3f} s/step")
+        pipe.load_lora(None, mode="runtime")
 
 
 if __name__ == "__main__":
