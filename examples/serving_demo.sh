@@ -55,5 +55,19 @@ python -m s2v_tpu.serve --socket "$SOCK" --request '{
   "seed": 11
 }'
 
+# 3b. multiplexing MANY subjects on one chip: runtime mode keeps adapters
+#     as unmerged low-rank factors (per-swap cost ~0.4 GB upload, ~0 s for
+#     the device-cached last 4, <0.5% per-step overhead).  Start the
+#     daemon with --lora_mode runtime to make this the default instead.
+python -m s2v_tpu.serve --socket "$SOCK" --request '{
+  "op": "generate",
+  "prompt": "<cls> A cat napping on a windowsill",
+  "ref_img_path": "./samples/cat.png",
+  "output_path": "./out/cat_window.mp4",
+  "lora_checkpoint": "/ckpts/subjectC",
+  "lora_mode": "runtime",
+  "seed": 3
+}'
+
 python -m s2v_tpu.serve --socket "$SOCK" --request '{"op": "stats"}'
 python -m s2v_tpu.serve --socket "$SOCK" --request '{"op": "shutdown"}'
