@@ -342,13 +342,20 @@ class S2VPipeline:
         if mode not in ("merge", "runtime"):
             raise ValueError(f"lora mode must be 'merge' or 'runtime', got {mode!r}")
         if mode == "runtime":
+            # resolve + validate the factor tree (and the int8 guard) BEFORE
+            # unwinding any merged adapter: a bad checkpoint must leave the
+            # pipeline exactly as it was (fail-before-mutate, same contract
+            # as the merge path)
+            tree = self._resolve_runtime_lora(lora_checkpoint, lora_alpha)
             if self._merged_lora is not None:
                 # a merged adapter is folded into the kernels; restore the
                 # pristine base first so factors don't stack on top of it
                 self.load_lora(None, cache_base=cache_base, mode="merge")
-            self._set_runtime_lora_from_checkpoint(lora_checkpoint, lora_alpha)
+            self._attach_runtime_lora(tree)
             return
         self.set_runtime_lora(None)  # merge mode owns the kernels
+        if lora_checkpoint is None and self._merged_lora is None:
+            return  # base kernels are already pristine: nothing to upload
 
         base = self._base_transformer_sd
         if base is None:
@@ -416,6 +423,22 @@ class S2VPipeline:
             if isinstance(self.transformer_params, dict):
                 self.transformer_params.pop(RUNTIME_LORA_KEY, None)
             return
+        self._check_runtime_lora_ok()
+        self.transformer_params[RUNTIME_LORA_KEY] = self._place_runtime_tree(tree)
+
+    def _check_runtime_lora_ok(self) -> None:
+        """Preconditions for attaching runtime factors, checked BEFORE any
+        state is touched."""
+        if self._merged_lora is not None:
+            raise ValueError(
+                "a merged LoRA adapter is folded into the base kernels; "
+                "runtime factors would stack on top of it — reset with "
+                "load_lora(None) first, or use load_lora(path, "
+                "mode='runtime') which unwinds the merge automatically"
+            )
+        self._check_unquantized_base()
+
+    def _check_unquantized_base(self) -> None:
         if any(
             getattr(x, "dtype", None) == jnp.int8
             for x in jax.tree.leaves(self.transformer_params)
@@ -425,7 +448,6 @@ class S2VPipeline:
                 "int8 pipelines fold adapters at load — use load_lora(..., "
                 "mode='merge')"
             )
-        self.transformer_params[RUNTIME_LORA_KEY] = self._place_runtime_tree(tree)
 
     def _place_runtime_tree(self, tree: dict):
         dt = self.transformer_cfg.param_dtype
@@ -436,27 +458,38 @@ class S2VPipeline:
             tree = replicate(tree, self.mesh)
         return tree
 
-    def _set_runtime_lora_from_checkpoint(
+    def _resolve_runtime_lora(
         self, lora_checkpoint: Optional[str], lora_alpha: float
-    ) -> None:
+    ) -> Optional[dict]:
+        """Load (or cache-hit) a placed runtime factor tree WITHOUT touching
+        pipeline state — load_lora attaches it only after this succeeds and
+        any merged adapter is unwound (fail-before-mutate)."""
         if lora_checkpoint is None:
-            self.set_runtime_lora(None)
-            return
-        from s2v_tpu.models.transformer import RUNTIME_LORA_KEY
-
+            return None
+        # int8 guard up front; the merged-adapter case is legal here (the
+        # caller unwinds it between resolve and attach)
+        self._check_unquantized_base()
         key = (os.path.realpath(lora_checkpoint), float(lora_alpha))
-        tree = self._runtime_lora_cache.get(key)
+        tree = self._runtime_lora_cache.pop(key, None)
         if tree is None:
             from s2v_tpu.loaders.lora import load_runtime_lora
 
             host = load_runtime_lora(
                 lora_checkpoint, self.transformer_cfg.num_layers, alpha=lora_alpha
             )
-            self.set_runtime_lora(host)  # validates before placing
-            # cache the placed tree (FIFO, ~0.4 GB each at rank 128)
+            tree = self._place_runtime_tree(host)
+            # evict least-recently-used (~0.4 GB each at rank 128)
             while len(self._runtime_lora_cache) >= 4:
                 self._runtime_lora_cache.pop(next(iter(self._runtime_lora_cache)))
-            self._runtime_lora_cache[key] = self.transformer_params[RUNTIME_LORA_KEY]
+        # (re-)insert last: hits refresh recency, so hot adapters survive
+        self._runtime_lora_cache[key] = tree
+        return tree
+
+    def _attach_runtime_lora(self, tree: Optional[dict]) -> None:
+        from s2v_tpu.models.transformer import RUNTIME_LORA_KEY
+
+        if tree is None:
+            self.transformer_params.pop(RUNTIME_LORA_KEY, None)
         else:
             self.transformer_params[RUNTIME_LORA_KEY] = tree
 

@@ -105,7 +105,8 @@ def main(args=None):
     pipe.set_attention(args.attention_backend, args.attention_window)
     daemon = ServingDaemon(pipe, args.socket, fps=args.fps,
                            lora_checkpoint=args.checkpoint_path,
-                           lora_mode=args.lora_mode)
+                           lora_mode=args.lora_mode,
+                           lora_alpha=args.lora_alpha)
 
     if args.warmup:
         wu = {"op": "warmup", **json.loads(args.warmup)}

@@ -70,7 +70,7 @@ _GEN_KEYS = {
 class ServingDaemon:
     def __init__(self, pipe, socket_path: str, fps: int = 8,
                  lora_checkpoint: Optional[str] = None,
-                 lora_mode: str = "merge"):
+                 lora_mode: str = "merge", lora_alpha: float = 64.0):
         self.pipe = pipe
         self.socket_path = socket_path
         self.fps = fps
@@ -80,7 +80,11 @@ class ServingDaemon:
         # current by op load_lora; surfaced in stats so orchestrators can
         # key subject-swap decisions on it
         self.lora_checkpoint = lora_checkpoint
-        # default swap mode for requests that don't name one
+        self.lora_alpha = float(lora_alpha)
+        # default swap mode for requests that don't name one — NEVER
+        # mutated by requests; lora_mode below tracks the ACTIVE adapter's
+        # mode
+        self.default_lora_mode = lora_mode
         self.lora_mode = lora_mode
         self._latencies: list = []  # generate seconds, compile excluded
         self._t_start = time.time()
@@ -127,12 +131,12 @@ class ServingDaemon:
             path = req.get("checkpoint_path")
             if path is not None and not os.path.exists(path):
                 return {"status": "error", "error": f"checkpoint not found: {path}"}
-            mode = str(req.get("lora_mode", self.lora_mode))
+            mode = str(req.get("lora_mode") or self.default_lora_mode)
+            alpha = float(req.get("lora_alpha", 64.0))
             t0 = time.time()
-            self.pipe.load_lora(
-                path, lora_alpha=float(req.get("lora_alpha", 64.0)), mode=mode
-            )
+            self.pipe.load_lora(path, lora_alpha=alpha, mode=mode)
             self.lora_checkpoint = path
+            self.lora_alpha = alpha
             self.lora_mode = mode
             return {
                 "status": "ok",
@@ -153,15 +157,22 @@ class ServingDaemon:
         swapped = False
         if "lora_checkpoint" in req:
             want = req["lora_checkpoint"]
-            want_mode = str(req.get("lora_mode", self.lora_mode))
+            # an omitted lora_mode means "don't care": the active adapter is
+            # reused whatever its mode, and a fresh swap uses the daemon
+            # default.  A named mode forces that mode.
+            req_mode = req.get("lora_mode")
+            want_mode = str(req_mode or self.default_lora_mode)
+            want_alpha = float(req.get("lora_alpha", 64.0))
             if want is not None and not os.path.exists(want):
                 return {"status": "error", "error": f"checkpoint not found: {want}"}
-            if want != self.lora_checkpoint or want_mode != self.lora_mode:
-                self.pipe.load_lora(
-                    want, lora_alpha=float(req.get("lora_alpha", 64.0)),
-                    mode=want_mode,
-                )
+            if (
+                want != self.lora_checkpoint
+                or want_alpha != self.lora_alpha
+                or (req_mode is not None and want_mode != self.lora_mode)
+            ):
+                self.pipe.load_lora(want, lora_alpha=want_alpha, mode=want_mode)
                 self.lora_checkpoint = want
+                self.lora_alpha = want_alpha
                 self.lora_mode = want_mode
                 swapped = True
 

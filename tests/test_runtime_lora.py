@@ -134,10 +134,16 @@ def test_load_lora_runtime_matches_merge(snap_and_lora):
     assert RUNTIME_LORA_KEY not in pipe.transformer_params
     np.testing.assert_allclose(_gen(pipe), base_out, atol=1e-6, rtol=1e-6)
 
-    # re-attach hits the device cache (no disk read: poison the path)
-    pipe.load_lora(lora, mode="runtime")
+    # re-attach hits the device cache: rename the checkpoint dir away so a
+    # regression to re-reading from disk fails loudly
     key = (os.path.realpath(lora), 64.0)
     assert key in pipe._runtime_lora_cache
+    poisoned = lora + "_poisoned"
+    os.rename(lora, poisoned)
+    try:
+        pipe.load_lora(lora, mode="runtime")
+    finally:
+        os.rename(poisoned, lora)
     np.testing.assert_allclose(_gen(pipe), want, atol=2e-5, rtol=2e-5)
 
 
@@ -162,6 +168,62 @@ def test_runtime_after_merge_resets_base_first(snap_and_lora):
 
     assert RUNTIME_LORA_KEY not in pipe.transformer_params
     np.testing.assert_allclose(_gen(pipe), want, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_failed_runtime_load_leaves_merged_adapter_intact(snap_and_lora, tmp_path):
+    """fail-before-mutate: a bad runtime checkpoint must not unwind the
+    active merged adapter (a daemon retries against unchanged state)."""
+    from s2v_tpu.pipelines.s2v import S2VPipeline
+
+    snap, lora = snap_and_lora
+    pipe = S2VPipeline.from_pretrained(snap, lora_checkpoint=lora, dtype=jnp.float32)
+    want = _gen(pipe)
+
+    bad = tmp_path / "bad_ckpt"
+    bad.mkdir()
+    from s2v_tpu.loaders.safetensors_io import save_safetensors
+
+    save_safetensors(
+        {
+            "transformer.proj_out.lora.down.weight": np.zeros((2, 8), np.float32),
+            "transformer.proj_out.lora.up.weight": np.zeros((4, 2), np.float32),
+        },
+        str(bad / "pytorch_lora_weights_transformer.safetensors"),
+    )
+    with pytest.raises(KeyError, match="proj_out"):
+        pipe.load_lora(str(bad), mode="runtime")
+    assert pipe._merged_lora is not None  # merge still active
+    np.testing.assert_allclose(_gen(pipe), want, atol=1e-6, rtol=1e-6)
+
+
+def test_set_runtime_lora_rejects_stacking_on_merged(snap_and_lora):
+    from s2v_tpu.loaders.lora import load_runtime_lora
+    from s2v_tpu.pipelines.s2v import S2VPipeline
+
+    snap, lora = snap_and_lora
+    pipe = S2VPipeline.from_pretrained(snap, lora_checkpoint=lora, dtype=jnp.float32)
+    tree = load_runtime_lora(lora, pipe.transformer_cfg.num_layers)
+    with pytest.raises(ValueError, match="stack"):
+        pipe.set_runtime_lora(tree)
+
+
+def test_merge_none_on_pristine_base_skips_reload(snap_and_lora):
+    """load_lora(None) when nothing is merged must not re-read/re-upload
+    the base tree (an instant no-op in a serving loop)."""
+    from s2v_tpu.pipelines.s2v import S2VPipeline
+
+    snap, lora = snap_and_lora
+    pipe = S2VPipeline.from_pretrained(snap, dtype=jnp.float32)
+    before = pipe.transformer_params
+    pipe.load_lora(None)
+    assert pipe.transformer_params is before  # same device tree, no upload
+    assert pipe._base_transformer_sd is None  # and no snapshot disk read
+
+    # runtime detach + merge-mode None: still no re-upload
+    pipe.load_lora(lora, mode="runtime")
+    pipe.load_lora(None, mode="merge")
+    assert pipe._base_transformer_sd is None
 
 
 def test_runtime_lora_int8_guard(snap_and_lora):
@@ -273,3 +335,62 @@ def test_daemon_runtime_lora_op(snap_and_lora):
 
     stats = daemon.handle({"op": "stats"})
     assert stats["lora_mode"] == "runtime"
+
+
+@pytest.mark.slow
+def test_daemon_request_mode_does_not_mutate_default(snap_and_lora):
+    """A per-request lora_mode applies to that swap only; later requests
+    that omit the mode keep using the daemon's configured default."""
+    from s2v_tpu.models.transformer import RUNTIME_LORA_KEY
+    from s2v_tpu.pipelines.s2v import S2VPipeline
+    from s2v_tpu.serving.daemon import ServingDaemon
+
+    snap, lora = snap_and_lora
+    pipe = S2VPipeline.from_pretrained(snap, dtype=jnp.float32)
+    daemon = ServingDaemon(pipe, "/tmp/unused.sock")  # default merge
+
+    resp = daemon.handle(
+        {"op": "load_lora", "checkpoint_path": lora, "lora_mode": "runtime"}
+    )
+    assert resp["status"] == "ok" and daemon.lora_mode == "runtime"
+    assert daemon.default_lora_mode == "merge"  # untouched
+
+    # omitting lora_mode falls back to the daemon default (merge)
+    resp = daemon.handle({"op": "load_lora", "checkpoint_path": lora})
+    assert resp["status"] == "ok" and resp["lora_mode"] == "merge"
+    assert RUNTIME_LORA_KEY not in pipe.transformer_params
+    assert pipe._merged_lora is not None
+
+
+@pytest.mark.slow
+def test_daemon_inline_swap_alpha_sensitive(snap_and_lora):
+    """Same checkpoint at a different lora_alpha must re-swap, and an
+    omitted inline lora_mode must not force a mode change."""
+    from s2v_tpu.pipelines.s2v import S2VPipeline
+    from s2v_tpu.serving.daemon import ServingDaemon
+    from s2v_tpu.testing import tiny_generate_kwargs
+
+    snap, lora = snap_and_lora
+    pipe = S2VPipeline.from_pretrained(snap, dtype=jnp.float32)
+    daemon = ServingDaemon(pipe, "/tmp/unused.sock", lora_mode="runtime")
+    kw = tiny_generate_kwargs(pipe, num_inference_steps=1)
+    del kw["prompt_embeds"], kw["ref_latents"]
+
+    base_req = {"op": "warmup", **{k: v for k, v in kw.items() if k != "output_type"}}
+    r1 = daemon.handle({**base_req, "lora_checkpoint": lora})
+    assert r1["status"] == "ok" and daemon.lora_alpha == 64.0
+
+    # same path, new alpha -> swap
+    r2 = daemon.handle({**base_req, "lora_checkpoint": lora, "lora_alpha": 32.0})
+    assert r2["status"] == "ok"
+    assert daemon.lora_alpha == 32.0
+    assert (os.path.realpath(lora), 32.0) in pipe._runtime_lora_cache
+
+    # same path + alpha, no mode named -> the active adapter is reused
+    # without any swap at all
+    def boom(*a, **k):
+        raise AssertionError("unexpected load_lora swap")
+
+    pipe.load_lora = boom
+    r3 = daemon.handle({**base_req, "lora_checkpoint": lora, "lora_alpha": 32.0})
+    assert r3["status"] == "ok" and "lora_checkpoint" not in r3
