@@ -31,6 +31,20 @@ def get_args(argv=None):
     p.add_argument("--rank", type=int, default=128)
     p.add_argument("--lora_alpha", type=float, default=64)
     p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--optimizer", type=str, default="adamw",
+                   choices=["adamw", "adam", "prodigy"],
+                   help="reference-template optimizer choice (prodigy wants "
+                        "learning_rate near 1.0)")
+    p.add_argument("--lr_scheduler", type=str, default="constant",
+                   choices=["constant", "constant_with_warmup", "linear", "cosine"])
+    p.add_argument("--lr_warmup_steps", type=int, default=0)
+    p.add_argument("--max_grad_norm", type=float, default=1.0,
+                   help="global grad-norm clip (template default 1.0; <=0 disables)")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.95)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-4)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
     p.add_argument("--train_batch_size", type=int, default=1)
     p.add_argument("--max_train_steps", type=int, default=1000)
     p.add_argument("--height", type=int, default=480)
@@ -124,10 +138,25 @@ def main(args=None):
             batch_sharding = NamedSharding(pipe.mesh, P("data"))
     mesh_ctx = pipe._mesh_ctx  # fresh (re-entrant) context per step
 
+    from s2v_tpu.training.optim import OptimizerSpec
+
+    opt_spec = OptimizerSpec(
+        optimizer=args.optimizer,
+        learning_rate=args.learning_rate,
+        lr_scheduler=args.lr_scheduler,
+        lr_warmup_steps=args.lr_warmup_steps,
+        max_train_steps=args.max_train_steps,
+        max_grad_norm=args.max_grad_norm if args.max_grad_norm > 0 else None,
+        weight_decay=args.adam_weight_decay,
+        beta1=args.adam_beta1,
+        beta2=args.adam_beta2,
+        epsilon=args.adam_epsilon,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+    )
     lora = init_lora_params(jax.random.PRNGKey(args.seed), pipe.transformer_params, spec)
     init_opt, train_step = make_lora_train_step(
         pipe.transformer_params, pipe.transformer_cfg, spec, pipe.scheduler_cfg,
-        args.learning_rate, attention_backend=args.attention_backend,
+        attention_backend=args.attention_backend, optimizer_spec=opt_spec,
     )
     opt_state = init_opt(lora)
 
@@ -148,6 +177,7 @@ def main(args=None):
         log.info("step %d: saved %s (+ %s)", step, path, state_dir)
 
     step = 0
+    micro = 0
     epoch = 0
     if args.resume_from_checkpoint:
         from s2v_tpu.loaders.orbax_io import load_params_orbax
@@ -157,6 +187,7 @@ def main(args=None):
             target={"lora": lora, "opt_state": opt_state, "step": np.asarray(0, np.int32)},
         )
         lora, opt_state, step = state["lora"], state["opt_state"], int(state["step"])
+        micro = step * args.gradient_accumulation_steps
         log.info("resumed from %s at step %d", args.resume_from_checkpoint, step)
     t0 = time.perf_counter()
     # clips are encoded once (VAE moments + T5 embeds cached host-side;
@@ -169,13 +200,16 @@ def main(args=None):
                            seed=args.seed + epoch, cache=encode_cache)
         )
         for batch in batches:
-            rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), step)
+            rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), micro)
             if batch_sharding is not None:
                 for k in ("video_latents", "ref_latents", "text_embeds"):
                     if k in batch:
                         batch[k] = jax.device_put(batch[k], batch_sharding)
             with mesh_ctx():
                 lora, opt_state, loss = train_step(lora, opt_state, batch, rng)
+            micro += 1
+            if micro % args.gradient_accumulation_steps:
+                continue  # optimizer update lands on the k-th microstep
             step += 1
             if step % 10 == 0 or step == 1:
                 log.info("step %d/%d loss %.4f (%.2f s/step)",

@@ -165,6 +165,7 @@ def make_lora_train_step(
     learning_rate: float = 1e-4,
     attention_backend: str = "xla",
     remat: bool = True,
+    optimizer_spec=None,
 ):
     """Returns (init_opt_state, train_step) with train_step jitted:
     ``(lora, opt_state, batch, rng) -> (lora, opt_state, loss)``.
@@ -172,7 +173,11 @@ def make_lora_train_step(
     ``attention_backend="pallas"`` uses the flash kernels both ways
     (forward + the hand-written backward) — the fast path for on-TPU LoRA
     training.  ``remat`` (default on) checkpoints the block scan so
-    activation memory is one layer deep."""
+    activation memory is one layer deep.  ``optimizer_spec`` (a
+    ``training.optim.OptimizerSpec``) selects the reference-template
+    optimizer surface (adam/adamw/prodigy, LR schedules with warmup,
+    grad-norm clipping, gradient accumulation); when omitted the legacy
+    plain ``adamw(learning_rate)`` is used."""
     import optax
 
     if spec.disentangled and not cfg.disentangled_modulation:
@@ -180,7 +185,12 @@ def make_lora_train_step(
 
         cfg = dataclasses.replace(cfg, disentangled_modulation=True)
     alphas = jnp.asarray(compute_alphas_cumprod(scheduler_cfg or SchedulerConfig()))
-    tx = optax.adamw(learning_rate)
+    if optimizer_spec is not None:
+        from s2v_tpu.training.optim import make_optimizer
+
+        tx = make_optimizer(optimizer_spec)
+    else:
+        tx = optax.adamw(learning_rate)
 
     def init_opt_state(lora_params):
         return tx.init(lora_params)

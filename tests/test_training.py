@@ -164,3 +164,116 @@ def test_remat_grads_identical():
     g_remat = jax.grad(lora_loss_fn)(lora, base, cfg, spec, batch, alphas, rng, "xla", True)
     for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5)
+
+
+# --- optimizer surface (reference template: train_cogvideox_lora.py:284-374) ---
+
+
+def test_lr_schedules():
+    from s2v_tpu.training.optim import OptimizerSpec, make_lr_schedule
+
+    s = make_lr_schedule(OptimizerSpec(learning_rate=1e-3, lr_scheduler="cosine",
+                                       lr_warmup_steps=10, max_train_steps=100))
+    assert float(s(0)) == 0.0
+    np.testing.assert_allclose(float(s(10)), 1e-3, rtol=1e-6)
+    assert float(s(100)) < 1e-4
+
+    s = make_lr_schedule(OptimizerSpec(learning_rate=1e-3, lr_scheduler="linear",
+                                       lr_warmup_steps=10, max_train_steps=110))
+    np.testing.assert_allclose(float(s(10)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(s(110)), 0.0, atol=1e-9)
+
+    s = make_lr_schedule(OptimizerSpec(learning_rate=1e-3, lr_scheduler="constant_with_warmup",
+                                       lr_warmup_steps=5, max_train_steps=50))
+    assert float(s(0)) == 0.0
+    np.testing.assert_allclose(float(s(5)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(s(49)), 1e-3, rtol=1e-6)
+
+    s = make_lr_schedule(OptimizerSpec(learning_rate=1e-3, lr_scheduler="constant"))
+    np.testing.assert_allclose(float(s(0)), 1e-3, rtol=1e-6)
+
+
+def test_optimizer_spec_validation():
+    import pytest
+    from s2v_tpu.training.optim import OptimizerSpec
+
+    with pytest.raises(ValueError):
+        OptimizerSpec(optimizer="sgd")
+    with pytest.raises(ValueError):
+        OptimizerSpec(lr_scheduler="cyclic")
+    with pytest.raises(ValueError):
+        OptimizerSpec(gradient_accumulation_steps=0)
+
+
+def test_gradient_accumulation_matches_single_step():
+    """k identical microbatches through MultiSteps == one plain optimizer
+    step (mean of k identical grads is the grad)."""
+    from s2v_tpu.training.optim import OptimizerSpec
+
+    cfg, base, spec, lora, batch = _setup()
+    common = dict(optimizer="adamw", learning_rate=1e-2, max_grad_norm=1.0)
+    o_plain = OptimizerSpec(gradient_accumulation_steps=1, **common)
+    o_accum = OptimizerSpec(gradient_accumulation_steps=4, **common)
+    rng = jax.random.PRNGKey(21)
+
+    _, step_plain = make_lora_train_step(base, cfg, spec, SchedulerConfig(),
+                                         optimizer_spec=o_plain)
+    init_accum, step_accum = make_lora_train_step(base, cfg, spec, SchedulerConfig(),
+                                                  optimizer_spec=o_accum)
+    init_plain, _ = make_lora_train_step(base, cfg, spec, SchedulerConfig(),
+                                         optimizer_spec=o_plain)
+
+    lora_p, _, _ = step_plain(lora, init_plain(lora), batch, rng)
+    lora_a, opt_a = lora, init_accum(lora)
+    for _ in range(4):
+        lora_a, opt_a, _ = step_accum(lora_a, opt_a, batch, rng)
+    for a, b in zip(jax.tree.leaves(lora_p), jax.tree.leaves(lora_a)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5)
+
+
+def test_gradient_accumulation_holds_params_between_boundaries():
+    from s2v_tpu.training.optim import OptimizerSpec
+
+    cfg, base, spec, lora, batch = _setup()
+    o = OptimizerSpec(learning_rate=1e-2, gradient_accumulation_steps=3)
+    init_opt, train_step = make_lora_train_step(base, cfg, spec, SchedulerConfig(),
+                                                optimizer_spec=o)
+    opt = init_opt(lora)
+    l1, opt, _ = train_step(lora, opt, batch, jax.random.PRNGKey(0))
+    l2, opt, _ = train_step(l1, opt, batch, jax.random.PRNGKey(1))
+    for a, b in zip(jax.tree.leaves(lora), jax.tree.leaves(l2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    l3, opt, _ = train_step(l2, opt, batch, jax.random.PRNGKey(2))
+    assert any(float(jnp.abs(a - b).max()) > 0
+               for a, b in zip(jax.tree.leaves(lora), jax.tree.leaves(l3)))
+
+
+def test_warmup_schedule_threads_into_train_step():
+    """warmup from 0: the first optimizer update is a no-op (lr(0)=0)."""
+    from s2v_tpu.training.optim import OptimizerSpec
+
+    cfg, base, spec, lora, batch = _setup()
+    o = OptimizerSpec(learning_rate=1e-2, lr_scheduler="cosine",
+                      lr_warmup_steps=5, max_train_steps=50)
+    init_opt, train_step = make_lora_train_step(base, cfg, spec, SchedulerConfig(),
+                                                optimizer_spec=o)
+    l1, opt, _ = train_step(lora, init_opt(lora), batch, jax.random.PRNGKey(0))
+    for a, b in zip(jax.tree.leaves(lora), jax.tree.leaves(l1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+    # second step: lr(1) > 0 -> params move
+    l2, opt, _ = train_step(l1, opt, batch, jax.random.PRNGKey(1))
+    assert any(float(jnp.abs(a - b).max()) > 0
+               for a, b in zip(jax.tree.leaves(l1), jax.tree.leaves(l2)))
+
+
+def test_prodigy_optimizer_runs():
+    from s2v_tpu.training.optim import OptimizerSpec
+
+    cfg, base, spec, lora, batch = _setup()
+    o = OptimizerSpec(optimizer="prodigy", learning_rate=1.0)
+    init_opt, train_step = make_lora_train_step(base, cfg, spec, SchedulerConfig(),
+                                                optimizer_spec=o)
+    opt = init_opt(lora)
+    for i in range(3):
+        lora, opt, loss = train_step(lora, opt, batch, jax.random.fold_in(jax.random.PRNGKey(5), i))
+        assert np.isfinite(float(loss))
