@@ -28,6 +28,15 @@ def get_args(argv=None):
     p.add_argument("--dataset_dir", type=str, required=True,
                    help="folder of videos (+ optional prompts.txt / <stem>_ref.png)")
     p.add_argument("--output_dir", type=str, default="lora_out")
+    p.add_argument("--train_mode", type=str, default="lora", choices=["lora", "full"],
+                   help="lora = adapters on the 9 reference target families; "
+                        "full = every transformer param, FSDP-sharded over the "
+                        "mesh data axis (params/grads/optimizer state all 1/N "
+                        "per chip), fp32 master weights + bf16 compute")
+    p.add_argument("--compute_dtype", type=str, default="auto",
+                   choices=["auto", "none", "bfloat16"],
+                   help="full mode forward-pass dtype (master weights stay "
+                        "fp32); auto = bfloat16 on TPU, none elsewhere")
     p.add_argument("--rank", type=int, default=128)
     p.add_argument("--lora_alpha", type=float, default=64)
     p.add_argument("--learning_rate", type=float, default=1e-4)
@@ -66,6 +75,18 @@ def get_args(argv=None):
     p.add_argument("--disentangled_modulation", action="store_true", default=False,
                    help="train norm1/norm2 LoRA with the intended enable_lora "
                         "semantics (ref-stream-only modulation adapters)")
+    p.add_argument("--validation_prompt", type=str, default=None,
+                   help="prompt(s) sampled during training to eyeball progress "
+                        "(template log_validation); separate multiple with "
+                        "--validation_prompt_separator")
+    p.add_argument("--validation_prompt_separator", type=str, default=":::")
+    p.add_argument("--validation_ref_img", type=str, default=None,
+                   help="subject image for validation (defaults to the first "
+                        "dataset clip's ref frame)")
+    p.add_argument("--validation_steps", type=int, default=0,
+                   help="run validation sampling every N optimizer steps (0 = off)")
+    p.add_argument("--num_validation_videos", type=int, default=1)
+    p.add_argument("--validation_num_inference_steps", type=int, default=20)
     p.add_argument("--resume_from_checkpoint", type=str, default=None,
                    help="train-state dir written by --checkpointing_steps "
                         "(adapters + optimizer state + step; orbax)")
@@ -77,6 +98,184 @@ def get_args(argv=None):
 
     add_compilation_cache_flag(p)
     return p.parse_args(argv)
+
+
+def _validate(args, pipe, dataset, step, log, params_override=None, cfg_override=None):
+    """Training-time validation sampling (reference template log_validation,
+    train_cogvideox_lora.py:639-760): generate --num_validation_videos clips
+    per validation prompt with the CURRENT weights and write them under
+    output_dir/samples/.  Weights are swapped in-place for the duration
+    (merged LoRA or live full-FT params) and restored after."""
+    from s2v_tpu.utils.video import export_to_video, to_uint8_frames
+
+    if not args.validation_prompt:
+        return
+    outdir = os.path.join(args.output_dir, "samples")
+    os.makedirs(outdir, exist_ok=True)
+    ref = args.validation_ref_img
+    if ref is None:
+        ref = dataset[0]["ref_image"]  # [H,W,3] in [-1,1], accepted by generate
+    prev_params, prev_cfg = pipe.transformer_params, pipe.transformer_cfg
+    if params_override is not None:
+        pipe.transformer_params = params_override
+    if cfg_override is not None:
+        pipe.transformer_cfg = cfg_override
+    try:
+        prompts = [p.strip() for p in
+                   args.validation_prompt.split(args.validation_prompt_separator)
+                   if p.strip()]
+        for pi, prompt in enumerate(prompts):
+            for vi in range(args.num_validation_videos):
+                frames = pipe.generate(
+                    prompt=prompt,
+                    ref_image=ref,
+                    height=args.height,
+                    width=args.width,
+                    num_frames=args.max_num_frames,
+                    num_inference_steps=args.validation_num_inference_steps,
+                    seed=args.seed + vi,
+                    output_type="np",
+                )
+                clip = frames[0] if frames.ndim == 5 else frames
+                path = os.path.join(outdir, f"step{step}_p{pi}_v{vi}.mp4")
+                export_to_video(to_uint8_frames(clip), path, fps=8)
+                log.info("validation step %d: %s", step, path)
+    finally:
+        pipe.transformer_params, pipe.transformer_cfg = prev_params, prev_cfg
+
+
+def _run_full(args, pipe, dataset, opt_spec, log):
+    """Full-parameter fine-tuning: fp32 master weights (+ optional bf16
+    compute), FSDP over the mesh 'data' axis (params/grads/optimizer state
+    sharded 1/N per chip via GSPMD), resumable orbax train state, final
+    export as an HF-layout pipeline snapshot."""
+    import contextlib
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from s2v_tpu.training.data import latent_batches, prefetch_batches
+    from s2v_tpu.training.full import make_full_train_step
+
+    compute_dtype = None
+    if args.compute_dtype == "bfloat16" or (
+        args.compute_dtype == "auto" and jax.default_backend() == "tpu"
+    ):
+        compute_dtype = jnp.bfloat16
+
+    mesh = None
+    batch_sharding = None
+    if args.mesh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from s2v_tpu.parallel.sharding import make_mesh, parse_mesh_spec
+
+        axes = parse_mesh_spec(args.mesh)
+        if axes.get("model", 1) > 1:
+            raise SystemExit(
+                "--train_mode full shards params FSDP-style over the data "
+                "axis (use e.g. --mesh dp8); a TP 'model' axis is a "
+                "lora-mode capability"
+            )
+        if axes.get("seq", 1) > 1:
+            if args.attention_backend == "pallas":
+                args.attention_backend = "sp_allgather"
+            elif args.attention_backend == "windowed":
+                args.attention_backend = "sp_windowed"
+        mesh = make_mesh(axes)
+        if axes.get("data", 1) > 1:
+            if args.train_batch_size % axes["data"]:
+                raise SystemExit(
+                    f"--train_batch_size {args.train_batch_size} must be "
+                    f"divisible by the data mesh axis ({axes['data']})"
+                )
+            batch_sharding = NamedSharding(mesh, P("data"))
+    mesh_ctx = (lambda: mesh) if mesh is not None else contextlib.nullcontext
+
+    # fp32 master weights (the bf16 checkpoint would lose update precision)
+    master = jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        pipe.transformer_params,
+    )
+    prepare, init_opt, train_step = make_full_train_step(
+        pipe.transformer_cfg, pipe.scheduler_cfg, opt_spec,
+        attention_backend=args.attention_backend,
+        mesh=mesh, compute_dtype=compute_dtype,
+    )
+    params = prepare(master)
+    del master
+    opt_state = init_opt(params)
+
+    def save(step, final=False):
+        from s2v_tpu.loaders.orbax_io import save_params_orbax
+
+        state_dir = os.path.join(os.path.abspath(args.output_dir), f"train_state_{step}")
+        save_params_orbax(
+            {"params": params, "opt_state": opt_state, "step": np.asarray(step, np.int32)},
+            state_dir,
+        )
+        log.info("step %d: saved %s", step, state_dir)
+        if final:
+            from s2v_tpu.loaders.export_hf import save_pipeline_snapshot
+
+            pipe.transformer_params = jax.tree.map(
+                lambda x: np.asarray(x), params
+            )
+            out = save_pipeline_snapshot(
+                pipe, os.path.join(args.output_dir, "snapshot"), dtype="bfloat16"
+            )
+            log.info("exported fine-tuned pipeline snapshot: %s", out)
+
+    step = 0
+    micro = 0
+    epoch = 0
+    if args.resume_from_checkpoint:
+        from s2v_tpu.loaders.orbax_io import load_params_orbax
+
+        state = load_params_orbax(
+            os.path.abspath(os.path.expanduser(args.resume_from_checkpoint)),
+            target={"params": params, "opt_state": opt_state, "step": np.asarray(0, np.int32)},
+        )
+        params, opt_state, step = state["params"], state["opt_state"], int(state["step"])
+        params = prepare(params)
+        micro = step * args.gradient_accumulation_steps
+        log.info("resumed from %s at step %d", args.resume_from_checkpoint, step)
+
+    t0 = time.perf_counter()
+    encode_cache: dict = {}
+    while step < args.max_train_steps:
+        batches = prefetch_batches(
+            latent_batches(dataset, pipe, args.train_batch_size,
+                           seed=args.seed + epoch, cache=encode_cache)
+        )
+        for batch in batches:
+            rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), micro)
+            if batch_sharding is not None:
+                for k in ("video_latents", "ref_latents", "text_embeds"):
+                    if k in batch:
+                        batch[k] = jax.device_put(batch[k], batch_sharding)
+            with mesh_ctx():
+                params, opt_state, loss = train_step(params, opt_state, batch, rng)
+            micro += 1
+            if micro % args.gradient_accumulation_steps:
+                continue
+            step += 1
+            if step % 10 == 0 or step == 1:
+                log.info("step %d/%d loss %.4f (%.2f s/step)",
+                         step, args.max_train_steps, float(loss),
+                         (time.perf_counter() - t0) / step)
+            if args.validation_steps and step % args.validation_steps == 0:
+                _validate(args, pipe, dataset, step, log, params_override=params)
+            if step % args.checkpointing_steps == 0 or step >= args.max_train_steps:
+                save(step, final=step >= args.max_train_steps)
+            if step >= args.max_train_steps:
+                break
+        epoch += 1
+    log.info("full fine-tuning complete")
 
 
 def main(args=None):
@@ -114,6 +313,24 @@ def main(args=None):
     )
     log.info("dataset: %d clips", len(dataset))
 
+    from s2v_tpu.training.optim import OptimizerSpec
+
+    opt_spec = OptimizerSpec(
+        optimizer=args.optimizer,
+        learning_rate=args.learning_rate,
+        lr_scheduler=args.lr_scheduler,
+        lr_warmup_steps=args.lr_warmup_steps,
+        max_train_steps=args.max_train_steps,
+        max_grad_norm=args.max_grad_norm if args.max_grad_norm > 0 else None,
+        weight_decay=args.adam_weight_decay,
+        beta1=args.adam_beta1,
+        beta2=args.adam_beta2,
+        epsilon=args.adam_epsilon,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+    )
+    if args.train_mode == "full":
+        return _run_full(args, pipe, dataset, opt_spec, log)
+
     spec = LoRASpec(rank=args.rank, alpha=args.lora_alpha,
                     disentangled=args.disentangled_modulation)
     batch_sharding = None
@@ -138,21 +355,6 @@ def main(args=None):
             batch_sharding = NamedSharding(pipe.mesh, P("data"))
     mesh_ctx = pipe._mesh_ctx  # fresh (re-entrant) context per step
 
-    from s2v_tpu.training.optim import OptimizerSpec
-
-    opt_spec = OptimizerSpec(
-        optimizer=args.optimizer,
-        learning_rate=args.learning_rate,
-        lr_scheduler=args.lr_scheduler,
-        lr_warmup_steps=args.lr_warmup_steps,
-        max_train_steps=args.max_train_steps,
-        max_grad_norm=args.max_grad_norm if args.max_grad_norm > 0 else None,
-        weight_decay=args.adam_weight_decay,
-        beta1=args.adam_beta1,
-        beta2=args.adam_beta2,
-        epsilon=args.adam_epsilon,
-        gradient_accumulation_steps=args.gradient_accumulation_steps,
-    )
     lora = init_lora_params(jax.random.PRNGKey(args.seed), pipe.transformer_params, spec)
     init_opt, train_step = make_lora_train_step(
         pipe.transformer_params, pipe.transformer_cfg, spec, pipe.scheduler_cfg,
@@ -215,6 +417,20 @@ def main(args=None):
                 log.info("step %d/%d loss %.4f (%.2f s/step)",
                          step, args.max_train_steps, float(loss),
                          (time.perf_counter() - t0) / step)
+            if args.validation_steps and step % args.validation_steps == 0:
+                from s2v_tpu.training.lora import merge_lora_params
+
+                cfg_ov = None
+                if spec.disentangled:
+                    import dataclasses
+
+                    cfg_ov = dataclasses.replace(
+                        pipe.transformer_cfg, disentangled_modulation=True
+                    )
+                _validate(args, pipe, dataset, step, log,
+                          params_override=merge_lora_params(
+                              pipe.transformer_params, lora, spec),
+                          cfg_override=cfg_ov)
             if step % args.checkpointing_steps == 0 or step >= args.max_train_steps:
                 save(step)
             if step >= args.max_train_steps:

@@ -27,8 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from s2v_tpu.config import SchedulerConfig, TransformerConfig
-from s2v_tpu.models.transformer import transformer_forward
-from s2v_tpu.schedulers.ddim import add_noise, compute_alphas_cumprod, get_velocity
+from s2v_tpu.schedulers.ddim import compute_alphas_cumprod
 
 
 # target paths are (tree-path, kernel) pairs inside the params pytree;
@@ -134,27 +133,11 @@ def lora_loss_fn(
     batch: {"video_latents" [B,F,h,w,C], "ref_latents" [B,1,h,w,C],
             "text_embeds" [B,T,txt], optional "rope_cos"/"rope_sin"}.
     """
+    from s2v_tpu.training.full import vpred_loss
+
     params = merge_lora_params(base_params, lora_params, spec)
-    x0 = batch["video_latents"]
-    b = x0.shape[0]
-    k_t, k_n = jax.random.split(rng)
-    t = jax.random.randint(k_t, (b,), 0, alphas_cumprod.shape[0])
-    noise = jax.random.normal(k_n, x0.shape, jnp.float32).astype(x0.dtype)
-    noisy = add_noise(x0, noise, alphas_cumprod, t)
-    target = get_velocity(x0, noise, alphas_cumprod, t)
-    pred = transformer_forward(
-        params,
-        cfg,
-        noisy,
-        batch["ref_latents"],
-        batch["text_embeds"],
-        t,
-        batch.get("rope_cos"),
-        batch.get("rope_sin"),
-        attention_backend=attention_backend,
-        remat=remat,
-    )
-    return jnp.mean(jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32)))
+    return vpred_loss(params, cfg, batch, alphas_cumprod, rng,
+                      attention_backend=attention_backend, remat=remat)
 
 
 def make_lora_train_step(
