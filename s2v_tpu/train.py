@@ -91,9 +91,11 @@ def get_args(argv=None):
                    help="train-state dir written by --checkpointing_steps "
                         "(adapters + optimizer state + step; orbax)")
     p.add_argument("--mesh", type=str, default=None,
-                   help="multi-chip training mesh, e.g. 'dp2,tp4': base "
-                        "params TP-sharded, batches dp-sharded, adapters "
-                        "replicated (gradients all-reduced by GSPMD)")
+                   help="multi-chip training mesh. lora mode: 'dp2,tp4' -> "
+                        "base params TP-sharded, batches dp-sharded, adapters "
+                        "replicated (gradients all-reduced by GSPMD). "
+                        "full mode: 'dp8' -> FSDP (params/grads/optimizer "
+                        "state sharded 1/N over the data axis)")
     from s2v_tpu.cli_utils import add_compilation_cache_flag
 
     add_compilation_cache_flag(p)
@@ -150,11 +152,9 @@ def _run_full(args, pipe, dataset, opt_spec, log):
     sharded 1/N per chip via GSPMD), resumable orbax train state, final
     export as an HF-layout pipeline snapshot."""
     import contextlib
-    import time
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from s2v_tpu.training.data import latent_batches, prefetch_batches
     from s2v_tpu.training.full import make_full_train_step
@@ -246,6 +246,7 @@ def _run_full(args, pipe, dataset, opt_spec, log):
         log.info("resumed from %s at step %d", args.resume_from_checkpoint, step)
 
     t0 = time.perf_counter()
+    start_step = step
     encode_cache: dict = {}
     while step < args.max_train_steps:
         batches = prefetch_batches(
@@ -267,7 +268,7 @@ def _run_full(args, pipe, dataset, opt_spec, log):
             if step % 10 == 0 or step == 1:
                 log.info("step %d/%d loss %.4f (%.2f s/step)",
                          step, args.max_train_steps, float(loss),
-                         (time.perf_counter() - t0) / step)
+                         (time.perf_counter() - t0) / (step - start_step))
             if args.validation_steps and step % args.validation_steps == 0:
                 _validate(args, pipe, dataset, step, log, params_override=params)
             if step % args.checkpointing_steps == 0 or step >= args.max_train_steps:
