@@ -309,6 +309,15 @@ def main(args=None):
     args.attention_backend = resolve_attention_backend(args.attention_backend)
     pipe = S2VPipeline.from_pretrained(os.path.expanduser(args.pretrained_model_name_or_path))
     pipe.set_attention(args.attention_backend, args.attention_window)
+    tc = pipe.vae_cfg.temporal_compression_ratio
+    if (args.max_num_frames - 1) % tc:
+        # the template trims clips so (F-1) divides the VAE's temporal
+        # compression (train_cogvideox_lora.py:614-616); we validate the
+        # requested count instead of silently dropping frames
+        raise SystemExit(
+            f"--max_num_frames {args.max_num_frames} must satisfy "
+            f"(F - 1) % {tc} == 0 (e.g. {((args.max_num_frames - 1) // tc) * tc + 1})"
+        )
     dataset = VideoFolderDataset(
         args.dataset_dir, num_frames=args.max_num_frames, height=args.height, width=args.width
     )
