@@ -51,7 +51,38 @@ def time_fn(fn, *args, iters=3, warmup=1):
     return (time.perf_counter() - t0) / iters
 
 
+def _init_backend_with_watchdog(
+    timeout_s=int(os.environ.get("S2V_BENCH_INIT_TIMEOUT", "600")),
+):
+    """First device touch, bounded.  The axon relay can hang indefinitely
+    when contended or holding a stale lease (observed: jax.devices() stuck
+    >15 min at 0% CPU); a benchmark that never returns is worse than one
+    that fails loudly, so initialize on a side thread and hard-exit if the
+    backend does not come up."""
+    import threading
+
+    result = {}
+
+    def _init():
+        import jax
+
+        result["devices"] = jax.devices()
+
+    th = threading.Thread(target=_init, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" not in result:
+        print(
+            f"# FATAL: jax backend init did not complete in {timeout_s}s "
+            f"(device relay unresponsive) — no measurement possible",
+            flush=True,
+        )
+        os._exit(2)
+    return result["devices"]
+
+
 def main():
+    _init_backend_with_watchdog()
     import jax
     import jax.numpy as jnp
 
