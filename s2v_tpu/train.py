@@ -96,6 +96,11 @@ def get_args(argv=None):
                         "replicated (gradients all-reduced by GSPMD). "
                         "full mode: 'dp8' -> FSDP (params/grads/optimizer "
                         "state sharded 1/N over the data axis)")
+    p.add_argument("--fsdp_base", action="store_true", default=False,
+                   help="lora mode + pure-dp mesh: shard the FROZEN base "
+                        "tree 1/N over the data axis instead of replicating "
+                        "it (ZeRO-3 for the 11 GB base; adapters stay "
+                        "replicated)")
     from s2v_tpu.cli_utils import add_compilation_cache_flag
 
     add_compilation_cache_flag(p)
@@ -363,6 +368,22 @@ def main(args=None):
         pipe.set_mesh(axes)  # TP-shards the base params in place
         if "data" in pipe.mesh.axis_names:
             batch_sharding = NamedSharding(pipe.mesh, P("data"))
+        if args.fsdp_base:
+            if axes.get("model", 1) > 1:
+                raise SystemExit("--fsdp_base conflicts with a TP 'model' "
+                                 "axis (base params are already sharded)")
+            if axes.get("data", 1) < 2:
+                raise SystemExit("--fsdp_base needs a data mesh axis >= 2")
+            # frozen base tree sharded 1/N over 'data' (ZeRO-3 for the
+            # 11.1 GB bf16 base; GSPMD gathers per layer in the scan) —
+            # adapters/optimizer stay replicated (they're ~0.4 GB)
+            from s2v_tpu.training.full import fsdp_param_specs
+
+            specs = fsdp_param_specs(pipe.transformer_params, axes["data"])
+            pipe.transformer_params = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(pipe.mesh, s)),
+                pipe.transformer_params, specs,
+            )
     mesh_ctx = pipe._mesh_ctx  # fresh (re-entrant) context per step
 
     lora = init_lora_params(jax.random.PRNGKey(args.seed), pipe.transformer_params, spec)

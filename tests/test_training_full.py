@@ -145,3 +145,46 @@ def test_compute_dtype_mixed_precision():
     leaves = jax.tree.leaves(g)
     assert all(x.dtype == jnp.float32 for x in leaves)
     assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
+
+
+def test_lora_step_with_fsdp_sharded_base_matches_replicated():
+    """LoRA training over an FSDP-sharded FROZEN base (train.py
+    --fsdp_base) == the replicated-base step: grads only flow to the
+    adapters, so sharding the constant tree must not change the math."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from s2v_tpu.parallel.sharding import make_mesh
+    from s2v_tpu.training.lora import LoRASpec, init_lora_params, make_lora_train_step
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    cfg, params, batch = _setup(batch_size=8)
+    spec = LoRASpec(rank=2, alpha=4.0)
+    lora0 = init_lora_params(jax.random.PRNGKey(1), params, spec)
+    rng = jax.random.PRNGKey(3)
+
+    init_r, step_r = make_lora_train_step(params, cfg, spec, SchedulerConfig(),
+                                          learning_rate=1e-2)
+    lora_r, opt_r = lora0, init_r(lora0)
+    for i in range(2):
+        lora_r, opt_r, loss_r = step_r(lora_r, opt_r, batch, jax.random.fold_in(rng, i))
+
+    mesh = make_mesh({"data": 8})
+    specs = fsdp_param_specs(params, 8, min_size=64)
+    base_sh = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+    kernel = base_sh["blocks"]["attn"]["qkv"]["kernel"]
+    assert kernel.addressable_shards[0].data.size == kernel.size // 8
+    b_sh = NamedSharding(mesh, P("data"))
+    batch_sh = {k: jax.device_put(v, b_sh) for k, v in batch.items()}
+    init_s, step_s = make_lora_train_step(base_sh, cfg, spec, SchedulerConfig(),
+                                          learning_rate=1e-2)
+    lora_s, opt_s = lora0, init_s(lora0)
+    for i in range(2):
+        lora_s, opt_s, loss_s = step_s(lora_s, opt_s, batch_sh, jax.random.fold_in(rng, i))
+
+    np.testing.assert_allclose(float(loss_r), float(loss_s), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(lora_r), jax.tree.leaves(lora_s)):
+        # sharded reductions reassociate the sums: fp32-noise tolerance
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6, rtol=2e-4)
