@@ -64,13 +64,23 @@ def _init_backend_with_watchdog(
     result = {}
 
     def _init():
-        import jax
+        try:
+            import jax
 
-        result["devices"] = jax.devices()
+            result["devices"] = jax.devices()
+        except BaseException as e:  # report fast failures immediately
+            result["error"] = e
 
     th = threading.Thread(target=_init, daemon=True)
     th.start()
-    th.join(timeout_s)
+    deadline = time.perf_counter() + timeout_s
+    while th.is_alive() and time.perf_counter() < deadline:
+        th.join(1.0)
+        if "error" in result:
+            break
+    if "error" in result:
+        print(f"# FATAL: jax backend init failed: {result['error']!r}", flush=True)
+        os._exit(2)
     if "devices" not in result:
         print(
             f"# FATAL: jax backend init did not complete in {timeout_s}s "

@@ -199,21 +199,42 @@ def _run_full(args, pipe, dataset, opt_spec, log):
             batch_sharding = NamedSharding(mesh, P("data"))
     mesh_ctx = (lambda: mesh) if mesh is not None else contextlib.nullcontext
 
-    # fp32 master weights (the bf16 checkpoint would lose update precision)
-    master = jax.tree.map(
-        lambda x: x.astype(jnp.float32)
-        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-        else x,
-        pipe.transformer_params,
-    )
+    use_fsdp = (mesh is not None and "data" in mesh.axis_names
+                and int(mesh.shape["data"]) > 1)
     prepare, init_opt, train_step = make_full_train_step(
         pipe.transformer_cfg, pipe.scheduler_cfg, opt_spec,
         attention_backend=args.attention_backend,
         mesh=mesh, compute_dtype=compute_dtype,
     )
-    params = prepare(master)
-    del master
+    # fp32 master weights (the bf16 checkpoint would lose update precision).
+    # Under FSDP the cast happens host-side per leaf, landing directly on
+    # each shard — the fp32 tree never materializes on one device — and the
+    # inference copy of the base moves to host so the only device-resident
+    # transformer state is the sharded master.
+    if use_fsdp:
+        host_base = jax.tree.map(
+            lambda x: np.asarray(jax.device_get(x)), pipe.transformer_params
+        )
+        pipe.transformer_params = host_base
+        params = prepare(host_base, dtype=jnp.float32)
+    else:
+        params = prepare(pipe.transformer_params, dtype=jnp.float32)
     opt_state = init_opt(params)
+
+    def _val_params():
+        """Weights for validation sampling: with FSDP, gather the sharded
+        fp32 master to a host bf16 copy so generate() runs the standard
+        single-device path (the training FSDP mesh is not a product
+        inference mesh — a sharded-tree generate would compile against
+        shardings the pipeline never routes)."""
+        if not use_fsdp:
+            return params
+        return jax.tree.map(
+            lambda x: np.asarray(jax.device_get(x)).astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else np.asarray(x),
+            params,
+        )
 
     def save(step, final=False):
         from s2v_tpu.loaders.orbax_io import save_params_orbax
@@ -241,10 +262,18 @@ def _run_full(args, pipe, dataset, opt_spec, log):
     if args.resume_from_checkpoint:
         from s2v_tpu.loaders.orbax_io import load_params_orbax
 
-        state = load_params_orbax(
-            os.path.abspath(os.path.expanduser(args.resume_from_checkpoint)),
-            target={"params": params, "opt_state": opt_state, "step": np.asarray(0, np.int32)},
-        )
+        try:
+            state = load_params_orbax(
+                os.path.abspath(os.path.expanduser(args.resume_from_checkpoint)),
+                target={"params": params, "opt_state": opt_state, "step": np.asarray(0, np.int32)},
+            )
+        except Exception as e:
+            raise SystemExit(
+                f"cannot restore {args.resume_from_checkpoint}: the optimizer "
+                f"state tree must match the flags that wrote it (optimizer/"
+                f"lr_scheduler/max_grad_norm/gradient_accumulation_steps are "
+                f"part of the tree structure).  Original error: {e}"
+            ) from e
         params, opt_state, step = state["params"], state["opt_state"], int(state["step"])
         params = prepare(params)
         micro = step * args.gradient_accumulation_steps
@@ -270,12 +299,12 @@ def _run_full(args, pipe, dataset, opt_spec, log):
             if micro % args.gradient_accumulation_steps:
                 continue
             step += 1
-            if step % 10 == 0 or step == 1:
+            if step % 10 == 0 or step == start_step + 1:
                 log.info("step %d/%d loss %.4f (%.2f s/step)",
                          step, args.max_train_steps, float(loss),
                          (time.perf_counter() - t0) / (step - start_step))
             if args.validation_steps and step % args.validation_steps == 0:
-                _validate(args, pipe, dataset, step, log, params_override=params)
+                _validate(args, pipe, dataset, step, log, params_override=_val_params())
             if step % args.checkpointing_steps == 0 or step >= args.max_train_steps:
                 save(step, final=step >= args.max_train_steps)
             if step >= args.max_train_steps:
@@ -365,9 +394,6 @@ def main(args=None):
                 args.attention_backend = "sp_allgather"
             elif args.attention_backend == "windowed":
                 args.attention_backend = "sp_windowed"
-        pipe.set_mesh(axes)  # TP-shards the base params in place
-        if "data" in pipe.mesh.axis_names:
-            batch_sharding = NamedSharding(pipe.mesh, P("data"))
         if args.fsdp_base:
             if axes.get("model", 1) > 1:
                 raise SystemExit("--fsdp_base conflicts with a TP 'model' "
@@ -376,14 +402,24 @@ def main(args=None):
                 raise SystemExit("--fsdp_base needs a data mesh axis >= 2")
             # frozen base tree sharded 1/N over 'data' (ZeRO-3 for the
             # 11.1 GB bf16 base; GSPMD gathers per layer in the scan) —
-            # adapters/optimizer stay replicated (they're ~0.4 GB)
+            # adapters/optimizer stay replicated (~0.4 GB).  shard_now=False
+            # so the base is placed ONCE, directly sharded (set_mesh's
+            # default replicate would transiently put the full tree on
+            # every chip — the exact footprint this flag avoids)
+            from s2v_tpu.parallel.sharding import replicate
             from s2v_tpu.training.full import fsdp_param_specs
 
+            pipe.set_mesh(axes, shard_now=False)
             specs = fsdp_param_specs(pipe.transformer_params, axes["data"])
             pipe.transformer_params = jax.tree.map(
-                lambda x, s: jax.device_put(x, NamedSharding(pipe.mesh, s)),
+                lambda x, sp: jax.device_put(x, NamedSharding(pipe.mesh, sp)),
                 pipe.transformer_params, specs,
             )
+            pipe.vae_params = replicate(pipe.vae_params, pipe.mesh)
+        else:
+            pipe.set_mesh(axes)  # TP-shards the base params in place
+        if "data" in pipe.mesh.axis_names:
+            batch_sharding = NamedSharding(pipe.mesh, P("data"))
     mesh_ctx = pipe._mesh_ctx  # fresh (re-entrant) context per step
 
     lora = init_lora_params(jax.random.PRNGKey(args.seed), pipe.transformer_params, spec)
@@ -415,14 +451,25 @@ def main(args=None):
     if args.resume_from_checkpoint:
         from s2v_tpu.loaders.orbax_io import load_params_orbax
 
-        state = load_params_orbax(
-            os.path.abspath(os.path.expanduser(args.resume_from_checkpoint)),
-            target={"lora": lora, "opt_state": opt_state, "step": np.asarray(0, np.int32)},
-        )
+        try:
+            state = load_params_orbax(
+                os.path.abspath(os.path.expanduser(args.resume_from_checkpoint)),
+                target={"lora": lora, "opt_state": opt_state, "step": np.asarray(0, np.int32)},
+            )
+        except Exception as e:
+            raise SystemExit(
+                f"cannot restore {args.resume_from_checkpoint}: the optimizer "
+                f"state tree must match the flags that wrote it (optimizer/"
+                f"lr_scheduler/max_grad_norm/gradient_accumulation_steps are "
+                f"part of the tree structure; checkpoints from before the "
+                f"optimizer-surface upgrade use a plain adamw layout).  "
+                f"Original error: {e}"
+            ) from e
         lora, opt_state, step = state["lora"], state["opt_state"], int(state["step"])
         micro = step * args.gradient_accumulation_steps
         log.info("resumed from %s at step %d", args.resume_from_checkpoint, step)
     t0 = time.perf_counter()
+    start_step = step
     # clips are encoded once (VAE moments + T5 embeds cached host-side;
     # posterior noise stays per-epoch), and the host-side batch prep runs
     # on a background thread overlapping the device train step
@@ -444,10 +491,10 @@ def main(args=None):
             if micro % args.gradient_accumulation_steps:
                 continue  # optimizer update lands on the k-th microstep
             step += 1
-            if step % 10 == 0 or step == 1:
+            if step % 10 == 0 or step == start_step + 1:
                 log.info("step %d/%d loss %.4f (%.2f s/step)",
                          step, args.max_train_steps, float(loss),
-                         (time.perf_counter() - t0) / step)
+                         (time.perf_counter() - t0) / (step - start_step))
             if args.validation_steps and step % args.validation_steps == 0:
                 from s2v_tpu.training.lora import merge_lora_params
 

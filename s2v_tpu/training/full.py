@@ -159,10 +159,25 @@ def make_full_train_step(
         return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                             is_leaf=lambda x: not isinstance(x, (dict, list, tuple)))
 
-    def prepare(params):
+    def prepare(params, dtype=None):
+        """Place (and optionally cast) the tree.  Under FSDP each leaf is
+        cast HOST-side and device_put directly onto its shard, so a cast
+        tree (e.g. the fp32 master of an 11 GB bf16 checkpoint) never
+        materializes unsharded on one device."""
+
+        def cast(x):
+            if (dtype is not None and hasattr(x, "dtype")
+                    and jnp.issubdtype(x.dtype, jnp.floating)):
+                return np.asarray(jax.device_get(x)).astype(dtype)
+            return x
+
         if not use_fsdp:
-            return params
-        return jax.tree.map(jax.device_put, params, _shardings_for(params))
+            if dtype is None:
+                return params
+            return jax.tree.map(lambda x: jnp.asarray(cast(x)), params)
+        return jax.tree.map(
+            lambda x, s: jax.device_put(cast(x), s), params, _shardings_for(params)
+        )
 
     def init_opt_state(params):
         if not use_fsdp:

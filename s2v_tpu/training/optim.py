@@ -56,9 +56,11 @@ def make_lr_schedule(spec: OptimizerSpec):
     if spec.lr_scheduler == "constant":
         return optax.constant_schedule(lr)
     if spec.lr_scheduler == "constant_with_warmup":
+        if warm == 0:  # HF get_constant_schedule_with_warmup: factor 1 at step 0
+            return optax.constant_schedule(lr)
         return optax.join_schedules(
-            [optax.linear_schedule(0.0, lr, max(warm, 1)), optax.constant_schedule(lr)],
-            [max(warm, 1)],
+            [optax.linear_schedule(0.0, lr, warm), optax.constant_schedule(lr)],
+            [warm],
         )
     if spec.lr_scheduler == "linear":
         if warm:
