@@ -49,3 +49,4 @@ def test_two_process_hybrid_mesh_denoise():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert "MULTIHOST OK" in out, f"process {i} output:\n{out}"
+        assert "MULTIHOST FSDP OK" in out, f"process {i} output:\n{out}"
