@@ -24,7 +24,7 @@ from typing import Optional
 
 import numpy as np
 
-from s2v_tpu.config import SchedulerConfig, T5Config, TransformerConfig, VAEConfig
+from s2v_tpu.config import T5Config, TransformerConfig, VAEConfig
 
 
 def _np(x):

@@ -12,7 +12,6 @@ from __future__ import annotations
 from typing import Dict
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from s2v_tpu.config import T5Config, TransformerConfig, VAEConfig

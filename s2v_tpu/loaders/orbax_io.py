@@ -9,7 +9,6 @@ TP/replicated placements.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 
