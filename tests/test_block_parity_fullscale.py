@@ -90,3 +90,90 @@ def test_one_block_production_dims_parity():
         f"max abs err {err.max():.3e} (out scale {scale:.2f})"
     )
     np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=2e-3)
+
+
+def test_one_block_production_dims_gradient_parity():
+    """Training-path numerics at real dims: d<loss>/dW through the jax
+    block (chunked attention custom VJP, remat) must match torch autograd
+    through the independent model — pins the backward pass the way the
+    forward test above pins inference.  Probe scalar = sum(out * fixed
+    cotangent), so every output element's gradient contributes."""
+    import jax
+
+    cfg = TransformerConfig.cogvideox_5b(
+        num_layers=1, dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    d = cfg.inner_dim
+
+    torch.manual_seed(0)
+    model = TorchTinyTransformer(cfg).float()
+    params = convert_transformer_state_dict(model.hf_state_dict(), cfg)
+
+    rng = np.random.RandomState(1)
+    B, Fv, H, W = 1, 2, 60, 90
+    video = rng.randn(B, Fv, H, W, cfg.in_channels).astype(np.float32)
+    ref = rng.randn(B, 1, H, W, cfg.in_channels).astype(np.float32)
+    text = rng.randn(B, cfg.max_text_seq_length, cfg.text_embed_dim).astype(np.float32)
+    t = np.array([999.0], np.float32)
+    ct = rng.randn(B, Fv, H, W, cfg.out_channels).astype(np.float32)
+
+    gh, gw = H // cfg.patch_size, W // cfg.patch_size
+    cos, sin = get_3d_rotary_pos_embed(
+        cfg.attention_head_dim, ((0, 0), (gh, gw)), (gh, gw), Fv + 1
+    )
+    tok = gh * gw
+    cos_seg, sin_seg = build_segmented_rope(
+        cfg.max_text_seq_length, cos[:tok], sin[:tok],
+        cos[tok : tok * (Fv + 1)], sin[tok : tok * (Fv + 1)],
+    )
+
+    def probe(p):
+        out = transformer_forward(
+            p, cfg, jnp.asarray(video), jnp.asarray(ref), jnp.asarray(text),
+            jnp.asarray(t), cos_seg, sin_seg, attention_backend="chunked",
+            remat=True,
+        )
+        return jnp.sum(out * jnp.asarray(ct))
+
+    g = jax.grad(probe)(params)
+
+    half = cfg.attention_head_dim // 2
+    full_cos = np.concatenate(
+        [np.ones((cfg.max_text_seq_length, half), np.float32),
+         cos[:tok], cos[tok : tok * (Fv + 1)]], axis=0)
+    full_sin = np.concatenate(
+        [np.zeros((cfg.max_text_seq_length, half), np.float32),
+         sin[:tok], sin[tok : tok * (Fv + 1)]], axis=0)
+    tcos, tsin = rope_interleaved(full_cos, full_sin)
+    out_t = model(
+        torch.from_numpy(video).permute(0, 1, 4, 2, 3),
+        torch.from_numpy(ref).permute(0, 1, 4, 2, 3),
+        torch.from_numpy(text),
+        torch.from_numpy(t),
+        tcos, tsin,
+    )
+    loss_t = (out_t * torch.from_numpy(ct).permute(0, 1, 4, 2, 3)).sum()
+    loss_t.backward()
+
+    blk = model.blocks[0]
+    pairs = [
+        ("attn.to_q", np.asarray(g["blocks"]["attn"]["qkv"]["kernel"][0][:, :d]).T,
+         blk.to_q.weight.grad.numpy()),
+        ("attn.to_v", np.asarray(g["blocks"]["attn"]["qkv"]["kernel"][0][:, 2 * d:]).T,
+         blk.to_v.weight.grad.numpy()),
+        ("attn.to_out", np.asarray(g["blocks"]["attn"]["to_out"]["kernel"][0]).T,
+         blk.to_out.weight.grad.numpy()),
+        ("ff.net.2", np.asarray(g["blocks"]["ff"]["net_2"]["kernel"][0]).T,
+         blk.ff2.weight.grad.numpy()),
+        ("norm1.linear", np.asarray(g["blocks"]["norm1"]["linear"]["kernel"][0]).T,
+         blk.norm1.linear.weight.grad.numpy()),
+        ("text_proj", np.asarray(g["patch_embed"]["text_proj"]["kernel"]).T,
+         model.text_proj.weight.grad.numpy()),
+        ("time_1", np.asarray(g["time_embedding"]["linear_1"]["kernel"]).T,
+         model.time_1.weight.grad.numpy()),
+    ]
+    for name, ours_g, theirs_g in pairs:
+        assert ours_g.shape == theirs_g.shape, (name, ours_g.shape, theirs_g.shape)
+        scale = max(np.abs(theirs_g).max(), 1e-3)
+        err = np.abs(ours_g - theirs_g).max()
+        assert err <= 3e-3 * scale, f"{name}: max abs grad err {err:.3e} vs scale {scale:.3e}"
