@@ -197,7 +197,15 @@ def _run_full(args, pipe, dataset, opt_spec, log):
                     f"divisible by the data mesh axis ({axes['data']})"
                 )
             batch_sharding = NamedSharding(mesh, P("data"))
-    mesh_ctx = (lambda: mesh) if mesh is not None else contextlib.nullcontext
+    if mesh is not None:
+        # the logical-axis map (not just the raw Mesh) must be active:
+        # sp_* attention backends and constrain() consult it
+        from s2v_tpu.parallel import default_logical_map, mesh_context
+
+        logical = default_logical_map(mesh)
+        mesh_ctx = lambda: mesh_context(mesh, logical)  # noqa: E731
+    else:
+        mesh_ctx = contextlib.nullcontext
 
     use_fsdp = (mesh is not None and "data" in mesh.axis_names
                 and int(mesh.shape["data"]) > 1)

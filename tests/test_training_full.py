@@ -188,3 +188,31 @@ def test_lora_step_with_fsdp_sharded_base_matches_replicated():
     for a, b in zip(jax.tree.leaves(lora_r), jax.tree.leaves(lora_s)):
         # sharded reductions reassociate the sums: fp32-noise tolerance
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6, rtol=2e-4)
+
+
+def test_full_train_step_under_seq_mesh_sp_allgather():
+    """Full-FT under a pure seq mesh with the SP attention backend: the
+    logical-axis map must be active (train.py's mesh context), and the
+    loss must match the single-device xla step."""
+    from s2v_tpu.parallel import default_logical_map, make_mesh, mesh_context
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    cfg, params, batch = _setup(batch_size=1)
+    ospec = OptimizerSpec(learning_rate=1e-3)
+    rng = jax.random.PRNGKey(17)
+
+    _, init0, step0 = make_full_train_step(cfg, SchedulerConfig(), ospec,
+                                           attention_backend="xla")
+    p0 = jax.tree.map(lambda x: x.copy(), params)
+    _, _, l0 = step0(p0, init0(p0), batch, rng)
+
+    mesh = make_mesh({"seq": 8})
+    prep, init_opt, step = make_full_train_step(
+        cfg, SchedulerConfig(), ospec, attention_backend="sp_allgather",
+        mesh=mesh,
+    )
+    p1 = prep(jax.tree.map(lambda x: x.copy(), params))
+    with mesh_context(mesh, default_logical_map(mesh)):
+        p1, o1, l1 = step(p1, init_opt(p1), batch, rng)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-4)
