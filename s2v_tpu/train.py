@@ -37,6 +37,10 @@ def get_args(argv=None):
                    choices=["auto", "none", "bfloat16"],
                    help="full mode forward-pass dtype (master weights stay "
                         "fp32); auto = bfloat16 on TPU, none elsewhere")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="full mode: maintain an EMA of the params at this "
+                        "decay (e.g. 0.9999); the final snapshot exports "
+                        "the EMA weights. 0 = off")
     p.add_argument("--rank", type=int, default=128)
     p.add_argument("--lora_alpha", type=float, default=64)
     p.add_argument("--learning_rate", type=float, default=1e-4)
@@ -212,7 +216,7 @@ def _run_full(args, pipe, dataset, opt_spec, log):
     prepare, init_opt, train_step = make_full_train_step(
         pipe.transformer_cfg, pipe.scheduler_cfg, opt_spec,
         attention_backend=args.attention_backend,
-        mesh=mesh, compute_dtype=compute_dtype,
+        mesh=mesh, compute_dtype=compute_dtype, ema_decay=args.ema_decay,
     )
     # fp32 master weights (the bf16 checkpoint would lose update precision).
     # Under FSDP the cast happens host-side per leaf, landing directly on
@@ -229,19 +233,24 @@ def _run_full(args, pipe, dataset, opt_spec, log):
         params = prepare(pipe.transformer_params, dtype=jnp.float32)
     opt_state = init_opt(params)
 
+    def _sample_tree():
+        """The weights one should sample from: the EMA when enabled."""
+        return opt_state[1] if args.ema_decay > 0 else params
+
     def _val_params():
         """Weights for validation sampling: with FSDP, gather the sharded
-        fp32 master to a host bf16 copy so generate() runs the standard
-        single-device path (the training FSDP mesh is not a product
-        inference mesh — a sharded-tree generate would compile against
-        shardings the pipeline never routes)."""
+        fp32 master (or EMA) to a host bf16 copy so generate() runs the
+        standard single-device path (the training FSDP mesh is not a
+        product inference mesh — a sharded-tree generate would compile
+        against shardings the pipeline never routes)."""
+        tree = _sample_tree()
         if not use_fsdp:
-            return params
+            return tree
         return jax.tree.map(
             lambda x: np.asarray(jax.device_get(x)).astype(jnp.bfloat16)
             if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
             else np.asarray(x),
-            params,
+            tree,
         )
 
     def save(step, final=False):
@@ -257,7 +266,7 @@ def _run_full(args, pipe, dataset, opt_spec, log):
             from s2v_tpu.loaders.export_hf import save_pipeline_snapshot
 
             pipe.transformer_params = jax.tree.map(
-                lambda x: np.asarray(x), params
+                lambda x: np.asarray(x), _sample_tree()
             )
             out = save_pipeline_snapshot(
                 pipe, os.path.join(args.output_dir, "snapshot"), dtype="bfloat16"

@@ -122,8 +122,16 @@ def make_full_train_step(
     fsdp_axis: str = "data",
     fsdp_min_size: int = 2 ** 14,
     compute_dtype=None,
+    ema_decay: float = 0.0,
 ):
     """Returns ``(prepare, init_opt_state, train_step)``:
+
+    ``ema_decay > 0`` maintains an exponential moving average of the
+    params (standard practice for full diffusion fine-tunes; sampling
+    from the EMA weights is markedly more stable than from the raw
+    iterates).  The EMA tree rides inside ``opt_state`` as
+    ``(inner_opt_state, ema_tree)`` so checkpoints carry it, and it
+    inherits the FSDP shardings elementwise — no extra plumbing.
 
     * ``prepare(params)`` — FSDP-shards the tree over ``mesh[fsdp_axis]``
       per :func:`fsdp_param_specs` (no-op without a mesh);
@@ -179,11 +187,17 @@ def make_full_train_step(
             lambda x, s: jax.device_put(cast(x), s), params, _shardings_for(params)
         )
 
+    def _init_state(params):
+        st = tx.init(params)
+        if ema_decay > 0.0:
+            return (st, jax.tree.map(lambda x: x, params))  # ema starts at params
+        return st
+
     def init_opt_state(params):
         if not use_fsdp:
-            return jax.jit(tx.init)(params)
-        abstract = jax.eval_shape(tx.init, params)
-        return jax.jit(tx.init, out_shardings=_shardings_for(abstract))(params)
+            return jax.jit(_init_state)(params)
+        abstract = jax.eval_shape(_init_state, params)
+        return jax.jit(_init_state, out_shardings=_shardings_for(abstract))(params)
 
     from functools import partial
 
@@ -191,6 +205,8 @@ def make_full_train_step(
     # (sharded) training state instead of two
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, rng):
+        if ema_decay > 0.0:
+            opt_state, ema = opt_state
         loss, grads = jax.value_and_grad(vpred_loss)(
             params, cfg, batch, alphas, rng, attention_backend, remat, compute_dtype
         )
@@ -200,6 +216,12 @@ def make_full_train_step(
             new_params = jax.lax.with_sharding_constraint(
                 new_params, _shardings_for(new_params)
             )
+        if ema_decay > 0.0:
+            ema = jax.tree.map(
+                lambda e, w: e * ema_decay + w.astype(e.dtype) * (1.0 - ema_decay),
+                ema, new_params,
+            )
+            new_opt_state = (new_opt_state, ema)
         return new_params, new_opt_state, loss
 
     return prepare, init_opt_state, train_step

@@ -216,3 +216,21 @@ def test_full_train_step_under_seq_mesh_sp_allgather():
     with mesh_context(mesh, default_logical_map(mesh)):
         p1, o1, l1 = step(p1, init_opt(p1), batch, rng)
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-4)
+
+
+def test_full_train_step_ema():
+    """--ema_decay: ema after one step == d*p0 + (1-d)*p1, and the final
+    sample tree rides inside opt_state so checkpoints carry it."""
+    cfg, params, batch = _setup()
+    prep, init_opt, step = make_full_train_step(
+        cfg, SchedulerConfig(), OptimizerSpec(learning_rate=1e-2), ema_decay=0.5
+    )
+    p0 = jax.tree.map(lambda x: x.copy(), params)
+    st = init_opt(params)
+    p1, st1, _ = step(params, st, batch, jax.random.PRNGKey(0))
+    _, ema = st1
+    for e, a, b in zip(jax.tree.leaves(ema), jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(
+            np.asarray(e), 0.5 * np.asarray(a) + 0.5 * np.asarray(b),
+            atol=1e-6, rtol=1e-5,
+        )
