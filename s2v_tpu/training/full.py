@@ -217,11 +217,19 @@ def make_full_train_step(
                 new_params, _shardings_for(new_params)
             )
         if ema_decay > 0.0:
-            ema = jax.tree.map(
+            new_ema = jax.tree.map(
                 lambda e, w: e * ema_decay + w.astype(e.dtype) * (1.0 - ema_decay),
                 ema, new_params,
             )
-            new_opt_state = (new_opt_state, ema)
+            if hasattr(new_opt_state, "mini_step"):
+                # gradient accumulation (optax.MultiSteps): params only move
+                # on the k-th microstep — advance the EMA on boundaries only,
+                # else it would decay toward unchanged params k-1 extra times
+                applied = new_opt_state.mini_step == 0
+                new_ema = jax.tree.map(
+                    lambda n, o: jnp.where(applied, n, o), new_ema, ema
+                )
+            new_opt_state = (new_opt_state, new_ema)
         return new_params, new_opt_state, loss
 
     return prepare, init_opt_state, train_step

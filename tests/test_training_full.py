@@ -234,3 +234,29 @@ def test_full_train_step_ema():
             np.asarray(e), 0.5 * np.asarray(a) + 0.5 * np.asarray(b),
             atol=1e-6, rtol=1e-5,
         )
+
+
+def test_full_train_step_ema_with_accumulation():
+    """EMA advances only on optimizer-update boundaries under gradient
+    accumulation (between boundaries params are frozen — the EMA must be
+    too)."""
+    cfg, params, batch = _setup()
+    prep, init_opt, step = make_full_train_step(
+        cfg, SchedulerConfig(),
+        OptimizerSpec(learning_rate=1e-2, gradient_accumulation_steps=3),
+        ema_decay=0.5,
+    )
+    p0 = jax.tree.map(lambda x: x.copy(), params)
+    st = init_opt(params)
+    p, s1, _ = step(params, st, batch, jax.random.PRNGKey(0))
+    p, s2, _ = step(p, s1, batch, jax.random.PRNGKey(1))
+    # two microsteps in: params AND ema both still equal p0
+    for e, a in zip(jax.tree.leaves(s2[1]), jax.tree.leaves(p0)):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(a))
+    p3, s3, _ = step(p, s2, batch, jax.random.PRNGKey(2))
+    # boundary: ema == 0.5*p0 + 0.5*p3
+    for e, a, b in zip(jax.tree.leaves(s3[1]), jax.tree.leaves(p0), jax.tree.leaves(p3)):
+        np.testing.assert_allclose(
+            np.asarray(e), 0.5 * np.asarray(a) + 0.5 * np.asarray(b),
+            atol=1e-6, rtol=1e-5,
+        )
