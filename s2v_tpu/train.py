@@ -32,7 +32,8 @@ def get_args(argv=None):
                    help="lora = adapters on the 9 reference target families; "
                         "full = every transformer param, FSDP-sharded over the "
                         "mesh data axis (params/grads/optimizer state all 1/N "
-                        "per chip), fp32 master weights + bf16 compute")
+                        "per chip; composes with a megatron tp axis: "
+                        "--mesh dp2,tp4), fp32 master weights + bf16 compute")
     p.add_argument("--compute_dtype", type=str, default="auto",
                    choices=["auto", "none", "bfloat16"],
                    help="full mode forward-pass dtype (master weights stay "
@@ -182,12 +183,6 @@ def _run_full(args, pipe, dataset, opt_spec, log):
         from s2v_tpu.parallel.sharding import make_mesh, parse_mesh_spec
 
         axes = parse_mesh_spec(args.mesh)
-        if axes.get("model", 1) > 1:
-            raise SystemExit(
-                "--train_mode full shards params FSDP-style over the data "
-                "axis (use e.g. --mesh dp8); a TP 'model' axis is a "
-                "lora-mode capability"
-            )
         if axes.get("seq", 1) > 1:
             if args.attention_backend == "pallas":
                 args.attention_backend = "sp_allgather"
@@ -211,8 +206,11 @@ def _run_full(args, pipe, dataset, opt_spec, log):
     else:
         mesh_ctx = contextlib.nullcontext
 
-    use_fsdp = (mesh is not None and "data" in mesh.axis_names
-                and int(mesh.shape["data"]) > 1)
+    # any param sharding (FSDP over data and/or megatron TP over model)
+    use_fsdp = mesh is not None and any(
+        ax in mesh.axis_names and int(mesh.shape[ax]) > 1
+        for ax in ("data", "model")
+    )
     prepare, init_opt, train_step = make_full_train_step(
         pipe.transformer_cfg, pipe.scheduler_cfg, opt_spec,
         attention_backend=args.attention_backend,

@@ -112,6 +112,41 @@ def fsdp_param_specs(params, axis_size: int, axis: str = "data",
     return jax.tree.map(spec, params)
 
 
+def combined_param_specs(tree, data_size: int, model_axis: str = "model",
+                         data_axis: str = "data", min_size: int = 2 ** 14):
+    """FSDP x TP ``PartitionSpec`` tree: megatron TP specs first
+    (:func:`s2v_tpu.parallel.sharding.transformer_param_specs_like` —
+    path-matched, so it applies to optimizer-moment trees too, whose
+    paths mirror the params), then the largest remaining divisible
+    dimension of each big leaf shards over ``data`` — the standard
+    2D recipe (ZeRO within the data axis, megatron within the model
+    axis)."""
+    from jax.sharding import PartitionSpec as P
+
+    from s2v_tpu.parallel.sharding import transformer_param_specs_like
+
+    tp = transformer_param_specs_like(tree, model_axis)
+
+    def merge(leaf, spec):
+        shape = getattr(leaf, "shape", ())
+        ndim = len(shape)
+        axes = list(spec) + [None] * (ndim - len(spec))
+        if not shape or int(np.prod(shape)) < min_size or data_size < 2:
+            return P(*axes) if any(a is not None for a in axes) else P()
+        best = -1
+        for i, d in enumerate(shape):
+            if axes[i] is None and d % data_size == 0 and (
+                best < 0 or d >= shape[best]
+            ):
+                best = i
+        if best >= 0:
+            axes[best] = data_axis
+        return P(*axes)
+
+    return jax.tree.map(merge, tree, tp,
+                        is_leaf=lambda x: not isinstance(x, (dict, list, tuple)))
+
+
 def make_full_train_step(
     cfg: TransformerConfig,
     scheduler_cfg: Optional[SchedulerConfig] = None,
@@ -157,13 +192,21 @@ def make_full_train_step(
     axis_size = 0
     if mesh is not None and fsdp_axis in mesh.axis_names:
         axis_size = int(mesh.shape[fsdp_axis])
-    use_fsdp = axis_size > 1
+    model_size = 0
+    if mesh is not None and "model" in mesh.axis_names:
+        model_size = int(mesh.shape["model"])
+    use_fsdp = axis_size > 1 or model_size > 1
 
     def _shardings_for(tree):
         from jax.sharding import NamedSharding
 
-        specs = fsdp_param_specs(tree, axis_size, axis=fsdp_axis,
-                                 min_size=fsdp_min_size)
+        if model_size > 1:
+            specs = combined_param_specs(tree, axis_size, model_axis="model",
+                                         data_axis=fsdp_axis,
+                                         min_size=fsdp_min_size)
+        else:
+            specs = fsdp_param_specs(tree, axis_size, axis=fsdp_axis,
+                                     min_size=fsdp_min_size)
         return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                             is_leaf=lambda x: not isinstance(x, (dict, list, tuple)))
 

@@ -260,3 +260,54 @@ def test_full_train_step_ema_with_accumulation():
             np.asarray(e), 0.5 * np.asarray(a) + 0.5 * np.asarray(b),
             atol=1e-6, rtol=1e-5,
         )
+
+
+def test_full_train_step_fsdp_x_tp_matches_single_device():
+    """Combined 2D sharding (--mesh dp2,tp4): TP megatron specs + FSDP on
+    the remaining dims, optimizer moments included; step parity vs the
+    single-device run."""
+    from s2v_tpu.parallel import default_logical_map, make_mesh, mesh_context
+    from s2v_tpu.training.full import combined_param_specs
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    cfg, params, batch = _setup(batch_size=2)
+    ospec = OptimizerSpec(learning_rate=1e-3, max_grad_norm=1.0)
+    rng = jax.random.PRNGKey(23)
+
+    _, init0, step0 = make_full_train_step(cfg, SchedulerConfig(), ospec)
+    p0 = jax.tree.map(lambda x: x.copy(), params)
+    o0 = init0(p0)
+    for i in range(2):
+        p0, o0, l0 = step0(p0, o0, batch, jax.random.fold_in(rng, i))
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    specs = combined_param_specs(params, 2, min_size=64)
+    # the qkv kernel must be sharded on BOTH axes
+    qkv_spec = specs["blocks"]["attn"]["qkv"]["kernel"]
+    flat = [a for a in qkv_spec if a is not None]
+    assert "model" in flat and "data" in flat, qkv_spec
+
+    prep, init_opt, step = make_full_train_step(
+        cfg, SchedulerConfig(), ospec, mesh=mesh, fsdp_min_size=64
+    )
+    p1 = prep(jax.tree.map(lambda x: x.copy(), params))
+    o1 = init_opt(p1)
+    kernel = p1["blocks"]["attn"]["qkv"]["kernel"]
+    assert kernel.addressable_shards[0].data.size == kernel.size // 8
+    moments = [x for x in jax.tree.leaves(o1)
+               if hasattr(x, "shape") and x.shape == kernel.shape]
+    assert moments and all(
+        m.addressable_shards[0].data.size == m.size // 8 for m in moments
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_sh = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+                for k, v in batch.items()}
+    with mesh_context(mesh, default_logical_map(mesh)):
+        for i in range(2):
+            p1, o1, l1 = step(p1, o1, batch_sh, jax.random.fold_in(rng, i))
+
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4)
