@@ -416,7 +416,16 @@ def transformer_forward(
         return (v, t, r), None
 
     if remat:
-        scan_body = jax.checkpoint(scan_body)
+        if remat == "dots":
+            # save matmul outputs, recompute elementwise in the backward
+            # sweep: faster bwd than full remat at ~2x the activation
+            # memory (still O(1 layer) of saved dots)
+            scan_body = jax.checkpoint(
+                scan_body,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        else:
+            scan_body = jax.checkpoint(scan_body)
     xs = (
         (params["blocks"], lora_blocks) if lora_blocks is not None else params["blocks"]
     )

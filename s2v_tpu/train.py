@@ -75,6 +75,12 @@ def get_args(argv=None):
                         "kernels both ways (long clips); sp_* / ring need "
                         "--mesh with a seq axis. pallas_int8 is "
                         "inference-only (no backward kernels)")
+    p.add_argument("--remat", type=str, default="full",
+                   choices=["full", "dots", "none"],
+                   help="block-scan rematerialization: full = O(1-layer) "
+                        "activations (recompute everything in bwd), dots = "
+                        "save matmul outputs / recompute elementwise (faster "
+                        "bwd, ~2x activation memory), none = no remat")
     p.add_argument("--attention_window", type=int, default=2,
                    help="half-width (latent frames) for --attention_backend windowed")
     p.add_argument("--disentangled_modulation", action="store_true", default=False,
@@ -215,6 +221,7 @@ def _run_full(args, pipe, dataset, opt_spec, log):
         pipe.transformer_cfg, pipe.scheduler_cfg, opt_spec,
         attention_backend=args.attention_backend,
         mesh=mesh, compute_dtype=compute_dtype, ema_decay=args.ema_decay,
+        remat={"full": True, "dots": "dots", "none": False}[args.remat],
     )
     # fp32 master weights (the bf16 checkpoint would lose update precision).
     # Under FSDP the cast happens host-side per leaf, landing directly on
@@ -437,10 +444,12 @@ def main(args=None):
             batch_sharding = NamedSharding(pipe.mesh, P("data"))
     mesh_ctx = pipe._mesh_ctx  # fresh (re-entrant) context per step
 
+    remat = {"full": True, "dots": "dots", "none": False}[args.remat]
     lora = init_lora_params(jax.random.PRNGKey(args.seed), pipe.transformer_params, spec)
     init_opt, train_step = make_lora_train_step(
         pipe.transformer_params, pipe.transformer_cfg, spec, pipe.scheduler_cfg,
         attention_backend=args.attention_backend, optimizer_spec=opt_spec,
+        remat=remat,
     )
     opt_state = init_opt(lora)
 

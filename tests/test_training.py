@@ -277,3 +277,16 @@ def test_prodigy_optimizer_runs():
     for i in range(3):
         lora, opt, loss = train_step(lora, opt, batch, jax.random.fold_in(jax.random.PRNGKey(5), i))
         assert np.isfinite(float(loss))
+
+
+def test_remat_dots_policy_grads_identical():
+    """remat='dots' (save-matmul-outputs policy) must not change grads."""
+    cfg, base, spec, lora, batch = _setup()
+    rng = jax.random.PRNGKey(29)
+    from s2v_tpu.schedulers.ddim import compute_alphas_cumprod
+
+    alphas = jnp.asarray(compute_alphas_cumprod(SchedulerConfig()))
+    g_full = jax.grad(lora_loss_fn)(lora, base, cfg, spec, batch, alphas, rng, "xla", True)
+    g_dots = jax.grad(lora_loss_fn)(lora, base, cfg, spec, batch, alphas, rng, "xla", "dots")
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_dots)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5)
