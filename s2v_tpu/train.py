@@ -299,7 +299,11 @@ def _run_full(args, pipe, dataset, opt_spec, log):
         params, opt_state, step = state["params"], state["opt_state"], int(state["step"])
         params = prepare(params)
         micro = step * args.gradient_accumulation_steps
-        log.info("resumed from %s at step %d", args.resume_from_checkpoint, step)
+        # replay the data order: resume inside the epoch the step count
+        # implies instead of re-dealing epoch 0
+        epoch = micro // max(1, len(dataset) // args.train_batch_size)
+        log.info("resumed from %s at step %d (epoch %d)",
+                 args.resume_from_checkpoint, step, epoch)
 
     t0 = time.perf_counter()
     start_step = step
@@ -491,7 +495,9 @@ def main(args=None):
             ) from e
         lora, opt_state, step = state["lora"], state["opt_state"], int(state["step"])
         micro = step * args.gradient_accumulation_steps
-        log.info("resumed from %s at step %d", args.resume_from_checkpoint, step)
+        epoch = micro // max(1, len(dataset) // args.train_batch_size)
+        log.info("resumed from %s at step %d (epoch %d)",
+                 args.resume_from_checkpoint, step, epoch)
     t0 = time.perf_counter()
     start_step = step
     # clips are encoded once (VAE moments + T5 embeds cached host-side;
