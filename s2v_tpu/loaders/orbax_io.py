@@ -13,12 +13,35 @@ from __future__ import annotations
 import jax
 
 
-def save_params_orbax(params, path: str) -> None:
-    import orbax.checkpoint as ocp
+_CKPTR = None
 
-    ckptr = ocp.StandardCheckpointer()
+
+def _checkpointer():
+    global _CKPTR
+    if _CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def save_params_orbax(params, path: str, block: bool = True) -> None:
+    """Save a pytree.  ``block=False`` returns once the device->host copy
+    is done (orbax copies synchronously at save()) and lets the disk
+    writes proceed on orbax's background thread — training continues
+    immediately, donated buffers are safe to reuse.  Call
+    :func:`wait_for_checkpoints` (or a later blocking save) before
+    reading the directory."""
+    ckptr = _checkpointer()
     ckptr.save(path, params, force=True)
-    ckptr.wait_until_finished()
+    if block:
+        ckptr.wait_until_finished()
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every pending async save has hit disk."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
 
 
 def load_params_orbax(path: str, target=None, shardings=None):

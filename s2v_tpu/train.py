@@ -262,9 +262,13 @@ def _run_full(args, pipe, dataset, opt_spec, log):
         from s2v_tpu.loaders.orbax_io import save_params_orbax
 
         state_dir = os.path.join(os.path.abspath(args.output_dir), f"train_state_{step}")
+        # periodic saves are async (disk writes overlap the next steps;
+        # orbax copies device->host synchronously so donation is safe);
+        # the final save blocks
         save_params_orbax(
             {"params": params, "opt_state": opt_state, "step": np.asarray(step, np.int32)},
             state_dir,
+            block=final,
         )
         log.info("step %d: saved %s", step, state_dir)
         if final:
@@ -336,6 +340,9 @@ def _run_full(args, pipe, dataset, opt_spec, log):
             if step >= args.max_train_steps:
                 break
         epoch += 1
+    from s2v_tpu.loaders.orbax_io import wait_for_checkpoints
+
+    wait_for_checkpoints()
     log.info("full fine-tuning complete")
 
 
@@ -470,6 +477,7 @@ def main(args=None):
         save_params_orbax(
             {"lora": lora, "opt_state": opt_state, "step": np.asarray(step, np.int32)},
             state_dir,
+            block=step >= args.max_train_steps,
         )
         log.info("step %d: saved %s (+ %s)", step, path, state_dir)
 
@@ -546,6 +554,9 @@ def main(args=None):
         epoch += 1
     if step % args.checkpointing_steps != 0 and step < args.max_train_steps:
         save(step)  # loop already saved on checkpoint boundaries / at the end
+    from s2v_tpu.loaders.orbax_io import wait_for_checkpoints
+
+    wait_for_checkpoints()
     log.info("training complete")
 
 
