@@ -119,14 +119,18 @@ def main(process_id: int, num_processes: int, port: int) -> None:
         fparams, fopt, loss = train_step(fparams, fopt, batch, jax.random.PRNGKey(5))
     assert np.isfinite(float(loss)), float(loss)
     qkv = fparams["blocks"]["attn"]["qkv"]["kernel"]
+    # the hybrid mesh has BOTH axes, so combined FSDP x TP specs shard the
+    # qkv kernel over data (DCN, across processes) AND model (ICI): each
+    # device holds 1/(num_processes * n_local)
+    n_shard = num_processes * n_local
     for sh in qkv.addressable_shards:
-        assert sh.data.size == qkv.size // num_processes, (
-            "FSDP params must stay 1/num_processes-sharded over DCN"
+        assert sh.data.size == qkv.size // n_shard, (
+            sh.data.size, qkv.size, n_shard,
         )
     print(
         f"MULTIHOST FSDP OK: proc {process_id}/{num_processes}, full-FT "
-        f"step with state sharded 1/{num_processes} across processes, "
-        f"loss={float(loss):.4f}",
+        f"step with state sharded 1/{n_shard} (FSDP over DCN x TP over "
+        f"ICI), loss={float(loss):.4f}",
         flush=True,
     )
 
