@@ -118,6 +118,30 @@ def get_args(argv=None):
     return p.parse_args(argv)
 
 
+_REMAT_MODES = {"full": True, "dots": "dots", "none": False}
+
+
+def _resume_position(args, step, dataset):
+    """(micro, epoch, skip_batches) implied by an optimizer-step count:
+    resume continues the shuffled data order exactly — same epoch seed AND
+    the within-epoch offset (previously the current epoch was re-dealt
+    from batch 0, retraining already-seen batches)."""
+    micro = step * args.gradient_accumulation_steps
+    bpe = max(1, len(dataset) // args.train_batch_size)
+    return micro, micro // bpe, micro % bpe
+
+
+_RESUME_MISMATCH = (
+    "cannot restore {path}: the train-state tree must match the flags that "
+    "wrote it — optimizer / lr_scheduler / max_grad_norm / "
+    "gradient_accumulation_steps / ema_decay shape the optimizer state, "
+    "and a sharded state written under a different --mesh cannot be "
+    "restored without that mesh (checkpoints from before the "
+    "optimizer-surface upgrade use a plain adamw layout).  "
+    "Original error: {err}"
+)
+
+
 def _validate(args, pipe, dataset, step, log, params_override=None, cfg_override=None):
     """Training-time validation sampling (reference template log_validation,
     train_cogvideox_lora.py:639-760): generate --num_validation_videos clips
@@ -221,7 +245,7 @@ def _run_full(args, pipe, dataset, opt_spec, log):
         pipe.transformer_cfg, pipe.scheduler_cfg, opt_spec,
         attention_backend=args.attention_backend,
         mesh=mesh, compute_dtype=compute_dtype, ema_decay=args.ema_decay,
-        remat={"full": True, "dots": "dots", "none": False}[args.remat],
+        remat=_REMAT_MODES[args.remat],
     )
     # fp32 master weights (the bf16 checkpoint would lose update precision).
     # Under FSDP the cast happens host-side per leaf, landing directly on
@@ -285,6 +309,7 @@ def _run_full(args, pipe, dataset, opt_spec, log):
     step = 0
     micro = 0
     epoch = 0
+    skip_batches = 0
     if args.resume_from_checkpoint:
         from s2v_tpu.loaders.orbax_io import load_params_orbax
 
@@ -294,20 +319,14 @@ def _run_full(args, pipe, dataset, opt_spec, log):
                 target={"params": params, "opt_state": opt_state, "step": np.asarray(0, np.int32)},
             )
         except Exception as e:
-            raise SystemExit(
-                f"cannot restore {args.resume_from_checkpoint}: the optimizer "
-                f"state tree must match the flags that wrote it (optimizer/"
-                f"lr_scheduler/max_grad_norm/gradient_accumulation_steps are "
-                f"part of the tree structure).  Original error: {e}"
-            ) from e
+            raise SystemExit(_RESUME_MISMATCH.format(
+                path=args.resume_from_checkpoint, err=e)) from e
         params, opt_state, step = state["params"], state["opt_state"], int(state["step"])
         params = prepare(params)
-        micro = step * args.gradient_accumulation_steps
-        # replay the data order: resume inside the epoch the step count
-        # implies instead of re-dealing epoch 0
-        epoch = micro // max(1, len(dataset) // args.train_batch_size)
-        log.info("resumed from %s at step %d (epoch %d)",
-                 args.resume_from_checkpoint, step, epoch)
+        opt_state = prepare(opt_state)  # moments back onto the FSDP shards
+        micro, epoch, skip_batches = _resume_position(args, step, dataset)
+        log.info("resumed from %s at step %d (epoch %d, +%d batches)",
+                 args.resume_from_checkpoint, step, epoch, skip_batches)
 
     t0 = time.perf_counter()
     start_step = step
@@ -318,6 +337,9 @@ def _run_full(args, pipe, dataset, opt_spec, log):
                            seed=args.seed + epoch, cache=encode_cache)
         )
         for batch in batches:
+            if skip_batches:
+                skip_batches -= 1
+                continue
             rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), micro)
             if batch_sharding is not None:
                 for k in ("video_latents", "ref_latents", "text_embeds"):
@@ -374,6 +396,12 @@ def main(args=None):
     enable_compilation_cache(args.compilation_cache_dir)
 
     args.attention_backend = resolve_attention_backend(args.attention_backend)
+    if not (0.0 <= args.ema_decay < 1.0):
+        raise SystemExit(
+            f"--ema_decay {args.ema_decay} must be in [0, 1): 1.0 would "
+            f"freeze the EMA at the initial weights (and the final snapshot "
+            f"would export an untrained model)"
+        )
     pipe = S2VPipeline.from_pretrained(os.path.expanduser(args.pretrained_model_name_or_path))
     pipe.set_attention(args.attention_backend, args.attention_window)
     tc = pipe.vae_cfg.temporal_compression_ratio
@@ -455,7 +483,7 @@ def main(args=None):
             batch_sharding = NamedSharding(pipe.mesh, P("data"))
     mesh_ctx = pipe._mesh_ctx  # fresh (re-entrant) context per step
 
-    remat = {"full": True, "dots": "dots", "none": False}[args.remat]
+    remat = _REMAT_MODES[args.remat]
     lora = init_lora_params(jax.random.PRNGKey(args.seed), pipe.transformer_params, spec)
     init_opt, train_step = make_lora_train_step(
         pipe.transformer_params, pipe.transformer_cfg, spec, pipe.scheduler_cfg,
@@ -484,6 +512,7 @@ def main(args=None):
     step = 0
     micro = 0
     epoch = 0
+    skip_batches = 0
     if args.resume_from_checkpoint:
         from s2v_tpu.loaders.orbax_io import load_params_orbax
 
@@ -493,19 +522,12 @@ def main(args=None):
                 target={"lora": lora, "opt_state": opt_state, "step": np.asarray(0, np.int32)},
             )
         except Exception as e:
-            raise SystemExit(
-                f"cannot restore {args.resume_from_checkpoint}: the optimizer "
-                f"state tree must match the flags that wrote it (optimizer/"
-                f"lr_scheduler/max_grad_norm/gradient_accumulation_steps are "
-                f"part of the tree structure; checkpoints from before the "
-                f"optimizer-surface upgrade use a plain adamw layout).  "
-                f"Original error: {e}"
-            ) from e
+            raise SystemExit(_RESUME_MISMATCH.format(
+                path=args.resume_from_checkpoint, err=e)) from e
         lora, opt_state, step = state["lora"], state["opt_state"], int(state["step"])
-        micro = step * args.gradient_accumulation_steps
-        epoch = micro // max(1, len(dataset) // args.train_batch_size)
-        log.info("resumed from %s at step %d (epoch %d)",
-                 args.resume_from_checkpoint, step, epoch)
+        micro, epoch, skip_batches = _resume_position(args, step, dataset)
+        log.info("resumed from %s at step %d (epoch %d, +%d batches)",
+                 args.resume_from_checkpoint, step, epoch, skip_batches)
     t0 = time.perf_counter()
     start_step = step
     # clips are encoded once (VAE moments + T5 embeds cached host-side;
@@ -518,6 +540,9 @@ def main(args=None):
                            seed=args.seed + epoch, cache=encode_cache)
         )
         for batch in batches:
+            if skip_batches:
+                skip_batches -= 1
+                continue
             rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), micro)
             if batch_sharding is not None:
                 for k in ("video_latents", "ref_latents", "text_embeds"):

@@ -86,6 +86,16 @@ def vpred_loss(
     return jnp.mean(jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32)))
 
 
+def _best_data_dim(shape, taken, axis_size: int) -> int:
+    """Largest ``axis_size``-divisible dimension not already sharded
+    (ties -> the later dimension); -1 if none."""
+    best = -1
+    for i, d in enumerate(shape):
+        if i not in taken and d % axis_size == 0 and (best < 0 or d >= shape[best]):
+            best = i
+    return best
+
+
 def fsdp_param_specs(params, axis_size: int, axis: str = "data",
                      min_size: int = 2 ** 14):
     """FSDP ``PartitionSpec`` tree: each leaf shards its largest
@@ -99,10 +109,7 @@ def fsdp_param_specs(params, axis_size: int, axis: str = "data",
         shape = getattr(leaf, "shape", ())
         if not shape or int(np.prod(shape)) < min_size:
             return P()
-        best = -1
-        for i, d in enumerate(shape):
-            if d % axis_size == 0 and (best < 0 or d >= shape[best]):
-                best = i
+        best = _best_data_dim(shape, (), axis_size)
         if best < 0:
             return P()
         axes = [None] * len(shape)
@@ -133,12 +140,8 @@ def combined_param_specs(tree, data_size: int, model_axis: str = "model",
         axes = list(spec) + [None] * (ndim - len(spec))
         if not shape or int(np.prod(shape)) < min_size or data_size < 2:
             return P(*axes) if any(a is not None for a in axes) else P()
-        best = -1
-        for i, d in enumerate(shape):
-            if axes[i] is None and d % data_size == 0 and (
-                best < 0 or d >= shape[best]
-            ):
-                best = i
+        taken = {i for i, a in enumerate(axes) if a is not None}
+        best = _best_data_dim(shape, taken, data_size)
         if best >= 0:
             axes[best] = data_axis
         return P(*axes)
@@ -260,18 +263,17 @@ def make_full_train_step(
                 new_params, _shardings_for(new_params)
             )
         if ema_decay > 0.0:
+            # gradient accumulation (optax.MultiSteps): params only move on
+            # the k-th microstep — fold the boundary predicate into the
+            # decay factor (factor 1.0 = EMA unchanged) so the blend is one
+            # pass instead of blend + select
+            decay = ema_decay
+            if hasattr(new_opt_state, "mini_step"):
+                decay = jnp.where(new_opt_state.mini_step == 0, ema_decay, 1.0)
             new_ema = jax.tree.map(
-                lambda e, w: e * ema_decay + w.astype(e.dtype) * (1.0 - ema_decay),
+                lambda e, w: e * decay + w.astype(e.dtype) * (1.0 - decay),
                 ema, new_params,
             )
-            if hasattr(new_opt_state, "mini_step"):
-                # gradient accumulation (optax.MultiSteps): params only move
-                # on the k-th microstep — advance the EMA on boundaries only,
-                # else it would decay toward unchanged params k-1 extra times
-                applied = new_opt_state.mini_step == 0
-                new_ema = jax.tree.map(
-                    lambda n, o: jnp.where(applied, n, o), new_ema, ema
-                )
             new_opt_state = (new_opt_state, new_ema)
         return new_params, new_opt_state, loss
 
