@@ -25,6 +25,7 @@ from s2v_tpu.cli_utils import (
     ATTENTION_BACKEND_CHOICES,
     add_compilation_cache_flag,
     enable_compilation_cache,
+    ensure_backend,
     str2bool as _str2bool,
     tiling_policy as _tiling_policy,
 )
@@ -124,6 +125,7 @@ def main(args=None):
     from s2v_tpu.utils.video import export_to_video, to_uint8_frames
 
     enable_compilation_cache(args.compilation_cache_dir)
+    ensure_backend()
     t0 = time.perf_counter()
     pipe = S2VPipeline.from_pretrained(
         os.path.expanduser(args.pretrained_model_name_or_path),

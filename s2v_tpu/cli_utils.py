@@ -77,3 +77,42 @@ def enable_compilation_cache(spec: str = "auto", min_compile_seconds: float = 1.
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       float(min_compile_seconds))
     return path
+
+
+def ensure_backend(timeout_s: int = 0):
+    """Opt-in bounded first device touch for the CLI entry points.
+
+    The device relay in some deployments can hang indefinitely at backend
+    init (observed: jax.devices() stuck >15 min at 0% CPU).  With
+    ``S2V_TPU_INIT_TIMEOUT=<seconds>`` set (or ``timeout_s`` passed), the
+    backend is initialized on a side thread and a hang exits with a clear
+    message instead of wedging a daemon/trainer at startup.  Off by
+    default — a busy-but-healthy init (e.g. a long compile queue) must not
+    kill a training run."""
+    import os
+    import threading
+
+    timeout_s = timeout_s or int(os.environ.get("S2V_TPU_INIT_TIMEOUT", "0") or 0)
+    if timeout_s <= 0:
+        return
+    result = {}
+
+    def _init():
+        try:
+            import jax
+
+            result["devices"] = jax.devices()
+        except BaseException as e:
+            result["error"] = e
+
+    th = threading.Thread(target=_init, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "error" in result:
+        raise SystemExit(f"jax backend init failed: {result['error']!r}")
+    if "devices" not in result:
+        raise SystemExit(
+            f"jax backend init did not complete in {timeout_s}s (device "
+            f"relay unresponsive); retry later, or run on CPU with "
+            f"JAX_PLATFORMS=cpu"
+        )

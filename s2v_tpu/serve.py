@@ -24,6 +24,7 @@ from s2v_tpu.cli_utils import (
     ATTENTION_BACKEND_CHOICES,
     add_compilation_cache_flag,
     enable_compilation_cache,
+    ensure_backend,
     str2bool as _str2bool,
     tiling_policy as _tiling_policy,
 )
@@ -85,6 +86,7 @@ def main(args=None):
 
     log = get_logger("s2v_tpu.serve")
     cache_dir = enable_compilation_cache(args.compilation_cache_dir)
+    ensure_backend()
     if cache_dir:
         log.info("persistent compilation cache: %s", cache_dir)
     runtime_lora = args.lora_mode == "runtime"

@@ -394,6 +394,9 @@ def main(args=None):
     from s2v_tpu.ops.attention import resolve_attention_backend
 
     enable_compilation_cache(args.compilation_cache_dir)
+    from s2v_tpu.cli_utils import ensure_backend
+
+    ensure_backend()
 
     args.attention_backend = resolve_attention_backend(args.attention_backend)
     if not (0.0 <= args.ema_decay < 1.0):
