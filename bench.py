@@ -59,25 +59,9 @@ def _init_backend_with_watchdog(
     >15 min at 0% CPU); a benchmark that never returns is worse than one
     that fails loudly, so initialize on a side thread and hard-exit if the
     backend does not come up."""
-    import threading
+    from s2v_tpu.cli_utils import probe_backend
 
-    result = {}
-
-    def _init():
-        try:
-            import jax
-
-            result["devices"] = jax.devices()
-        except BaseException as e:  # report fast failures immediately
-            result["error"] = e
-
-    th = threading.Thread(target=_init, daemon=True)
-    th.start()
-    deadline = time.perf_counter() + timeout_s
-    while th.is_alive() and time.perf_counter() < deadline:
-        th.join(1.0)
-        if "error" in result:
-            break
+    result = probe_backend(timeout_s)
     if "error" in result:
         print(f"# FATAL: jax backend init failed: {result['error']!r}", flush=True)
         os._exit(2)

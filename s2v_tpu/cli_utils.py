@@ -79,6 +79,36 @@ def enable_compilation_cache(spec: str = "auto", min_compile_seconds: float = 1.
     return path
 
 
+def probe_backend(timeout_s: float) -> dict:
+    """Initialize the JAX backend on a side daemon thread, bounded.
+
+    Returns ``{"devices": [...]}`` on success, ``{"error": exc}`` on a
+    fast failure, or ``{}`` when init is still hung at the deadline.
+    Shared by ensure_backend, tools/doctor.py, and bench.py so the
+    watchdog semantics cannot drift between them."""
+    import threading
+    import time
+
+    result: dict = {}
+
+    def _init():
+        try:
+            import jax
+
+            result["devices"] = jax.devices()
+        except BaseException as e:  # report fast failures immediately
+            result["error"] = e
+
+    th = threading.Thread(target=_init, daemon=True)
+    th.start()
+    deadline = time.monotonic() + timeout_s
+    while th.is_alive() and time.monotonic() < deadline:
+        th.join(1.0)
+        if "error" in result:
+            break
+    return result
+
+
 def ensure_backend(timeout_s: int = 0):
     """Opt-in bounded first device touch for the CLI entry points.
 
@@ -90,24 +120,18 @@ def ensure_backend(timeout_s: int = 0):
     default — a busy-but-healthy init (e.g. a long compile queue) must not
     kill a training run."""
     import os
-    import threading
 
-    timeout_s = timeout_s or int(os.environ.get("S2V_TPU_INIT_TIMEOUT", "0") or 0)
+    if not timeout_s:
+        raw = os.environ.get("S2V_TPU_INIT_TIMEOUT", "0") or "0"
+        try:
+            timeout_s = int(float(raw))
+        except ValueError:
+            raise SystemExit(
+                f"S2V_TPU_INIT_TIMEOUT={raw!r} is not a number of seconds"
+            ) from None
     if timeout_s <= 0:
         return
-    result = {}
-
-    def _init():
-        try:
-            import jax
-
-            result["devices"] = jax.devices()
-        except BaseException as e:
-            result["error"] = e
-
-    th = threading.Thread(target=_init, daemon=True)
-    th.start()
-    th.join(timeout_s)
+    result = probe_backend(timeout_s)
     if "error" in result:
         raise SystemExit(f"jax backend init failed: {result['error']!r}")
     if "devices" not in result:

@@ -390,12 +390,10 @@ def main(args=None):
     from s2v_tpu.utils.logging import get_logger
 
     log = get_logger("s2v_tpu.train")
-    from s2v_tpu.cli_utils import enable_compilation_cache
+    from s2v_tpu.cli_utils import enable_compilation_cache, ensure_backend
     from s2v_tpu.ops.attention import resolve_attention_backend
 
     enable_compilation_cache(args.compilation_cache_dir)
-    from s2v_tpu.cli_utils import ensure_backend
-
     ensure_backend()
 
     args.attention_backend = resolve_attention_backend(args.attention_backend)

@@ -7,9 +7,8 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
-pytestmark = pytest.mark.slow  # builds a tiny snapshot (~30 s)
 
-
+@pytest.mark.slow  # builds a tiny snapshot (~30 s); the FAIL-path test stays in the smoke tier
 def test_doctor_green_on_snapshot(tmp_path, capsys, monkeypatch):
     from make_tiny_snapshot import make_snapshot
 

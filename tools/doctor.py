@@ -3,12 +3,18 @@
     python tools/doctor.py [--model_dir /path/or/repo-id]
 
 Checks (each prints OK / WARN / FAIL with an actionable message):
-  1. JAX backend comes up (bounded — a wedged TPU relay fails loudly
-     instead of hanging, same watchdog as bench.py), device inventory.
+  1. JAX backend comes up (bounded — a wedged device relay fails loudly
+     instead of hanging; shared probe with bench.py / ensure_backend),
+     device inventory.
   2. Native C++ libs (sentencepiece tokenizer, mp4 muxer) are built or
      buildable; fallbacks available (tokenizers / OpenCV).
-  3. Compilation-cache dir writable.
+  3. Compilation-cache resolution (the same logic the entry points use).
   4. Optional: model snapshot layout (loaders.resolve validator).
+
+If the backend probe hangs, checks that import jax-importing modules are
+SKIPPED: the probe thread may be wedged inside ``import jax`` holding the
+module import lock, and touching it again from the main thread would hang
+the doctor itself.
 """
 
 import argparse
@@ -17,7 +23,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_OK, _WARN, _FAIL = "OK  ", "WARN", "FAIL"
+_OK, _WARN, _FAIL, _SKIP = "OK  ", "WARN", "FAIL", "SKIP"
 
 
 def _report(level, what, detail=""):
@@ -30,27 +36,17 @@ def main():
     ap.add_argument("--model_dir", default=None,
                     help="snapshot dir or hub repo id to layout-check")
     ap.add_argument("--init_timeout", type=int, default=120,
-                    help="seconds to wait for the JAX backend")
+                    help="seconds to wait for the JAX backend (> 0)")
     args = ap.parse_args()
+    if args.init_timeout <= 0:
+        ap.error("--init_timeout must be > 0")
     ok = True
 
-    # 1. backend
-    os.environ.setdefault("S2V_BENCH_INIT_TIMEOUT", str(args.init_timeout))
-    import threading
+    # 1. backend (bounded probe shared with bench.py / ensure_backend)
+    from s2v_tpu.cli_utils import probe_backend
 
-    result = {}
-
-    def _init():
-        try:
-            import jax
-
-            result["devices"] = jax.devices()
-        except BaseException as e:
-            result["error"] = e
-
-    th = threading.Thread(target=_init, daemon=True)
-    th.start()
-    th.join(args.init_timeout)
+    result = probe_backend(args.init_timeout)
+    hung = False
     if "devices" in result:
         devs = result["devices"]
         _report(_OK, f"jax backend: {devs[0].platform} x {len(devs)}")
@@ -60,11 +56,12 @@ def main():
     elif "error" in result:
         ok = _report(_FAIL, "jax backend init failed", repr(result["error"]))
     else:
+        hung = True
         ok = _report(_FAIL, f"jax backend init hung > {args.init_timeout}s",
                      "device relay unresponsive — retry later or check the "
                      "TPU runtime; CPU runs still work with JAX_PLATFORMS=cpu")
 
-    # 2. native libs
+    # 2. native libs (no jax involved)
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for lib, fallback in [("libsp_tokenizer.so", "tokenizers (HF) wrapper"),
                           ("libmp4_muxer.so", "OpenCV VideoWriter")]:
@@ -81,18 +78,23 @@ def main():
     except ImportError:
         _report(_WARN, "OpenCV missing", "video decode fallbacks unavailable")
 
-    # 3. compilation cache
-    try:
-        cache = os.path.expanduser(os.environ.get(
-            "S2V_TPU_CACHE_DIR", os.path.join("~", ".cache", "s2v_tpu", "xla")
-        ))
-        os.makedirs(cache, exist_ok=True)
-        probe = os.path.join(cache, ".doctor_probe")
-        open(probe, "w").close()
-        os.remove(probe)
+    # 3 + 4 need modules that import jax — unsafe while the probe thread
+    # may hold the import lock mid-`import jax`
+    if hung:
+        _report(_SKIP, "compilation cache / snapshot layout",
+                "skipped: jax import may be wedged on the probe thread")
+        sys.exit(1)
+
+    # 3. compilation cache — the entry points' own resolution logic
+    from s2v_tpu.cli_utils import enable_compilation_cache
+
+    cache = enable_compilation_cache("auto")
+    if cache is None:
+        _report(_WARN, "compilation cache disabled",
+                "S2V_TPU_CACHE_DIR=off (or unwritable dir); cold starts "
+                "recompile the flagship jit every process start")
+    else:
         _report(_OK, f"compilation cache writable: {cache}")
-    except Exception as e:
-        _report(_WARN, "compilation cache not writable", str(e))
 
     # 4. snapshot layout
     if args.model_dir:
