@@ -66,6 +66,10 @@ def get_args(argv=None):
     p.add_argument("--max_num_frames", type=int, default=49)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--checkpointing_steps", type=int, default=500)
+    p.add_argument("--encode_cache_dir", type=str, default=None,
+                   help="persist per-clip VAE moments + T5 embeds to disk "
+                        "(content-addressed npz): restarted runs skip the "
+                        "encode pass; posterior noise stays fresh per epoch")
     p.add_argument("--attention_backend", type=str, default="auto",
                    choices=["auto", "xla", "chunked", "pallas", "ring",
                             "sp_allgather", "sp_ulysses", "sp_windowed",
@@ -334,7 +338,8 @@ def _run_full(args, pipe, dataset, opt_spec, log):
     while step < args.max_train_steps:
         batches = prefetch_batches(
             latent_batches(dataset, pipe, args.train_batch_size,
-                           seed=args.seed + epoch, cache=encode_cache)
+                           seed=args.seed + epoch, cache=encode_cache,
+                           cache_dir=args.encode_cache_dir)
         )
         for batch in batches:
             if skip_batches:
@@ -538,7 +543,8 @@ def main(args=None):
     while step < args.max_train_steps:
         batches = prefetch_batches(
             latent_batches(dataset, pipe, args.train_batch_size,
-                           seed=args.seed + epoch, cache=encode_cache)
+                           seed=args.seed + epoch, cache=encode_cache,
+                           cache_dir=args.encode_cache_dir)
         )
         for batch in batches:
             if skip_batches:

@@ -124,6 +124,30 @@ def _encode_item_moments(dataset: VideoFolderDataset, pipe, idx: int) -> dict:
     return {"vm": vm[0], "rm": rm[0], "emb": emb[0]}
 
 
+def _disk_cache_path(cache_dir: str, dataset: VideoFolderDataset, idx: int) -> str:
+    """Content-addressed path for a clip's cached encodings: keyed on the
+    video file identity (path/mtime/size), the requested geometry, the
+    prompt, and the optional subject image's identity — any change
+    invalidates the entry."""
+    import hashlib
+
+    path = dataset.videos[idx]
+    st = os.stat(path)
+    prompt = dataset.prompts[idx % len(dataset.prompts)]
+    ref_path = os.path.splitext(path)[0] + "_ref.png"
+    ref_id = ""
+    if os.path.exists(ref_path):
+        rst = os.stat(ref_path)
+        ref_id = f"|{rst.st_mtime_ns}|{rst.st_size}"
+    ident = (
+        f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}|"
+        f"{dataset.num_frames}x{dataset.height}x{dataset.width}|{prompt}{ref_id}"
+    )
+    return os.path.join(
+        cache_dir, hashlib.sha1(ident.encode()).hexdigest()[:20] + ".npz"
+    )
+
+
 def latent_batches(
     dataset: VideoFolderDataset,
     pipe,  # S2VPipeline (vae + t5 + tokenizer)
@@ -131,6 +155,7 @@ def latent_batches(
     seed: int = 0,
     rng_noise: bool = True,
     cache: Optional[dict] = None,
+    cache_dir: Optional[str] = None,
 ) -> Iterator[dict]:
     """Shuffled epoch of training batches: VAE-encoded video latents
     (sampled posterior x scaling factor), ref latents, T5 prompt embeds —
@@ -140,12 +165,20 @@ def latent_batches(
     the deterministic VAE moments / T5 embeds are reused, while the
     posterior noise is still freshly sampled per epoch (identical
     semantics to re-encoding; the heavy host decode + encoder forwards
-    are skipped from epoch 2 on)."""
+    are skipped from epoch 2 on).
+
+    ``cache_dir``: additionally persist the encodings to disk
+    (content-addressed npz; requires ``cache``), so a RESTARTED run skips
+    the VAE/T5 encode pass entirely — caching moments rather than sampled
+    latents keeps the per-epoch posterior noise fresh across restarts
+    too."""
     import jax
     import jax.numpy as jnp
 
     from s2v_tpu.models.vae import gaussian_sample
 
+    if cache_dir is not None:
+        os.makedirs(cache_dir, exist_ok=True)
     order = list(range(len(dataset)))
     random.Random(seed).shuffle(order)
     key = jax.random.PRNGKey(seed)
@@ -158,7 +191,19 @@ def latent_batches(
             # device-resident entries would accumulate in HBM across epochs
             # (hundreds of clips x several MB of moments+embeds each).  The
             # jnp.stack at batch build re-uploads just the batch.
-            cache[idx] = jax.device_get(_encode_item_moments(dataset, pipe, idx))
+            loaded = None
+            disk = _disk_cache_path(cache_dir, dataset, idx) if cache_dir else None
+            if disk and os.path.exists(disk):
+                with np.load(disk) as z:
+                    loaded = {k: z[k] for k in ("vm", "rm", "emb")}
+            if loaded is None:
+                loaded = jax.device_get(_encode_item_moments(dataset, pipe, idx))
+                if disk:
+                    tmp = disk + ".tmp"
+                    with open(tmp, "wb") as f:  # file object: no .npz suffixing
+                        np.savez(f, **loaded)
+                    os.replace(tmp, disk)  # atomic publish
+            cache[idx] = loaded
         return cache[idx]
 
     for start in range(0, len(order) - batch_size + 1, batch_size):

@@ -182,3 +182,44 @@ def test_latent_batches_cache_holds_host_arrays(tmp_path):
     for entry in cache.values():
         for v in entry.values():
             assert isinstance(v, np.ndarray), type(v)
+
+
+def test_disk_encode_cache_roundtrip(tmp_path):
+    import os
+
+    """cache_dir persists encodings: a fresh process (simulated by a new
+    in-memory cache + an encode function that would fail) serves batches
+    straight from disk, and stale-key invalidation is content-addressed."""
+    import numpy as np
+
+    from s2v_tpu.training import data as tdata
+
+    pipe, ds = _tiny_pipe_and_ds(tmp_path)
+    cdir = str(tmp_path / "enc_cache")
+
+    b1 = list(tdata.latent_batches(ds, pipe, 1, seed=0, cache={}, cache_dir=cdir))
+    files = [f for f in os.listdir(cdir) if f.endswith(".npz")]
+    assert len(files) == len(ds)
+
+    # second "run": encoding must not be touched (poison it)
+    real = tdata._encode_item_moments
+
+    def boom(*a, **k):
+        raise AssertionError("disk cache miss: encode was called")
+
+    tdata._encode_item_moments = boom
+    try:
+        b2 = list(tdata.latent_batches(ds, pipe, 1, seed=0, cache={}, cache_dir=cdir))
+    finally:
+        tdata._encode_item_moments = real
+    assert len(b2) == len(b1)
+    # same deterministic seed -> identical noised batches from disk
+    np.testing.assert_allclose(
+        np.asarray(b1[0]["video_latents"]), np.asarray(b2[0]["video_latents"]),
+        rtol=2e-5, atol=1e-5,
+    )
+
+    # prompt change invalidates the key (different content address)
+    old_path = tdata._disk_cache_path(cdir, ds, 0)
+    ds.prompts[0] = "a completely different prompt"
+    assert tdata._disk_cache_path(cdir, ds, 0) != old_path
