@@ -73,14 +73,20 @@ def attention_hbm_guard(
     """
     if backend != "xla":
         return
-    import jax
+    # Touch jax.devices() only when actually needed: a fully-injected call
+    # (platform + limit_bytes, as in tests) must not initialize the backend
+    # — on a wedged device relay that first touch can hang indefinitely.
+    if platform is None:
+        import jax
 
-    dev = jax.devices()[0]
-    if (platform or dev.platform) not in ("tpu",):
+        platform = jax.devices()[0].platform
+    if platform not in ("tpu",):
         return  # CPU hosts page; the xla path stays the parity backend there
     if limit_bytes is None:
+        import jax
+
         try:
-            limit_bytes = int(dev.memory_stats().get("bytes_limit", 16 * 2**30))
+            limit_bytes = int(jax.devices()[0].memory_stats().get("bytes_limit", 16 * 2**30))
         except Exception:
             limit_bytes = 16 * 2**30
     logits_bytes = 2 * 2 * batch * num_heads * seq_len * seq_len  # 2 bf16 buffers

@@ -132,7 +132,10 @@ class ServingDaemon:
             if path is not None and not os.path.exists(path):
                 return {"status": "error", "error": f"checkpoint not found: {path}"}
             mode = str(req.get("lora_mode") or self.default_lora_mode)
-            alpha = float(req.get("lora_alpha", 64.0))
+            # an omitted alpha means "keep the configured/active alpha" — a
+            # daemon started with --lora_alpha 32 must not silently
+            # re-merge at 64 when a request names only the checkpoint
+            alpha = float(req.get("lora_alpha", self.lora_alpha))
             t0 = time.time()
             self.pipe.load_lora(path, lora_alpha=alpha, mode=mode)
             self.lora_checkpoint = path
@@ -162,7 +165,8 @@ class ServingDaemon:
             # default.  A named mode forces that mode.
             req_mode = req.get("lora_mode")
             want_mode = str(req_mode or self.default_lora_mode)
-            want_alpha = float(req.get("lora_alpha", 64.0))
+            # an omitted alpha means "keep the configured/active alpha"
+            want_alpha = float(req.get("lora_alpha", self.lora_alpha))
             if want is not None and not os.path.exists(want):
                 return {"status": "error", "error": f"checkpoint not found: {want}"}
             if (
