@@ -52,7 +52,10 @@ def time_fn(fn, *args, iters=3, warmup=1):
 
 
 def _init_backend_with_watchdog(
-    timeout_s=int(os.environ.get("S2V_BENCH_INIT_TIMEOUT", "600")),
+    # healthy axon init measures ~10 s; 120 s is generous margin while
+    # still failing a wedged relay fast enough for the driver to record
+    # the diagnostic instead of timing out the whole round
+    timeout_s=int(os.environ.get("S2V_BENCH_INIT_TIMEOUT", "120")),
 ):
     """First device touch, bounded.  The axon relay can hang indefinitely
     when contended or holding a stale lease (observed: jax.devices() stuck
@@ -116,6 +119,7 @@ def main():
 
     key = jax.random.PRNGKey(0)
     fwd_time = None
+    relay_health = None  # embedded in the output JSON (VERDICT r02 item 2)
     for n_layers in layer_plan:
         if on_tpu:
             cfg = TransformerConfig.cogvideox_5b(num_layers=n_layers)
@@ -167,7 +171,13 @@ def main():
             # anchor cross-session comparisons on THIS line (large fused
             # programs are unaffected: the 42-layer fwd reproduced 4.15 s
             # across sessions whose relay dispatch varied 10x).
-            if fwd_time > 0.5:
+            relay_health = {
+                "probe": "1-layer 5b fwd",
+                "ms": round(fwd_time * 1000, 1),
+                "healthy_reference_ms": 130,
+                "status": "ok" if fwd_time <= 0.5 else "degraded",
+            }
+            if relay_health["status"] == "degraded":
                 print(f"# health: 1-layer fwd {fwd_time*1000:.0f} ms >> "
                       f"~130 ms reference — relay/device degraded; treat "
                       f"absolute numbers below with suspicion", file=sys.stderr)
@@ -254,6 +264,10 @@ def main():
                 # and T5 re-encodes (tests/test_serving.py), throughput ~=
                 # 1/latency per chip
                 "serving_clips_per_hour": round(3600.0 / sec_per_clip, 2),
+                # relay sanity probe result: a number measured on a degraded
+                # device relay must say so instead of recording silently-
+                # wrong truth (docs/SCALING.md "Measured components" row 1)
+                "relay_health": relay_health if on_tpu else {"status": "cpu-smoke"},
             }
         )
     )

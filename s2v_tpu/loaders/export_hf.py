@@ -194,8 +194,17 @@ def t5_state_dict(params, cfg: T5Config) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def config_json(cfg, skip=("dtype", "param_dtype")) -> dict:
+# written into exported configs so diffusers' ConfigMixin.from_config and
+# DiffusionPipeline.from_pretrained accept the snapshot (the reference
+# vendors diffusers 0.32.0.dev0)
+_DIFFUSERS_VERSION = "0.32.0.dev0"
+
+
+def config_json(cfg, skip=("dtype", "param_dtype"), class_name: Optional[str] = None) -> dict:
     out = {}
+    if class_name is not None:
+        out["_class_name"] = class_name
+        out["_diffusers_version"] = _DIFFUSERS_VERSION
     for f in dataclasses.fields(cfg):
         if f.name in skip:
             continue
@@ -205,11 +214,15 @@ def config_json(cfg, skip=("dtype", "param_dtype")) -> dict:
 
 
 def save_pipeline_snapshot(pipe, out_dir: str, dtype: Optional[str] = None) -> str:
-    """Write the pipeline's current weights as an HF-layout snapshot
-    ``from_pretrained`` (here or in the reference stack) can load:
+    """Write the pipeline's current weights as an HF snapshot in the
+    DIFFUSERS layout, loadable both by this framework's ``from_pretrained``
+    and by the reference stack's ``DiffusionPipeline.from_pretrained``
+    (model_index.json + per-module ``_class_name`` configs + diffusers
+    weight filenames — reference src/inference.py:179-207):
 
-        <out>/transformer/{config.json, model.safetensors}
-        <out>/vae/{config.json, model.safetensors}
+        <out>/model_index.json
+        <out>/transformer/{config.json, diffusion_pytorch_model.safetensors}
+        <out>/vae/{config.json, diffusion_pytorch_model.safetensors}
         <out>/text_encoder/{config.json, model.safetensors}   (if loaded)
         <out>/tokenizer/...                                   (if available)
         <out>/scheduler/scheduler_config.json
@@ -236,38 +249,72 @@ def save_pipeline_snapshot(pipe, out_dir: str, dtype: Optional[str] = None) -> s
     # before the next submodule (flagship T5+DiT+VAE would otherwise hold
     # ~40 GB of fp32 numpy simultaneously)
     subs = [
-        ("transformer", pipe.transformer_cfg,
+        ("transformer", pipe.transformer_cfg, "CogVideoXTransformer3DModel",
+         "diffusion_pytorch_model.safetensors",
          lambda: transformer_state_dict(pipe.transformer_params, pipe.transformer_cfg)),
-        ("vae", pipe.vae_cfg, lambda: vae_state_dict(pipe.vae_params, pipe.vae_cfg)),
+        ("vae", pipe.vae_cfg, "AutoencoderKLCogVideoX",
+         "diffusion_pytorch_model.safetensors",
+         lambda: vae_state_dict(pipe.vae_params, pipe.vae_cfg)),
     ]
     if pipe.t5_params is not None:
         subs.append(
-            ("text_encoder", pipe.t5_cfg,
+            ("text_encoder", pipe.t5_cfg, None, "model.safetensors",
              lambda: t5_state_dict(pipe.t5_params, pipe.t5_cfg))
         )
-    for sub, cfg, make_sd in subs:
+    for sub, cfg, class_name, weights_name, make_sd in subs:
         d = os.path.join(out_dir, sub)
         os.makedirs(d, exist_ok=True)
+        cj = config_json(cfg, class_name=class_name)
+        if sub == "text_encoder":
+            # transformers (not diffusers) consumes this one
+            cj["model_type"] = "t5"
+            cj["architectures"] = ["T5EncoderModel"]
         with open(os.path.join(d, "config.json"), "w") as f:
-            json.dump(config_json(cfg), f, indent=1)
+            json.dump(cj, f, indent=1)
         sd = make_sd()
         if cast is not None:
             sd = {k: v.astype(cast) for k, v in sd.items()}
-        save_safetensors(sd, os.path.join(d, "model.safetensors"))
+        save_safetensors(sd, os.path.join(d, weights_name))
         del sd
 
     os.makedirs(os.path.join(out_dir, "scheduler"), exist_ok=True)
     with open(os.path.join(out_dir, "scheduler", "scheduler_config.json"), "w") as f:
-        json.dump(config_json(pipe.scheduler_cfg, skip=()), f, indent=1)
+        json.dump(
+            config_json(pipe.scheduler_cfg, skip=(), class_name="CogVideoXDDIMScheduler"),
+            f, indent=1,
+        )
 
-    _save_tokenizer(pipe, out_dir)
+    had_tokenizer = _save_tokenizer(pipe, out_dir)
+    # a serialized `tokenizers` backend (tokenizer.json) loads via the Fast
+    # class without needing the sentencepiece package; only a raw
+    # spiece.model requires the slow T5Tokenizer
+    tok_class = (
+        "T5TokenizerFast"
+        if os.path.exists(os.path.join(out_dir, "tokenizer", "tokenizer.json"))
+        else "T5Tokenizer"
+    )
+
+    index = {
+        "_class_name": "CogVideoXPipeline",
+        "_diffusers_version": _DIFFUSERS_VERSION,
+        "scheduler": ["diffusers", "CogVideoXDDIMScheduler"],
+        "transformer": ["diffusers", "CogVideoXTransformer3DModel"],
+        "vae": ["diffusers", "AutoencoderKLCogVideoX"],
+        "text_encoder": (
+            ["transformers", "T5EncoderModel"] if pipe.t5_params is not None else [None, None]
+        ),
+        "tokenizer": (["transformers", tok_class] if had_tokenizer else [None, None]),
+    }
+    with open(os.path.join(out_dir, "model_index.json"), "w") as f:
+        json.dump(index, f, indent=1)
     return out_dir
 
 
 def _save_tokenizer(pipe, out_dir: str) -> None:
     """Copy the tokenizer files from the source snapshot when known, else
     serialize the `tokenizers` backend; native-SP without a source dir is
-    skipped with a warning (the .model file is the serialized form)."""
+    skipped with a warning (the .model file is the serialized form).
+    Returns True when tokenizer/ was written."""
     import logging
     import shutil
 
@@ -278,12 +325,13 @@ def _save_tokenizer(pipe, out_dir: str) -> None:
         src_tok = os.path.join(src, "tokenizer")
         if os.path.isdir(src_tok) and os.path.abspath(src_tok) != os.path.abspath(tok_dir):
             shutil.copytree(src_tok, tok_dir, dirs_exist_ok=True)
-            return
+            return True
     tok = getattr(pipe, "tokenizer", None)
     inner = getattr(tok, "_tok", None)
     if inner is not None and hasattr(inner, "save"):
         os.makedirs(tok_dir, exist_ok=True)
         inner.save(os.path.join(tok_dir, "tokenizer.json"))
-        return
+        return True
     log.warning("save_pretrained: no serializable tokenizer (source dir "
                 "unknown); snapshot written without tokenizer/")
+    return False

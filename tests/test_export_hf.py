@@ -1,6 +1,7 @@
 """save_pretrained: export the pipeline back to the reference HF snapshot
 layout and round-trip it through from_pretrained."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -60,7 +61,7 @@ def test_save_pretrained_bfloat16_dtype(tmp_path):
     out = str(tmp_path / "snap_bf16")
     pipe.save_pretrained(out, dtype="bfloat16")
 
-    sd = stn.load_file(f"{out}/transformer/model.safetensors")
+    sd = stn.load_file(f"{out}/transformer/diffusion_pytorch_model.safetensors")
     assert all(v.dtype == ml_dtypes.bfloat16 for v in sd.values())
 
     re = S2VPipeline.from_pretrained(out, dtype=jnp.float32)
@@ -72,3 +73,51 @@ def test_save_pretrained_bfloat16_dtype(tmp_path):
             a.astype(ml_dtypes.bfloat16).astype(np.float32), np.asarray(b),
             atol=0, rtol=0,  # exactly the bf16-rounded weights
         )
+
+
+_REF_DIFFUSERS = "/root/reference/diffusers/src"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_REF_DIFFUSERS), reason="reference diffusers not present"
+)
+def test_exported_snapshot_loads_in_reference_stack(tmp_path):
+    """The exported snapshot must be consumable by the REFERENCE stack's
+    DiffusionPipeline.from_pretrained (model_index.json + _class_name
+    configs + diffusers weight filenames), not just by this framework.
+    Runs the vendored torch diffusers in a subprocess (its import leaks
+    global state we don't want in this process)."""
+    import subprocess
+    import sys as _sys
+
+    from s2v_tpu.models.transformer import init_transformer_params
+    from s2v_tpu.testing import tiny_pipeline
+
+    pipe = tiny_pipeline()
+    out = str(tmp_path / "snap_ref")
+    pipe.save_pretrained(out)
+
+    code = f"""
+import sys
+sys.path.insert(0, {_REF_DIFFUSERS!r})
+from diffusers import (
+    AutoencoderKLCogVideoX, CogVideoXDDIMScheduler, CogVideoXTransformer3DModel,
+)
+tr = CogVideoXTransformer3DModel.from_pretrained({out!r} + "/transformer")
+vae = AutoencoderKLCogVideoX.from_pretrained({out!r} + "/vae")
+sched = CogVideoXDDIMScheduler.from_pretrained({out!r} + "/scheduler")
+assert sum(p.numel() for p in tr.parameters()) > 0
+assert sum(p.numel() for p in vae.parameters()) > 0
+print("REF_LOAD_OK")
+"""
+    r = subprocess.run([_sys.executable, "-c", code], capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "REF_LOAD_OK" in r.stdout
+
+    import json as _json
+
+    with open(os.path.join(out, "model_index.json")) as f:
+        idx = _json.load(f)
+    assert idx["_class_name"] == "CogVideoXPipeline"
+    assert idx["transformer"] == ["diffusers", "CogVideoXTransformer3DModel"]
