@@ -636,13 +636,20 @@ class S2VPipeline:
             from s2v_tpu.parallel.vae_temporal import sharded_vae_decode_canonical
 
             frames = sharded_vae_decode_canonical(self.vae_params, self.vae_cfg, z, self.mesh)
-        elif ring > 1 and t % ring == 0:
-            # uniform-chunk semantics (differ from the canonical schedule;
-            # exact vs a uniform-chunk streaming run)
-            from s2v_tpu.parallel.vae_temporal import sharded_vae_decode
-
-            frames = sharded_vae_decode(self.vae_params, self.vae_cfg, z, self.mesh)
         else:
+            if ring > 1:
+                # n_cp > ring: CP would need a uniform chunk size larger than
+                # the canonical fb-frame chunks, silently changing decode
+                # numerics vs the single-device/reference output — stream
+                # canonically instead (exact parity beats parallelism here)
+                from s2v_tpu.utils.logging import get_logger
+
+                get_logger("s2v_tpu.pipeline").warning(
+                    "seq mesh (ring=%d) cannot serve the canonical %d-chunk "
+                    "decode schedule for %d latent frames; falling back to "
+                    "the single-device canonical streaming decode",
+                    ring, n_cp, t,
+                )
             sc = self.vae_cfg.spatial_compression_ratio
             frames = vae_decode(
                 self.vae_params, self.vae_cfg, z,

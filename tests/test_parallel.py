@@ -302,6 +302,31 @@ def test_generate_seq_mesh_cp_vae_decode_runs():
     assert np.isfinite(out).all()
 
 
+def test_generate_seq_mesh_ncp_gt_ring_matches_single_device():
+    """When the canonical decode schedule needs more chunks than the ring
+    (n_cp > ring), decode_latents must NOT silently switch to larger
+    uniform chunks (a mesh-dependent numerics change) — it streams the
+    canonical schedule on one device instead, so the output is exactly
+    the single-device output (ADVICE r2 #3)."""
+    from s2v_tpu.parallel.vae_temporal import canonical_cp_chunks
+
+    pipe = _tiny_pipeline()
+    tc = pipe.vae_cfg.temporal_compression_ratio
+    fb = pipe.vae_cfg.num_latent_frames_batch_size
+    ring = 2
+    # pick t latent frames with t % ring == 0, t // ring != fb, n_cp > ring
+    t = 4 * fb  # canonical chunks = 4 > ring = 2; divisible by the ring
+    assert t % ring == 0 and t // ring != fb
+    assert canonical_cp_chunks(pipe.vae_cfg, t) > ring
+    kw = tiny_generate_kwargs(pipe, num_frames=(t - 1) * tc + 1, seed=7)
+    expected = pipe.generate(**kw)
+
+    sharded = _tiny_pipeline()
+    sharded.set_mesh({"seq": ring})
+    got = sharded.generate(**kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4, rtol=1e-4)
+
+
 def test_parse_mesh_spec():
     from s2v_tpu.parallel.sharding import parse_mesh_spec
 
