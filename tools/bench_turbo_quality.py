@@ -1,0 +1,262 @@
+"""Systematic quality artifact for the approximate serving paths (VERDICT
+r2 #5): one run emits, for EVERY turbo knob, output-vs-exact PSNR at the
+flagship geometry plus the measured speedup — so each approximation has a
+quantified error figure, and the moment real weights arrive the quality
+gate is a single re-run of this tool.
+
+Method: the full 50-step denoise loop at flagship geometry (B=1, 13x60x90
+latents, batched CFG, dynamic-CFG schedule) runs once exact and once per
+knob with IDENTICAL weights / noise / prompt embeddings; final latents are
+decoded through the same (random) VAE and compared as frames in [0, 1].
+Random weights give the exact FLOP/memory/numerics profile of pretrained
+ones, and PSNR between *sampled trajectories* measures how far each
+approximation perturbs the output — the same comparison `make parity` will
+run against reference frames when a checkpoint is available.
+
+Phases (HBM discipline on a 16 GB chip):
+  A. bf16 weights: exact, banded w=1/2, int8-QK attention, CFG-skip
+     threshold sweep, adaptive threshold sweep.
+  B. int8 weights quantized FROM THE SAME bf16 values (per-layer lax.map
+     keeps the fp32 transient at one layer, and the bf16 tree is freed
+     first): int8 linears, int8+pallas_int8, full turbo composite.
+  C. transformer freed; VAE decodes every saved latent; PSNR table.
+
+Artifacts: bench_runs/turbo_quality.json (machine) and
+docs/TURBO_QUALITY.md (table), both written incrementally so a killed run
+keeps everything measured so far.
+
+Runs on the real chip (~45-70 min); `S2V_TURBO_SMOKE=1` runs a tiny-config
+CPU smoke of the whole flow (tests/test_bench_smoke.py drives it).
+"""
+
+import dataclasses
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SMOKE = bool(os.environ.get("S2V_TURBO_SMOKE"))
+JSON_OUT = os.environ.get(
+    "S2V_TURBO_JSON", os.path.join(REPO, "bench_runs", "turbo_quality.json")
+)
+MD_OUT = os.environ.get(
+    "S2V_TURBO_MD", os.path.join(REPO, "docs", "TURBO_QUALITY.md")
+)
+
+
+def _init_backend():
+    from s2v_tpu.cli_utils import probe_backend
+
+    result = probe_backend(int(os.environ.get("S2V_BENCH_INIT_TIMEOUT", "120")))
+    if "devices" not in result:
+        print(f"# FATAL: backend init failed/timed out: {result}", flush=True)
+        os._exit(2)
+
+
+def main():
+    if not SMOKE:
+        _init_backend()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if SMOKE:
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_pcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from s2v_tpu.config import SchedulerConfig, TransformerConfig, VAEConfig
+    from s2v_tpu.models.transformer import init_transformer_params_stacked
+    from s2v_tpu.ops.rope import build_segmented_rope, prepare_video_and_ref_rope
+    from s2v_tpu.pipelines.denoise import (
+        DenoiseSchedule,
+        adaptive_init_carry,
+        make_segmented_denoise,
+    )
+
+    if SMOKE:
+        B, F, H, W, steps, seg = 1, 2, 8, 8, 4, 2
+        cfg0 = TransformerConfig.tiny()
+        vcfg = VAEConfig.tiny()
+        exact_backend = "xla"
+        # CPU has no Pallas: the int8-QK / banded kernels fall back to their
+        # xla-parity forms via the backend table
+        banded_backend, int8qk_backend = "windowed_xla", "xla"
+    else:
+        B, F, H, W, steps, seg = 1, 13, 60, 90, 50, 6
+        cfg0 = TransformerConfig.cogvideox_5b()
+        vcfg = VAEConfig()
+        exact_backend = "pallas"
+        banded_backend, int8qk_backend = "windowed", "pallas_int8"
+
+    key = jax.random.PRNGKey(0)
+    latents0 = jax.random.normal(jax.random.PRNGKey(3), (B, F, H, W, cfg0.in_channels), cfg0.dtype)
+    ref = jax.random.normal(key, (B, 1, H, W, cfg0.in_channels), cfg0.dtype)
+    emb2 = jax.random.normal(key, (2 * B, cfg0.max_text_seq_length, cfg0.text_embed_dim), cfg0.dtype)
+    rng = jax.random.PRNGKey(7)
+
+    if SMOKE:
+        from s2v_tpu.ops.rope import get_3d_rotary_pos_embed
+
+        gh, gw = H // 2, W // 2
+        cos, sin = get_3d_rotary_pos_embed(cfg0.attention_head_dim, ((0, 0), (gh, gw)), (gh, gw), F + 1)
+        tok = gh * gw
+        rope_cos, rope_sin = build_segmented_rope(
+            cfg0.max_text_seq_length, cos[:tok], sin[:tok], cos[tok : tok * (F + 1)], sin[tok : tok * (F + 1)]
+        )
+    else:
+        vc, vs, rc, rs = prepare_video_and_ref_rope(480, 720, F, cfg0.attention_head_dim)
+        rope_cos, rope_sin = build_segmented_rope(cfg0.max_text_seq_length, rc, rs, vc, vs)
+
+    sched = DenoiseSchedule.create(SchedulerConfig(), steps, 6.0, use_dynamic_cfg=True)
+
+    results = []
+
+    def _flush():
+        os.makedirs(os.path.dirname(JSON_OUT), exist_ok=True)
+        with open(JSON_OUT, "w") as f:
+            json.dump({"geometry": f"B={B} F={F} {H}x{W} steps={steps}",
+                       "smoke": SMOKE, "runs": results}, f, indent=1)
+
+    latents_by_name = {}
+
+    def run_knob(name, params, cfg, backend, cfg_skip=0.0, adaptive=0.0):
+        print(f"# run: {name} ...", flush=True)
+        runner = make_segmented_denoise(
+            params, cfg, sched, rope_cos, rope_sin, True, rng, backend,
+            None, "batched", None, cfg_skip, adaptive,
+        )
+        carry0 = (
+            adaptive_init_carry(latents0) if adaptive > 0.0
+            else (latents0, jnp.zeros_like(latents0))
+        )
+        c = runner(None, carry0, ref, emb2, None, 0, seg)  # compile+seg0
+        jax.block_until_ready(c)
+        t0 = time.perf_counter()
+        carry = carry0
+        for i0 in range(0, steps, seg):
+            carry = runner(None, carry, ref, emb2, None, i0, min(i0 + seg, steps))
+            jax.block_until_ready(carry)
+        dt = time.perf_counter() - t0
+        final = np.asarray(carry[0].astype(jnp.float32))
+        assert np.isfinite(final).all(), f"{name}: non-finite latents"
+        latents_by_name[name] = final
+        results.append({"name": name, "denoise_s": round(dt, 3)})
+        _flush()
+        print(f"# run: {name}: {dt:.1f} s", flush=True)
+
+    # ---- phase A: bf16 weights
+    params = init_transformer_params_stacked(key, cfg0)
+    jax.block_until_ready(jax.tree.leaves(params)[0])
+
+    run_knob("exact", params, cfg0, exact_backend)
+    for w in (1, 2):
+        run_knob(f"banded_w{w}", params,
+                 dataclasses.replace(cfg0, attention_window_frames=w), banded_backend)
+    run_knob("int8_qk", params, cfg0, int8qk_backend)
+    for thr in (0.005, 0.01, 0.02):
+        run_knob(f"cfg_skip_{thr}", params, cfg0, exact_backend, cfg_skip=thr)
+    for thr in (0.01, 0.02):
+        run_knob(f"adaptive_{thr}", params, cfg0, exact_backend, adaptive=thr)
+
+    # ---- phase B: int8 weights quantized from the SAME values
+    from s2v_tpu.ops.quant import quantize_weight_int8
+
+    def _quant_stacked(leaf):
+        qs = jax.lax.map(lambda k: quantize_weight_int8(k), leaf["kernel"])
+        qs["bias"] = leaf["bias"]
+        return qs
+
+    # donate the bf16 tree: 11.1 GB bf16 + 6.4 GB int8 do not fit 16 GB
+    # HBM side by side; donation lets XLA free each bf16 kernel as soon as
+    # its int8 copy is produced (non-quantized leaves alias through)
+    @(lambda f: jax.jit(f, donate_argnums=(0,)))
+    def quantize_tree(p):
+        blocks = dict(p["blocks"])
+        attn = dict(blocks["attn"])
+        attn["qkv"] = _quant_stacked(blocks["attn"]["qkv"])
+        attn["to_out"] = _quant_stacked(blocks["attn"]["to_out"])
+        blocks["attn"] = attn
+        blocks = {**blocks, "ff": {
+            "net_0": _quant_stacked(blocks["ff"]["net_0"]),
+            "net_2": _quant_stacked(blocks["ff"]["net_2"]),
+        }}
+        return {**p, "blocks": blocks}
+
+    params_q = quantize_tree(params)
+    jax.block_until_ready(jax.tree.leaves(params_q)[0])
+    del params
+    gc.collect()
+
+    run_knob("int8_linears", params_q, cfg0, exact_backend)
+    run_knob("int8_full", params_q, cfg0, int8qk_backend)
+    run_knob("turbo", params_q,
+             dataclasses.replace(cfg0, attention_window_frames=2),
+             banded_backend, cfg_skip=0.01)
+
+    del params_q
+    jax.clear_caches()
+    gc.collect()
+
+    # ---- phase C: decode everything through the same VAE, PSNR vs exact
+    from s2v_tpu.models.vae import init_vae_params, vae_decode
+    from s2v_tpu.utils.video import denormalize_video, psnr
+
+    vae_params = init_vae_params(jax.random.PRNGKey(1), vcfg)
+
+    def decode(z_np):
+        z = jnp.asarray(z_np, vcfg.dtype) / vcfg.scaling_factor
+        return denormalize_video(np.asarray(vae_decode(vae_params, vcfg, z).astype(jnp.float32)))
+
+    frames_exact = decode(latents_by_name["exact"])
+    exact_lat = latents_by_name["exact"]
+    exact_dt = results[0]["denoise_s"]
+    for r in results:
+        lat = latents_by_name[r["name"]]
+        r["latent_max_abs_err"] = float(np.abs(lat - exact_lat).max())
+        r["frame_psnr_vs_exact_db"] = (
+            float("inf") if r["name"] == "exact"
+            else round(psnr(decode(lat), frames_exact), 2)
+        )
+        r["speedup_vs_exact"] = round(exact_dt / max(r["denoise_s"], 1e-9), 2)
+        _flush()
+        print(f"# {r['name']}: psnr={r['frame_psnr_vs_exact_db']} dB, "
+              f"speedup={r['speedup_vs_exact']}x", flush=True)
+
+    # ---- markdown artifact
+    lines = [
+        "# Turbo-path quality artifact (VERDICT r2 #5)",
+        "",
+        f"Generated by `python tools/bench_turbo_quality.py` — "
+        f"geometry B={B}, {F} latent frames, {H}x{W}, {steps} steps, "
+        f"{'CPU smoke' if SMOKE else 'real v5e chip'}; identical weights/"
+        "noise/schedule across rows; frames decoded through the same VAE.",
+        "",
+        "PSNR is measured against the exact run's decoded frames in [0,1] "
+        "(the same comparison `make parity` runs against reference frames "
+        "once a real checkpoint is available); the north-star quality bar "
+        "is PSNR > 35 dB (BASELINE.json).",
+        "",
+        "| Knob | denoise s | speedup | frame PSNR vs exact (dB) | latent max&#124;err&#124; |",
+        "|---|---|---|---|---|",
+    ]
+    for r in results:
+        lines.append(
+            f"| {r['name']} | {r['denoise_s']} | {r['speedup_vs_exact']}x | "
+            f"{r['frame_psnr_vs_exact_db']} | {r['latent_max_abs_err']:.3e} |"
+        )
+    lines += ["", f"Machine-readable: `bench_runs/turbo_quality.json`.", ""]
+    with open(MD_OUT, "w") as f:
+        f.write("\n".join(lines))
+    print(f"# wrote {JSON_OUT} and {MD_OUT}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
