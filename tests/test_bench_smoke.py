@@ -33,3 +33,32 @@ def test_bench_cpu_smoke():
     assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
     assert rec["serving_clips_per_hour"] > 0
     assert rec["value"] > 0 and rec["vs_baseline"] > 0
+
+
+def test_turbo_quality_cpu_smoke(tmp_path):
+    """tools/bench_turbo_quality.py (the VERDICT r2 #5 quality artifact) must
+    keep working end-to-end: tiny-config CPU sweep over a knob subset
+    (S2V_TURBO_ONLY; "exact" is always the PSNR reference), JSON + markdown
+    artifacts written, every row carrying psnr/speedup/latent-err fields."""
+    env = dict(
+        os.environ,
+        S2V_TURBO_SMOKE="1",
+        S2V_TURBO_ONLY="banded_w1,cfg_skip_0.01,int8_linears",
+        S2V_TURBO_JSON=str(tmp_path / "tq.json"),
+        S2V_TURBO_MD=str(tmp_path / "tq.md"),
+        JAX_PLATFORMS="cpu",
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "tools/bench_turbo_quality.py"],
+        capture_output=True, text=True, timeout=540, cwd=repo, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads((tmp_path / "tq.json").read_text())
+    names = [r["name"] for r in rec["runs"]]
+    assert names == ["exact", "banded_w1", "cfg_skip_0.01", "int8_linears"]
+    for r in rec["runs"]:
+        assert r["denoise_s"] > 0
+        assert "frame_psnr_vs_exact_db" in r and "latent_max_abs_err" in r
+        assert r["speedup_vs_exact"] > 0
+    assert (tmp_path / "tq.md").read_text().count("|") > 20

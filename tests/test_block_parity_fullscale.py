@@ -92,6 +92,134 @@ def test_one_block_production_dims_parity():
     np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=2e-3)
 
 
+def test_full_depth_42_block_parity_with_per_block_drift():
+    """The FULL 42-block stacked forward at real hidden dims (3072 / 48xd64),
+    fp32 on CPU, with a per-block drift budget (VERDICT r2 #3 proxy
+    tightening: 1-block parity can hide drift that only compounds with
+    depth — converter stacking order, scan carry handling, accumulated
+    fp32 reassociation).
+
+    Spatial grid reduced to 8x12 (96 tokens/frame; 514-token sequence) so
+    the ~5.5e9-param fp32 model fits RAM and runs in minutes on CPU; every
+    dimension-dependent code path (head folding, RoPE 16/24/24 axis split,
+    3072-wide contractions) still runs at real width.  Both sides walk the
+    blocks together and the per-depth video/text/ref stream drift is
+    asserted against a depth-linear budget; the final output additionally
+    goes through the REAL scan path (transformer_forward) to pin the
+    lax.scan carry semantics against the per-block loop.
+    """
+    import jax
+
+    from s2v_tpu.models.transformer import block_forward
+    from s2v_tpu.ops.patchify import patchify_video
+    from s2v_tpu.ops.timestep import (
+        get_timestep_embedding,
+        timestep_embedding_mlp,
+    )
+
+    L = 42
+    cfg = TransformerConfig.cogvideox_5b(
+        num_layers=L, dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    assert cfg.inner_dim == 3072 and cfg.num_attention_heads == 48
+
+    torch.manual_seed(0)
+    model = TorchTinyTransformer(cfg).eval().float()
+    host = convert_transformer_state_dict(model.hf_state_dict(), cfg, device=False)
+
+    rng = np.random.RandomState(0)
+    B, Fv, H, W = 1, 2, 16, 24  # latent 16x24 -> 8x12 = 96 tokens/frame
+    video = rng.randn(B, Fv, H, W, cfg.in_channels).astype(np.float32)
+    ref = rng.randn(B, 1, H, W, cfg.in_channels).astype(np.float32)
+    text = rng.randn(B, cfg.max_text_seq_length, cfg.text_embed_dim).astype(np.float32)
+    t = np.array([999.0], np.float32)
+
+    gh, gw = H // cfg.patch_size, W // cfg.patch_size
+    cos, sin = get_3d_rotary_pos_embed(
+        cfg.attention_head_dim, ((0, 0), (gh, gw)), (gh, gw), Fv + 1
+    )
+    tok = gh * gw
+    cos_seg, sin_seg = build_segmented_rope(
+        cfg.max_text_seq_length, cos[:tok], sin[:tok],
+        cos[tok : tok * (Fv + 1)], sin[tok : tok * (Fv + 1)],
+    )
+
+    # ---- torch side: walk the blocks, recording every depth's streams
+    half = cfg.attention_head_dim // 2
+    full_cos = np.concatenate(
+        [np.ones((cfg.max_text_seq_length, half), np.float32),
+         cos[:tok], cos[tok : tok * (Fv + 1)]], axis=0)
+    full_sin = np.concatenate(
+        [np.zeros((cfg.max_text_seq_length, half), np.float32),
+         sin[:tok], sin[tok : tok * (Fv + 1)]], axis=0)
+    tcos, tsin = rope_interleaved(full_cos, full_sin)
+    with torch.no_grad():
+        temb_t = model.time_embed(torch.from_numpy(t))
+        text_t = model.text_proj(torch.from_numpy(text))
+        vid_t = model.patchify(torch.from_numpy(video).permute(0, 1, 4, 2, 3))
+        ref_t = model.patchify(torch.from_numpy(ref).permute(0, 1, 4, 2, 3))
+        torch_streams = []
+        for blk in model.blocks:
+            vid_t, text_t, ref_t = blk(vid_t, text_t, ref_t, temb_t, tcos, tsin)
+            torch_streams.append(
+                (vid_t.numpy().copy(), text_t.numpy().copy(), ref_t.numpy().copy())
+            )
+        out_t = model(
+            torch.from_numpy(video).permute(0, 1, 4, 2, 3),
+            torch.from_numpy(ref).permute(0, 1, 4, 2, 3),
+            torch.from_numpy(text), torch.from_numpy(t), tcos, tsin,
+        ).permute(0, 1, 3, 4, 2).numpy()
+
+    # ---- jax side: same walk through block_forward on per-layer slices
+    t_emb = get_timestep_embedding(
+        jnp.asarray(t), cfg.inner_dim, cfg.flip_sin_to_cos, float(cfg.freq_shift)
+    )
+    temb = timestep_embedding_mlp(
+        jax.tree.map(jnp.asarray, host["time_embedding"]), t_emb
+    )
+    pe = host["patch_embed"]
+    text_j = jnp.asarray(text) @ pe["text_proj"]["kernel"] + pe["text_proj"]["bias"]
+    proj_k, proj_b = jnp.asarray(pe["proj"]["kernel"]), jnp.asarray(pe["proj"]["bias"])
+    vid_j = patchify_video(jnp.asarray(video), proj_k, proj_b, cfg.patch_size)
+    ref_j = patchify_video(jnp.asarray(ref), proj_k, proj_b, cfg.patch_size)
+
+    step = jax.jit(
+        lambda p, v, tx, r: block_forward(
+            p, v, tx, r, temb, cos_seg, sin_seg, cfg, attention_backend="xla"
+        )
+    )
+    worst = 0.0
+    for k in range(L):
+        layer = jax.tree.map(lambda x: jnp.asarray(x[k]), host["blocks"])
+        vid_j, text_j, ref_j = step(layer, vid_j, text_j, ref_j)
+        for ours, theirs in zip(
+            (vid_j, text_j, ref_j), torch_streams[k]
+        ):
+            scale = max(float(np.abs(theirs).max()), 1.0)
+            err = float(np.abs(np.asarray(ours) - theirs).max()) / scale
+            # depth-linear fp32 drift budget: measured worst rel drift is
+            # ~1e-5/block at these widths; 4x headroom
+            assert err <= 4e-5 * (k + 1), (
+                f"block {k}: rel drift {err:.3e} > {4e-5 * (k + 1):.3e}"
+            )
+            worst = max(worst, err / (k + 1))
+    print(f"worst per-depth rel drift / depth: {worst:.3e}")
+
+    # ---- the REAL scan path end-to-end must agree with torch AND with the
+    # per-block walk above (pins lax.scan stacking/carry order)
+    params = jax.device_put(host)
+    ours = np.asarray(
+        transformer_forward(
+            params, cfg, jnp.asarray(video), jnp.asarray(ref), jnp.asarray(text),
+            jnp.asarray(t), cos_seg, sin_seg, attention_backend="xla",
+        )
+    )
+    assert ours.shape == out_t.shape
+    scale = max(float(np.abs(out_t).max()), 1.0)
+    err = float(np.abs(ours - out_t).max()) / scale
+    assert err <= 4e-5 * (L + 1), f"full-depth output rel err {err:.3e}"
+
+
 def test_one_block_production_dims_gradient_parity():
     """Training-path numerics at real dims: d<loss>/dW through the jax
     block (chunked attention custom VJP, remat) must match torch autograd

@@ -23,7 +23,11 @@ Phases (HBM discipline on a 16 GB chip):
 
 Artifacts: bench_runs/turbo_quality.json (machine) and
 docs/TURBO_QUALITY.md (table), both written incrementally so a killed run
-keeps everything measured so far.
+keeps everything measured so far.  Final latents are persisted per run
+(<json>.latents/<name>.npy), so a killed sweep RESUMES: re-running skips
+every knob whose timing and latents are already on disk and the PSNR
+phase reads the persisted latents (the ~80-minute real-chip sweep
+survives relay flake / session cuts).
 
 Runs on the real chip (~45-70 min); `S2V_TURBO_SMOKE=1` runs a tiny-config
 CPU smoke of the whole flow (tests/test_bench_smoke.py drives it).
@@ -117,7 +121,30 @@ def main():
 
     sched = DenoiseSchedule.create(SchedulerConfig(), steps, 6.0, use_dynamic_cfg=True)
 
+    lat_dir = os.environ.get("S2V_TURBO_LATENTS", JSON_OUT + ".latents")
+    os.makedirs(lat_dir, exist_ok=True)
+
+    def _lat_path(name):
+        return os.path.join(lat_dir, f"{name}.npy")
+
+    # resume: reload timings measured by a previous (killed) sweep, but only
+    # for runs whose latents were also persisted — both are needed for PSNR
     results = []
+    if os.path.exists(JSON_OUT):
+        try:
+            with open(JSON_OUT) as f:
+                prior = json.load(f)
+            if prior.get("geometry") == f"B={B} F={F} {H}x{W} steps={steps}":
+                results = [
+                    {"name": r["name"], "denoise_s": r["denoise_s"]}
+                    for r in prior.get("runs", [])
+                    if os.path.exists(_lat_path(r["name"]))
+                ]
+                if results:
+                    print(f"# resuming: {[r['name'] for r in results]} already "
+                          "measured (timings + latents on disk)", flush=True)
+        except Exception as e:  # corrupt artifact: start clean
+            print(f"# prior artifact unreadable ({e}); starting clean", flush=True)
 
     def _flush():
         os.makedirs(os.path.dirname(JSON_OUT), exist_ok=True)
@@ -125,29 +152,42 @@ def main():
             json.dump({"geometry": f"B={B} F={F} {H}x{W} steps={steps}",
                        "smoke": SMOKE, "runs": results}, f, indent=1)
 
-    latents_by_name = {}
+    # S2V_TURBO_ONLY="banded_w1,turbo" restricts the sweep to a knob subset
+    # ("exact" always runs: it is the PSNR reference) — used by the CI smoke
+    # so the whole flow stays covered without paying for all 13 runs.
+    only = {
+        s.strip() for s in os.environ.get("S2V_TURBO_ONLY", "").split(",") if s.strip()
+    }
 
     def run_knob(name, params, cfg, backend, cfg_skip=0.0, adaptive=0.0):
+        if only and name != "exact" and name not in only:
+            return
+        if any(r["name"] == name for r in results):
+            print(f"# run: {name}: resumed from disk", flush=True)
+            return
         print(f"# run: {name} ...", flush=True)
+        # params/rng go through the runner's TRACED leading args — a None
+        # default would bake the 11 GB tree into the executable as lowered
+        # constants (mlir "large amount of constants" warning + huge compile)
         runner = make_segmented_denoise(
-            params, cfg, sched, rope_cos, rope_sin, True, rng, backend,
+            None, cfg, sched, rope_cos, rope_sin, True, None, backend,
             None, "batched", None, cfg_skip, adaptive,
         )
         carry0 = (
             adaptive_init_carry(latents0) if adaptive > 0.0
             else (latents0, jnp.zeros_like(latents0))
         )
-        c = runner(None, carry0, ref, emb2, None, 0, seg)  # compile+seg0
+        c = runner(params, carry0, ref, emb2, rng, 0, seg)  # compile+seg0
         jax.block_until_ready(c)
         t0 = time.perf_counter()
         carry = carry0
         for i0 in range(0, steps, seg):
-            carry = runner(None, carry, ref, emb2, None, i0, min(i0 + seg, steps))
+            carry = runner(params, carry, ref, emb2, rng, i0, min(i0 + seg, steps))
             jax.block_until_ready(carry)
         dt = time.perf_counter() - t0
         final = np.asarray(carry[0].astype(jnp.float32))
         assert np.isfinite(final).all(), f"{name}: non-finite latents"
-        latents_by_name[name] = final
+        np.save(_lat_path(name), final)
         results.append({"name": name, "denoise_s": round(dt, 3)})
         _flush()
         print(f"# run: {name}: {dt:.1f} s", flush=True)
@@ -215,11 +255,11 @@ def main():
         z = jnp.asarray(z_np, vcfg.dtype) / vcfg.scaling_factor
         return denormalize_video(np.asarray(vae_decode(vae_params, vcfg, z).astype(jnp.float32)))
 
-    frames_exact = decode(latents_by_name["exact"])
-    exact_lat = latents_by_name["exact"]
-    exact_dt = results[0]["denoise_s"]
+    exact_lat = np.load(_lat_path("exact"))
+    frames_exact = decode(exact_lat)
+    exact_dt = next(r["denoise_s"] for r in results if r["name"] == "exact")
     for r in results:
-        lat = latents_by_name[r["name"]]
+        lat = np.load(_lat_path(r["name"]))
         r["latent_max_abs_err"] = float(np.abs(lat - exact_lat).max())
         r["frame_psnr_vs_exact_db"] = (
             float("inf") if r["name"] == "exact"
