@@ -249,6 +249,37 @@ def main():
 
     denoise_total = denoise_measured if denoise_measured is not None else steps * step_time
     sec_per_clip = denoise_total + decode_time
+
+    # Quality-gated turbo figure (VERDICT r2 #5): if the committed quality
+    # sweep artifact (tools/bench_turbo_quality.py, real-chip, identical
+    # weights/noise per knob) exists for the flagship geometry, surface the
+    # composite turbo config's measured sec/clip alongside the exact
+    # headline — with its PSNR-vs-exact figure and a pass/fail against the
+    # 35 dB north-star bar, so the faster number is never quoted without
+    # its quantified output error.
+    turbo = None
+    if on_tpu:
+        try:
+            tq_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "bench_runs", "turbo_quality.json"
+            )
+            with open(tq_path) as f:
+                tq = json.load(f)
+            runs = {r["name"]: r for r in tq.get("runs", [])}
+            t = runs.get("turbo")
+            if not tq.get("smoke") and t and "frame_psnr_vs_exact_db" in t:
+                tsec = t["denoise_s"] + decode_time
+                turbo = {
+                    "sec_per_clip": round(tsec, 3),
+                    "vs_baseline": round(BASELINE_SECONDS / tsec, 3),
+                    "frame_psnr_vs_exact_db": t["frame_psnr_vs_exact_db"],
+                    "quality_gate_35db": "pass" if t["frame_psnr_vs_exact_db"] > 35 else "fail",
+                    "knobs": "int8 linears + banded w=2 + cfg-skip 0.01",
+                    "source": "bench_runs/turbo_quality.json",
+                }
+        except Exception:
+            pass
+
     print(
         json.dumps(
             {
@@ -268,6 +299,7 @@ def main():
                 # device relay must say so instead of recording silently-
                 # wrong truth (docs/SCALING.md "Measured components" row 1)
                 "relay_health": relay_health if on_tpu else {"status": "cpu-smoke"},
+                **({"turbo": turbo} if turbo else {}),
             }
         )
     )
