@@ -258,9 +258,9 @@ def main():
     # 35 dB north-star bar, so the faster number is never quoted without
     # its quantified output error.
     turbo = None
-    if on_tpu:
+    if on_tpu or os.environ.get("S2V_BENCH_TURBO_JSON"):
         try:
-            tq_path = os.path.join(
+            tq_path = os.environ.get("S2V_BENCH_TURBO_JSON") or os.path.join(
                 os.path.dirname(os.path.abspath(__file__)), "bench_runs", "turbo_quality.json"
             )
             with open(tq_path) as f:

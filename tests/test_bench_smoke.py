@@ -33,6 +33,38 @@ def test_bench_cpu_smoke():
     assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
     assert rec["serving_clips_per_hour"] > 0
     assert rec["value"] > 0 and rec["vs_baseline"] > 0
+    assert "turbo" not in rec  # no quality artifact injected in smoke mode
+
+
+def test_bench_turbo_block(tmp_path):
+    """With a quality-sweep artifact present (S2V_BENCH_TURBO_JSON), the
+    bench JSON line carries the quality-gated turbo block: sec/clip with
+    the decode added, vs_baseline, PSNR, and the 35 dB gate verdict."""
+    art = tmp_path / "tq.json"
+    art.write_text(json.dumps({
+        "geometry": "B=1 F=13 60x90 steps=50", "smoke": False,
+        "runs": [
+            {"name": "exact", "denoise_s": 404.4},
+            {"name": "turbo", "denoise_s": 252.9,
+             "frame_psnr_vs_exact_db": 38.5, "speedup_vs_exact": 1.6},
+        ],
+    }))
+    env = dict(os.environ, S2V_BENCH_STEPS="2", S2V_BENCH_TURBO_JSON=str(art))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "import bench; bench.main()"],
+        capture_output=True, text=True, timeout=540, cwd=repo, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][0])
+    t = rec["turbo"]
+    assert t["quality_gate_35db"] == "pass"
+    assert t["frame_psnr_vs_exact_db"] == 38.5
+    # sec_per_clip = turbo denoise + this run's decode time (> denoise alone)
+    assert t["sec_per_clip"] > 252.9
+    assert 0 < t["vs_baseline"] < 1  # 96.89 / ~258 s
 
 
 def test_turbo_quality_cpu_smoke(tmp_path):
