@@ -76,11 +76,13 @@ def get_args(argv=None):
     p.add_argument("--disentangled_modulation", action="store_true", default=False,
                    help="intended (non-inert) enable_lora adaLN semantics: "
                         "video/text modulated by base weights, ref by LoRA-merged")
-    # reference src/inference.py:191 loads fp16 for non-"5b" checkpoints;
-    # on TPU fp16 has no native MXU support and a narrower exponent range
-    # than bf16, so both model families deliberately default to bf16 here
+    # reference src/inference.py:191,210 loads fp16 for non-"5b"
+    # checkpoints; on TPU fp16 has no native MXU support and a narrower
+    # exponent range than bf16, so both model families deliberately
+    # default to bf16 here — pass --dtype float16 for the reference's
+    # non-5b storage dtype when byte-level parity matters
     p.add_argument("--dtype", type=str, default="bfloat16",
-                   choices=["bfloat16", "float32"])
+                   choices=["bfloat16", "float16", "float32"])
     p.add_argument("--adaptive_threshold", type=float, default=0.0,
                    help="opt-in step-skipping fast path (bounded-difference "
                         "criterion, arXiv:2410.09873-style); 0 = exact loop. "
@@ -135,7 +137,8 @@ def main(args=None):
         quantize_int8=args.quantize_int8,
         text_encoder_device=args.text_encoder_device,
         disentangled_modulation=args.disentangled_modulation,
-        dtype={"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype],
+        dtype={"bfloat16": jnp.bfloat16, "float16": jnp.float16,
+               "float32": jnp.float32}[args.dtype],
         mesh=args.mesh,
         cache_dir=os.path.expanduser(args.cache_dir) if args.cache_dir else None,
     )

@@ -248,6 +248,13 @@ def joint_attention(
                 q, k, v, mesh, axis_name=axis, attn_fn=attn_fn,
                 dp_axis=active_axis("dp"), tp_axis=active_axis("tp"),
             )
+    elif q.dtype == jnp.float16:
+        # fp16 (the reference's non-"5b" dtype, src/inference.py:191): the
+        # F16_F16_F32 dot precision is unsupported on CPU and fp16 has no
+        # native MXU path — attend in fp32 and cast back
+        out = jax.nn.dot_product_attention(
+            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+        ).astype(q.dtype)
     else:
         out = jax.nn.dot_product_attention(q, k, v)  # [B, S, H, hd]
 

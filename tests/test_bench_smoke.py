@@ -75,7 +75,7 @@ def test_turbo_quality_cpu_smoke(tmp_path):
     env = dict(
         os.environ,
         S2V_TURBO_SMOKE="1",
-        S2V_TURBO_ONLY="banded_w1,cfg_skip_0.01,int8_linears",
+        S2V_TURBO_ONLY="banded_w1,cfg_skip_0.01,adaptive_0.1,int8_linears",
         S2V_TURBO_JSON=str(tmp_path / "tq.json"),
         S2V_TURBO_MD=str(tmp_path / "tq.md"),
         JAX_PLATFORMS="cpu",
@@ -88,9 +88,13 @@ def test_turbo_quality_cpu_smoke(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     rec = json.loads((tmp_path / "tq.json").read_text())
     names = [r["name"] for r in rec["runs"]]
-    assert names == ["exact", "banded_w1", "cfg_skip_0.01", "int8_linears"]
+    assert names == ["exact", "banded_w1", "cfg_skip_0.01", "adaptive_0.1",
+                     "int8_linears"]
     for r in rec["runs"]:
         assert r["denoise_s"] > 0
         assert "frame_psnr_vs_exact_db" in r and "latent_max_abs_err" in r
         assert r["speedup_vs_exact"] > 0
+    # adaptive rows record how many forwards the criterion actually skipped
+    adaptive = next(r for r in rec["runs"] if r["name"] == "adaptive_0.1")
+    assert isinstance(adaptive["n_skipped"], int) and adaptive["n_skipped"] >= 0
     assert (tmp_path / "tq.md").read_text().count("|") > 20

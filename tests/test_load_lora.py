@@ -11,6 +11,7 @@ import os
 import sys
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -229,3 +230,18 @@ def test_load_lora_base_cache_skips_disk(snap_and_lora, monkeypatch):
     pipe2 = S2VPipeline.from_pretrained(snap, dtype=jnp.float32)
     pipe2.load_lora(lora, cache_base=False)
     assert pipe2._base_transformer_sd is None
+
+
+def test_from_pretrained_float16(snap_and_lora):
+    """Reference dtype parity option: non-"5b" checkpoints load fp16 in the
+    reference (src/inference.py:191,210).  bf16 stays our TPU default, but
+    dtype=float16 must load and generate finite output end to end."""
+    from s2v_tpu.pipelines.s2v import S2VPipeline
+
+    snap, lora = snap_and_lora
+    pipe = S2VPipeline.from_pretrained(snap, lora_checkpoint=lora, dtype=jnp.float16)
+    assert pipe.transformer_cfg.dtype == jnp.float16
+    leaf = jax.tree.leaves(pipe.transformer_params)[0]
+    assert leaf.dtype == jnp.float16
+    out = _gen(pipe)
+    assert np.isfinite(out).all()
