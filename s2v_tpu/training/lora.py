@@ -178,14 +178,22 @@ def make_lora_train_step(
     def init_opt_state(lora_params):
         return tx.init(lora_params)
 
+    # base_params is a TRACED argument, not a closure capture: a closed-over
+    # 5b tree (11.1 GB) would be lowered into the executable as constants
+    # (mlir "large amount of constants" + a multi-minute compile); as an
+    # argument it is a zero-copy device reference and jit caches on
+    # shape/dtype so the public 4-arg call signature below never retraces
     @jax.jit
-    def train_step(lora_params, opt_state, batch, rng):
+    def _train_step(lora_params, opt_state, batch, rng, base):
         loss, grads = jax.value_and_grad(lora_loss_fn)(
-            lora_params, base_params, cfg, spec, batch, alphas, rng, attention_backend, remat
+            lora_params, base, cfg, spec, batch, alphas, rng, attention_backend, remat
         )
         updates, opt_state = tx.update(grads, opt_state, lora_params)
         lora_params = optax.apply_updates(lora_params, updates)
         return lora_params, opt_state, loss
+
+    def train_step(lora_params, opt_state, batch, rng):
+        return _train_step(lora_params, opt_state, batch, rng, base_params)
 
     return init_opt_state, train_step
 

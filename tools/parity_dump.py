@@ -74,12 +74,15 @@ def main(argv=None):
     cos, sin = pipe.prepare_rope(h_px, w_px, f_lat)
     sched = DenoiseSchedule.create(pipe.scheduler_cfg, args.num_inference_steps, 6.0)
 
+    # params go through the runner's TRACED leading arg: the closure-default
+    # (None) path would lower the full 5b tree into the executable as
+    # constants — a multi-minute compile at real-checkpoint size
     run = make_segmented_denoise(
-        pipe.transformer_params, pipe.transformer_cfg, sched, cos, sin, do_cfg=True
+        None, pipe.transformer_cfg, sched, cos, sin, do_cfg=True
     )
     carry = (lat.astype(pipe.transformer_cfg.dtype), jnp.zeros_like(lat, pipe.transformer_cfg.dtype))
     for i in range(args.num_inference_steps):
-        carry = run(None, carry, ref.astype(pipe.transformer_cfg.dtype), emb.astype(pipe.transformer_cfg.dtype), None, i, i + 1)
+        carry = run(pipe.transformer_params, carry, ref.astype(pipe.transformer_cfg.dtype), emb.astype(pipe.transformer_cfg.dtype), None, i, i + 1)
         key = f"latents::step{i}"
         if key in dump:
             compare(key, np.asarray(carry[0]).transpose(0, 1, 4, 2, 3), dump[key])
