@@ -415,21 +415,45 @@ def transformer_forward(
         )
         return (v, t, r), None
 
-    if remat:
-        if remat == "dots":
-            # save matmul outputs, recompute elementwise in the backward
-            # sweep: faster bwd than full remat at ~2x the activation
-            # memory (still O(1 layer) of saved dots)
-            scan_body = jax.checkpoint(
-                scan_body,
-                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-            )
-        else:
-            scan_body = jax.checkpoint(scan_body)
     xs = (
         (params["blocks"], lora_blocks) if lora_blocks is not None else params["blocks"]
     )
-    (video, text, ref), _ = jax.lax.scan(scan_body, (video, text, ref), xs)
+    if remat == "seg":
+        # segmented (nested) remat — the sqrt(L) memory/compute point:
+        # per-layer remat still saves every scan carry (42 x ~118 MB of
+        # stream state at flagship B=1 ~ 4.9 GB, which on top of the
+        # 11.1 GB base tree overflows a 16 GB chip); scanning S segments
+        # of L/S layers with BOTH levels checkpointed saves only the S
+        # outer boundaries, plus L/S inner carries transiently while one
+        # segment's backward runs — (S + L/S) carries instead of L, for
+        # one extra forward recompute.  Identical math/order => identical
+        # grads (tested against "full").
+        L = cfg.num_layers
+        S = min(
+            (d for d in range(1, L + 1) if L % d == 0),
+            key=lambda d: d + L // d,
+        )
+        inner = jax.checkpoint(scan_body)
+
+        def seg_body(carry, xs_seg):
+            return jax.lax.scan(inner, carry, xs_seg)
+
+        seg_body = jax.checkpoint(seg_body)
+        xs_r = jax.tree.map(lambda a: a.reshape((S, L // S) + a.shape[1:]), xs)
+        (video, text, ref), _ = jax.lax.scan(seg_body, (video, text, ref), xs_r)
+    else:
+        if remat:
+            if remat == "dots":
+                # save matmul outputs, recompute elementwise in the backward
+                # sweep: faster bwd than full remat at ~2x the activation
+                # memory (still O(1 layer) of saved dots)
+                scan_body = jax.checkpoint(
+                    scan_body,
+                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                )
+            else:
+                scan_body = jax.checkpoint(scan_body)
+        (video, text, ref), _ = jax.lax.scan(scan_body, (video, text, ref), xs)
 
     # 4. final norm over [text | video] (ref stream is discarded past here,
     #    reference :535-539)

@@ -80,11 +80,14 @@ def get_args(argv=None):
                         "--mesh with a seq axis. pallas_int8 is "
                         "inference-only (no backward kernels)")
     p.add_argument("--remat", type=str, default="full",
-                   choices=["full", "dots", "none"],
+                   choices=["full", "dots", "seg", "none"],
                    help="block-scan rematerialization: full = O(1-layer) "
                         "activations (recompute everything in bwd), dots = "
                         "save matmul outputs / recompute elementwise (faster "
-                        "bwd, ~2x activation memory), none = no remat")
+                        "bwd, ~2x activation memory), seg = segmented/nested "
+                        "checkpointing, sqrt(L) carries instead of L for one "
+                        "extra fwd recompute (fits flagship LoRA training in "
+                        "16 GB HBM), none = no remat")
     p.add_argument("--attention_window", type=int, default=2,
                    help="half-width (latent frames) for --attention_backend windowed")
     p.add_argument("--disentangled_modulation", action="store_true", default=False,
@@ -122,7 +125,7 @@ def get_args(argv=None):
     return p.parse_args(argv)
 
 
-_REMAT_MODES = {"full": True, "dots": "dots", "none": False}
+_REMAT_MODES = {"full": True, "dots": "dots", "seg": "seg", "none": False}
 
 
 def _resume_position(args, step, dataset):

@@ -290,3 +290,18 @@ def test_remat_dots_policy_grads_identical():
     g_dots = jax.grad(lora_loss_fn)(lora, base, cfg, spec, batch, alphas, rng, "xla", "dots")
     for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_dots)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5)
+
+
+def test_remat_seg_grads_identical():
+    """remat='seg' (segmented/nested checkpointing — the sqrt(L) memory
+    point that fits flagship LoRA training on a 16 GB chip) must not
+    change gradients vs per-layer remat."""
+    cfg, base, spec, lora, batch = _setup()
+    rng = jax.random.PRNGKey(31)
+    from s2v_tpu.schedulers.ddim import compute_alphas_cumprod
+
+    alphas = jnp.asarray(compute_alphas_cumprod(SchedulerConfig()))
+    g_full = jax.grad(lora_loss_fn)(lora, base, cfg, spec, batch, alphas, rng, "xla", True)
+    g_seg = jax.grad(lora_loss_fn)(lora, base, cfg, spec, batch, alphas, rng, "xla", "seg")
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_seg)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5)

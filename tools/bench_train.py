@@ -8,6 +8,12 @@ real 49-frame 480x720 latent geometry (B=1, 13x60x90x16 latents,
 no baseline number to compare against; this pins OUR throughput and the
 remat memory claim on real hardware.
 
+Memory ladder: per-layer remat saves all 42 scan carries (~4.9 GB of
+stream state) on top of the 11.1 GB bf16 base — over a 16 GB chip's HBM
+(measured OOM).  The bench therefore tries remat="seg" (segmented/nested
+checkpointing, sqrt(L) carries) at flagship first, then falls back to
+fewer latent frames, and reports exactly which configuration ran.
+
 Prints ONE JSON line: {"metric", "value", "unit", "detail"}.
 
 On CPU (no chip) it runs the tiny config as a smoke test.
@@ -27,7 +33,6 @@ def main():
     bench._init_backend_with_watchdog()
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_pcache")
@@ -43,75 +48,111 @@ def main():
     on_tpu = jax.default_backend() != "cpu"
     if on_tpu:
         cfg = TransformerConfig.cogvideox_5b()
-        B, F, H, W = 1, 13, 60, 90
+        B, H, W = 1, 60, 90
         backend = "pallas"
         rank = 128
-        vc, vs, rc, rs = prepare_video_and_ref_rope(480, 720, F, cfg.attention_head_dim)
-        cs, sn = build_segmented_rope(cfg.max_text_seq_length, rc, rs, vc, vs)
+        # (remat, latent frames): flagship seg-remat first; per-layer remat
+        # at flagship is a measured OOM (42 carries + 11.1 GB base > 16 GB)
+        ladder = [("seg", 13), ("seg", 9), (True, 9), ("seg", 7)]
         iters, warmup = 3, 1
     else:
         cfg = TransformerConfig.tiny()
-        B, F, H, W = 1, 2, 8, 8
+        B, H, W = 1, 8, 8
         backend = "xla"
         rank = 2
+        ladder = [(True, 2)]
+        iters, warmup = 2, 1
+
+    def make_rope(F):
+        if on_tpu:
+            vc, vs, rc, rs = prepare_video_and_ref_rope(480, 720, F, cfg.attention_head_dim)
+            return build_segmented_rope(cfg.max_text_seq_length, rc, rs, vc, vs)
         gh, gw = H // 2, W // 2
         cos, sin = get_3d_rotary_pos_embed(
             cfg.attention_head_dim, ((0, 0), (gh, gw)), (gh, gw), F + 1
         )
         tok = gh * gw
-        cs, sn = build_segmented_rope(
+        return build_segmented_rope(
             cfg.max_text_seq_length, cos[:tok], sin[:tok],
             cos[tok : tok * (F + 1)], sin[tok : tok * (F + 1)],
         )
-        iters, warmup = 2, 1
 
-    params = init_transformer_params_stacked(jax.random.PRNGKey(0), cfg)
-    spec = LoRASpec(rank=rank, alpha=2.0 * rank)
-    lora = init_lora_params(jax.random.PRNGKey(1), params, spec)
-    init_opt, train_step = make_lora_train_step(
-        params, cfg, spec, SchedulerConfig(), learning_rate=1e-4,
-        attention_backend=backend,
+    # one jitted init: per-leaf eager init is hundreds of relay round-trips
+    params = jax.jit(lambda k: init_transformer_params_stacked(k, cfg))(
+        jax.random.PRNGKey(0)
     )
-    opt_state = init_opt(lora)
-    key = jax.random.PRNGKey(2)
-    batch = {
-        "video_latents": jax.random.normal(
-            key, (B, F, H, W, cfg.in_channels), jnp.float32).astype(cfg.dtype),
-        "ref_latents": jax.random.normal(
-            key, (B, 1, H, W, cfg.in_channels), jnp.float32).astype(cfg.dtype),
-        "text_embeds": jax.random.normal(
-            key, (B, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32
-        ).astype(cfg.dtype),
-        "rope_cos": cs,
-        "rope_sin": sn,
-    }
+    jax.block_until_ready(jax.tree.leaves(params)[0])
+    spec = LoRASpec(rank=rank, alpha=2.0 * rank)
+    lora0 = init_lora_params(jax.random.PRNGKey(1), params, spec)
 
-    def run():
-        nonlocal lora, opt_state
-        lora, opt_state, loss = train_step(
-            lora, opt_state, batch, jax.random.PRNGKey(3)
+    def attempt(remat, F):
+        cs, sn = make_rope(F)
+        key = jax.random.PRNGKey(2)
+        batch = {
+            "video_latents": jax.random.normal(
+                key, (B, F, H, W, cfg.in_channels), jnp.float32).astype(cfg.dtype),
+            "ref_latents": jax.random.normal(
+                key, (B, 1, H, W, cfg.in_channels), jnp.float32).astype(cfg.dtype),
+            "text_embeds": jax.random.normal(
+                key, (B, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32
+            ).astype(cfg.dtype),
+            "rope_cos": cs,
+            "rope_sin": sn,
+        }
+        init_opt, train_step = make_lora_train_step(
+            params, cfg, spec, SchedulerConfig(), learning_rate=1e-4,
+            attention_backend=backend, remat=remat,
         )
-        # host fetch = reliable sync through the axon relay (see bench.py)
-        return float(loss)
+        lora, opt_state = lora0, init_opt(lora0)
 
-    t0 = time.perf_counter()
-    loss = run()
-    compile_s = time.perf_counter() - t0
-    for _ in range(warmup - 1):
-        run()
-    t0 = time.perf_counter()
-    for _ in range(iters):
+        def run():
+            nonlocal lora, opt_state
+            lora, opt_state, loss = train_step(
+                lora, opt_state, batch, jax.random.PRNGKey(3)
+            )
+            # host fetch = reliable sync through the axon relay (see bench.py)
+            return float(loss)
+
+        t0 = time.perf_counter()
         loss = run()
-    s_per_step = (time.perf_counter() - t0) / iters
+        compile_s = time.perf_counter() - t0
+        for _ in range(warmup - 1):
+            run()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            loss = run()
+        return (time.perf_counter() - t0) / iters, compile_s, loss
 
+    last_err = None
+    for remat, F in ladder:
+        label = f"remat={'full' if remat is True else remat} frames={F}"
+        try:
+            print(f"# attempt: {label} ...", flush=True)
+            s_per_step, compile_s, loss = attempt(remat, F)
+        except Exception as e:  # RESOURCE_EXHAUSTED etc: step down the ladder
+            msg = str(e).splitlines()[0][:200]
+            print(f"# attempt: {label} FAILED: {msg}", flush=True)
+            last_err = msg
+            jax.clear_caches()
+            continue
+        flagship = on_tpu and F == 13
+        print(json.dumps({
+            "metric": ("LoRA train step, 49f 480p B=1 (fwd+bwd+update)"
+                       if flagship else
+                       f"LoRA train step, {4 * F - 3}f 480p B=1 (fwd+bwd+update)")
+                      if on_tpu else "LoRA train step (tiny smoke)",
+            "value": round(s_per_step, 3),
+            "unit": "s/step",
+            "detail": f"{label} backend={backend} rank={rank} "
+                      f"compile={compile_s:.1f}s loss={loss:.4f} "
+                      f"steps/hour={3600.0 / s_per_step:.1f}",
+        }))
+        return
     print(json.dumps({
-        "metric": "LoRA train step, 49f 480p B=1 (fwd+bwd+update)" if on_tpu
-                  else "LoRA train step (tiny smoke)",
-        "value": round(s_per_step, 3),
-        "unit": "s/step",
-        "detail": f"backend={backend} rank={rank} compile={compile_s:.1f}s "
-                  f"loss={loss:.4f} steps/hour={3600.0 / s_per_step:.1f}",
+        "metric": "LoRA train step", "value": None, "unit": "s/step",
+        "detail": f"all ladder configs failed; last error: {last_err}",
     }))
+    sys.exit(1)
 
 
 if __name__ == "__main__":
