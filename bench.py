@@ -265,16 +265,30 @@ def main():
             )
             with open(tq_path) as f:
                 tq = json.load(f)
-            runs = {r["name"]: r for r in tq.get("runs", [])}
-            t = runs.get("turbo")
-            if not tq.get("smoke") and t and "frame_psnr_vs_exact_db" in t:
-                tsec = t["denoise_s"] + decode_time
+            KNOBS = {
+                "turbo": "int8 linears + banded w=2 + cfg-skip 0.01",
+                "turbo_adaptive_0.05": "int8 linears + banded w=2 + "
+                                       "cfg-skip 0.01 + adaptive 0.05",
+            }
+            # fastest composite that clears the 35 dB gate (falls back to
+            # plain "turbo" if no composite passes, reported with its gate
+            # verdict either way — a faster number is never quoted without
+            # its quantified output error)
+            cands = [
+                r for r in tq.get("runs", [])
+                if r["name"] in KNOBS and "frame_psnr_vs_exact_db" in r
+            ]
+            passing = [r for r in cands if r["frame_psnr_vs_exact_db"] > 35]
+            pick = (min(passing, key=lambda r: r["denoise_s"]) if passing
+                    else (min(cands, key=lambda r: r["denoise_s"]) if cands else None))
+            if not tq.get("smoke") and pick:
+                tsec = pick["denoise_s"] + decode_time
                 turbo = {
                     "sec_per_clip": round(tsec, 3),
                     "vs_baseline": round(BASELINE_SECONDS / tsec, 3),
-                    "frame_psnr_vs_exact_db": t["frame_psnr_vs_exact_db"],
-                    "quality_gate_35db": "pass" if t["frame_psnr_vs_exact_db"] > 35 else "fail",
-                    "knobs": "int8 linears + banded w=2 + cfg-skip 0.01",
+                    "frame_psnr_vs_exact_db": pick["frame_psnr_vs_exact_db"],
+                    "quality_gate_35db": "pass" if pick["frame_psnr_vs_exact_db"] > 35 else "fail",
+                    "knobs": KNOBS[pick["name"]],
                     "source": "bench_runs/turbo_quality.json",
                 }
         except Exception:

@@ -253,6 +253,11 @@ def main():
     run_knob("turbo", params_q,
              dataclasses.replace(cfg0, attention_window_frames=2),
              banded_backend, cfg_skip=0.01)
+    # turbo + step skipping: only pays off if the adaptive criterion fires
+    # at a PSNR-acceptable threshold (see the adaptive_* rows)
+    run_knob("turbo_adaptive_0.05", params_q,
+             dataclasses.replace(cfg0, attention_window_frames=2),
+             banded_backend, cfg_skip=0.01, adaptive=0.05)
 
     del params_q
     jax.clear_caches()
