@@ -269,6 +269,9 @@ def main():
                 "turbo": "int8 linears + banded w=2 + cfg-skip 0.01",
                 "turbo_adaptive_0.05": "int8 linears + banded w=2 + "
                                        "cfg-skip 0.01 + adaptive 0.05",
+                "turbo_w1": "int8 linears + banded w=1 + cfg-skip 0.01",
+                "turbo_max": "int8 linears + banded w=1 + cfg-skip 0.02 "
+                             "+ adaptive 0.05",
             }
             # fastest composite that clears the 35 dB gate (falls back to
             # plain "turbo" if no composite passes, reported with its gate

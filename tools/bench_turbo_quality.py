@@ -258,6 +258,15 @@ def main():
     run_knob("turbo_adaptive_0.05", params_q,
              dataclasses.replace(cfg0, attention_window_frames=2),
              banded_backend, cfg_skip=0.01, adaptive=0.05)
+    # w=1 band: single-knob PSNR (42.8 dB) clears the gate with more
+    # speedup than w=2 — candidate faster composite
+    run_knob("turbo_w1", params_q,
+             dataclasses.replace(cfg0, attention_window_frames=1),
+             banded_backend, cfg_skip=0.01)
+    # every knob at its most aggressive gate-passing setting
+    run_knob("turbo_max", params_q,
+             dataclasses.replace(cfg0, attention_window_frames=1),
+             banded_backend, cfg_skip=0.02, adaptive=0.05)
 
     del params_q
     jax.clear_caches()

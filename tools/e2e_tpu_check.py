@@ -5,7 +5,12 @@ Validates what bench.py's raw loop does not: the pipeline's backend
 resolution (auto -> pallas), the segmented runner + compiled cache, the
 HBM guard bypass, and the decode integration — end to end on TPU.
 
-    python tools/e2e_tpu_check.py [--steps 50] [--segment 6]
+    python tools/e2e_tpu_check.py [--steps 50] [--segment 6] [--clips 1]
+
+``--clips 2`` generates a second clip (new noise/prompt embeddings) in the
+same process: clip 1 is the cold number (denoise + decode compiles), clip
+2 is the WARM serving latency — the per-request cost of a resident daemon
+(compiled-loop cache hit, decode program cached).
 """
 
 import argparse
@@ -28,6 +33,8 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--segment", type=int, default=6,
                     help="segment size (the relay caps single executions ~60 s)")
+    ap.add_argument("--clips", type=int, default=1,
+                    help="clips to generate; clip 2+ measure the warm serving path")
     args = ap.parse_args()
 
     from s2v_tpu.config import TransformerConfig, VAEConfig
@@ -56,26 +63,36 @@ def main():
           f"(auto-resolved on {jax.default_backend()})", flush=True)
     assert pipe.attention_backend == "pallas"
 
-    emb = jax.random.normal(
-        jax.random.PRNGKey(2), (2, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32
-    ).astype(cfg.dtype)
-    ref = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 60, 90, cfg.in_channels), jnp.float32)
+    times = []
+    for clip in range(args.clips):
+        emb = jax.random.normal(
+            jax.random.PRNGKey(2 + 10 * clip),
+            (2, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32,
+        ).astype(cfg.dtype)
+        ref = jax.random.normal(
+            jax.random.PRNGKey(3 + 10 * clip), (1, 1, 60, 90, cfg.in_channels), jnp.float32
+        )
 
-    t1 = time.perf_counter()
-    video = pipe.generate(
-        prompt_embeds=emb, ref_latents=ref, height=480, width=720,
-        num_frames=49, num_inference_steps=args.steps, guidance_scale=6.0,
-        use_dynamic_cfg=True, segment_steps=args.segment,
-        callback_on_segment_end=lambda i, lat: print(
-            f"  step {i}/{args.steps} (+{time.perf_counter() - t1:.0f}s)", flush=True
-        ) or True,
-        output_type="np",
-    )
-    dt = time.perf_counter() - t1
-    assert video.shape == (1, 49, 480, 720, 3), video.shape
-    assert np.isfinite(video).all()
-    print(f"PRODUCT PATH OK: {video.shape} in {dt:.1f}s "
-          f"({args.steps / dt:.3f} steps/s incl. decode)", flush=True)
+        t1 = time.perf_counter()
+        video = pipe.generate(
+            prompt_embeds=emb, ref_latents=ref, height=480, width=720,
+            num_frames=49, num_inference_steps=args.steps, guidance_scale=6.0,
+            use_dynamic_cfg=True, segment_steps=args.segment,
+            callback_on_segment_end=lambda i, lat: print(
+                f"  step {i}/{args.steps} (+{time.perf_counter() - t1:.0f}s)", flush=True
+            ) or True,
+            output_type="np",
+        )
+        dt = time.perf_counter() - t1
+        times.append(dt)
+        assert video.shape == (1, 49, 480, 720, 3), video.shape
+        assert np.isfinite(video).all()
+        label = "cold" if clip == 0 else "warm"
+        print(f"PRODUCT PATH OK (clip {clip + 1}, {label}): {video.shape} in "
+              f"{dt:.1f}s ({args.steps / dt:.3f} steps/s incl. decode)", flush=True)
+    if len(times) > 1:
+        print(f"warm serving latency: {min(times[1:]):.1f} s/clip "
+              f"(cold first clip {times[0]:.1f} s)", flush=True)
 
 
 if __name__ == "__main__":
