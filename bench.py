@@ -273,29 +273,56 @@ def main():
                 "turbo_max": "int8 linears + banded w=1 + cfg-skip 0.02 "
                              "+ adaptive 0.05",
             }
-            # fastest composite that clears the 35 dB gate (falls back to
-            # plain "turbo" if no composite passes, reported with its gate
-            # verdict either way — a faster number is never quoted without
-            # its quantified output error)
+            # fastest composite that clears the 35 dB gate; if none passes,
+            # fall back to the baseline "turbo" row, reported with its gate
+            # verdict — a faster number is never quoted without its
+            # quantified output error.  The artifact is only usable when its
+            # geometry matches this run's (its denoise_s is summed with this
+            # run's decode_time).
+            # geometry must match this run's (its denoise_s is summed with
+            # this run's decode_time) — enforced for the committed default
+            # artifact; an explicit S2V_BENCH_TURBO_JSON override (tests,
+            # ad-hoc sweeps) takes responsibility for compatibility
+            bench_geom = (
+                tq.get("geometry") if os.environ.get("S2V_BENCH_TURBO_JSON")
+                else f"B={B} F={F} {H}x{W} steps={steps}"
+            )
             cands = [
                 r for r in tq.get("runs", [])
-                if r["name"] in KNOBS and "frame_psnr_vs_exact_db" in r
+                if r["name"] in KNOBS
+                and isinstance(r.get("frame_psnr_vs_exact_db"), (int, float))
             ]
             passing = [r for r in cands if r["frame_psnr_vs_exact_db"] > 35]
+            fallback = next((r for r in cands if r["name"] == "turbo"), None)
             pick = (min(passing, key=lambda r: r["denoise_s"]) if passing
-                    else (min(cands, key=lambda r: r["denoise_s"]) if cands else None))
-            if not tq.get("smoke") and pick:
+                    else fallback)
+            if tq.get("geometry") != bench_geom:
+                print(f"# turbo block skipped: sweep geometry "
+                      f"{tq.get('geometry')!r} != bench {bench_geom!r}",
+                      file=sys.stderr)
+            elif tq.get("smoke"):
+                print("# turbo block skipped: artifact is a smoke run", file=sys.stderr)
+            elif pick is None:
+                print("# turbo block skipped: artifact has no PSNR-bearing "
+                      "composite rows (re-run tools/bench_turbo_quality.py)",
+                      file=sys.stderr)
+            else:
                 tsec = pick["denoise_s"] + decode_time
                 turbo = {
                     "sec_per_clip": round(tsec, 3),
                     "vs_baseline": round(BASELINE_SECONDS / tsec, 3),
                     "frame_psnr_vs_exact_db": pick["frame_psnr_vs_exact_db"],
                     "quality_gate_35db": "pass" if pick["frame_psnr_vs_exact_db"] > 35 else "fail",
+                    # the gate was evaluated on random-init proxy weights
+                    # (real checkpoint bytes cannot enter this environment —
+                    # STATUS.md); banded/int8 error on real attention maps
+                    # may differ, so the label rides every quote of this block
+                    "weights": tq.get("weights", "random-proxy"),
                     "knobs": KNOBS[pick["name"]],
                     "source": "bench_runs/turbo_quality.json",
                 }
-        except Exception:
-            pass
+        except Exception as e:
+            print(f"# turbo block skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
     print(
         json.dumps(

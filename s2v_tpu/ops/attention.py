@@ -158,6 +158,14 @@ def joint_attention(
         q = apply_rotary_emb(q, rope_cos[:, None, :], rope_sin[:, None, :])
         k = apply_rotary_emb(k, rope_cos[:, None, :], rope_sin[:, None, :])
 
+    fp16_in = q.dtype == jnp.float16
+    if fp16_in:
+        # fp16 (the reference's non-"5b" storage dtype, src/inference.py:191):
+        # no backend has a native fp16 path (no fp16 MXU mode; CPU rejects the
+        # F16_F16_F32 dot precision), so upcast once before the dispatch and
+        # cast back after — every backend below then sees fp32 q/k/v.
+        q, k, v = (t.astype(jnp.float32) for t in (q, k, v))
+
     if backend == "pallas":
         out = flash_attention_trainable(q, k, v)  # [B, S, H, hd]
     elif backend == "pallas_int8":
@@ -248,15 +256,11 @@ def joint_attention(
                 q, k, v, mesh, axis_name=axis, attn_fn=attn_fn,
                 dp_axis=active_axis("dp"), tp_axis=active_axis("tp"),
             )
-    elif q.dtype == jnp.float16:
-        # fp16 (the reference's non-"5b" dtype, src/inference.py:191): the
-        # F16_F16_F32 dot precision is unsupported on CPU and fp16 has no
-        # native MXU path — attend in fp32 and cast back
-        out = jax.nn.dot_product_attention(
-            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
-        ).astype(q.dtype)
     else:
         out = jax.nn.dot_product_attention(q, k, v)  # [B, S, H, hd]
+
+    if fp16_in:
+        out = out.astype(jnp.float16)
 
     from s2v_tpu.ops.quant import dense
 

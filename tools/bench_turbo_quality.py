@@ -44,11 +44,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SMOKE = bool(os.environ.get("S2V_TURBO_SMOKE"))
+# S2V_TURBO_WEIGHTS=<path.npz>: run the whole sweep on structured
+# (trained-proxy) weights saved by tools/train_proxy.py instead of random
+# init (VERDICT r3 #2b) — smoother denoise trajectories exercise the
+# adaptive/CFG-skip criteria more realistically.  The regime label rides
+# into the artifact and from there into bench.py's turbo block.
+WEIGHTS_NPZ = os.environ.get("S2V_TURBO_WEIGHTS", "")
+WEIGHTS_REGIME = "trained-proxy" if WEIGHTS_NPZ else "random-proxy"
+_default_json = (
+    "turbo_quality_trained.json" if WEIGHTS_NPZ else "turbo_quality.json"
+)
+_default_md = "TURBO_QUALITY_TRAINED.md" if WEIGHTS_NPZ else "TURBO_QUALITY.md"
 JSON_OUT = os.environ.get(
-    "S2V_TURBO_JSON", os.path.join(REPO, "bench_runs", "turbo_quality.json")
+    "S2V_TURBO_JSON", os.path.join(REPO, "bench_runs", _default_json)
 )
 MD_OUT = os.environ.get(
-    "S2V_TURBO_MD", os.path.join(REPO, "docs", "TURBO_QUALITY.md")
+    "S2V_TURBO_MD", os.path.join(REPO, "docs", _default_md)
 )
 
 
@@ -134,7 +145,8 @@ def main():
         try:
             with open(JSON_OUT) as f:
                 prior = json.load(f)
-            if prior.get("geometry") == f"B={B} F={F} {H}x{W} steps={steps}":
+            if (prior.get("geometry") == f"B={B} F={F} {H}x{W} steps={steps}"
+                    and prior.get("weights", "random-proxy") == WEIGHTS_REGIME):
                 results = [
                     {"name": r["name"], "denoise_s": r["denoise_s"],
                      **({"n_skipped": r["n_skipped"]} if "n_skipped" in r else {})}
@@ -151,6 +163,11 @@ def main():
         os.makedirs(os.path.dirname(JSON_OUT), exist_ok=True)
         with open(JSON_OUT, "w") as f:
             json.dump({"geometry": f"B={B} F={F} {H}x{W} steps={steps}",
+                       # every PSNR in this artifact is measured on
+                       # random-init proxy weights (real checkpoint bytes
+                       # cannot enter this environment — STATUS.md); the
+                       # label rides into bench.py's turbo block
+                       "weights": WEIGHTS_REGIME,
                        "smoke": SMOKE, "runs": results}, f, indent=1)
 
     # S2V_TURBO_ONLY="banded_w1,turbo" restricts the sweep to a knob subset
@@ -203,6 +220,28 @@ def main():
 
     # ---- phase A: bf16 weights
     params = init_transformer_params_stacked(key, cfg0)
+    if WEIGHTS_NPZ:
+        # overlay trained-proxy leaves (flattened-path npz from
+        # tools/train_proxy.py) onto the init tree's structure/dtypes
+        import numpy as np  # noqa: F811
+
+        with np.load(WEIGHTS_NPZ) as zf:
+            flat = {k: zf[k] for k in zf.files}
+        paths_leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+        treedef = jax.tree.structure(params)
+        new_leaves = []
+        for path, leaf in paths_leaves:
+            kp = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+            if kp not in flat:
+                raise KeyError(f"{WEIGHTS_NPZ} is missing leaf {kp!r}")
+            if flat[kp].shape != leaf.shape:
+                raise ValueError(
+                    f"leaf {kp!r}: npz shape {flat[kp].shape} != config "
+                    f"shape {leaf.shape} — wrong config for this proxy?"
+                )
+            new_leaves.append(jnp.asarray(flat[kp], leaf.dtype))
+        params = jax.tree.unflatten(treedef, new_leaves)
+        print(f"# weights: trained proxy from {WEIGHTS_NPZ}", flush=True)
     jax.block_until_ready(jax.tree.leaves(params)[0])
 
     run_knob("exact", params, cfg0, exact_backend)
@@ -288,8 +327,11 @@ def main():
     for r in results:
         lat = np.load(_lat_path(r["name"]))
         r["latent_max_abs_err"] = float(np.abs(lat - exact_lat).max())
+        # the exact row's PSNR-vs-itself is serialized as None, not
+        # float('inf'): json.dump writes bare `Infinity`, which strict JSON
+        # consumers (jq, JSON.parse) reject (ADVICE r3)
         r["frame_psnr_vs_exact_db"] = (
-            float("inf") if r["name"] == "exact"
+            None if r["name"] == "exact"
             else round(psnr(decode(lat), frames_exact), 2)
         )
         r["speedup_vs_exact"] = round(exact_dt / max(r["denoise_s"], 1e-9), 2)
