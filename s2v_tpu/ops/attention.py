@@ -303,16 +303,29 @@ def flash_attention_trainable(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) ->
     full 5b geometry: bwd 224 ms (50 TF/s effective) vs 812 ms for the
     XLA rematerializing VJP of :func:`chunked_attention` — 3.6x.  The
     chunked backend remains the kernel-free fallback (its VJP is
-    checkpointed, so it is memory-safe at full geometry too)."""
+    checkpointed, so it is memory-safe at full geometry too).
+
+    Softmax mode defaults to "bounded" (no online-max recurrence; exact,
+    with a transparent in-graph fallback to the online kernel on fp32
+    underflow — see flash_attention's docstring); S2V_FLASH_SOFTMAX=online
+    pins the classic recurrence for A/B runs."""
     from s2v_tpu.ops.pallas.flash_attention import flash_attention
 
-    return flash_attention(q, k, v)
+    return flash_attention(q, k, v, softmax_mode=_flash_softmax_mode())
+
+
+def _flash_softmax_mode() -> str:
+    import os
+
+    return os.environ.get("S2V_FLASH_SOFTMAX", "bounded")
 
 
 def _fat_fwd(q, k, v):
     from s2v_tpu.ops.pallas.flash_attention import flash_attention
 
-    o, lse = flash_attention(q, k, v, return_lse=True)
+    o, lse = flash_attention(
+        q, k, v, return_lse=True, softmax_mode=_flash_softmax_mode()
+    )
     return o, (q, k, v, o, lse)
 
 
