@@ -41,7 +41,12 @@ def get_args(argv=None):
     p.add_argument("--cache_dir", type=str, default=None)
     p.add_argument("--dataset_name", type=str, default="customization")
     p.add_argument("--dataloader_num_workers", type=int, default=16)
-    p.add_argument("--ref_img_path", type=str, required=True)
+    p.add_argument("--ref_img_path", type=str, default=None,
+                   help="subject reference image (required unless --pipeline t2v)")
+    p.add_argument("--pipeline", type=str, default="s2v", choices=("s2v", "t2v"),
+                   help="s2v = subject-conditioned (reference default); t2v = "
+                        "plain text-to-video with NO ref stream (stock "
+                        "CogVideoX semantics for unmodified checkpoints)")
     p.add_argument("--guidance_scale", type=float, default=6.0)
     p.add_argument("--use_dynamic_cfg", action="store_true", default=False)
     p.add_argument("--seed", type=int, default=420)
@@ -118,6 +123,8 @@ def main(args=None):
     # frame-count validation happens in generate(): rotary (5b) models
     # accept clips beyond the reference's 49-frame cap, sincos (2b) models
     # keep it (static positional table)
+    if args.pipeline != "t2v" and not args.ref_img_path:
+        raise SystemExit("--ref_img_path is required (or use --pipeline t2v)")
     os.makedirs(args.output_dir, exist_ok=True)
 
     import jax
@@ -169,23 +176,38 @@ def main(args=None):
                   f"(+{now - _last[0]:.0f}s{note})", flush=True)
             _last[0] = now
 
-    video = pipe.generate(
-        prompt=args.prompt,
-        ref_image=args.ref_img_path,
-        height=args.height,
-        width=args.width,
-        num_frames=args.max_num_frames,
-        num_inference_steps=args.num_inference_steps,
-        guidance_scale=args.guidance_scale,
-        use_dynamic_cfg=args.use_dynamic_cfg,
-        use_dpm=args.use_dpm,
-        seed=args.seed,
-        adaptive_threshold=args.adaptive_threshold,
-        cfg_skip_threshold=args.cfg_skip_threshold,
-        segment_steps=args.segment_steps,
-        callback_on_segment_end=progress,
-        progress=args.progress,
-    )
+    if args.pipeline == "t2v":
+        from s2v_tpu.pipelines.variants import generate_t2v
+
+        video = generate_t2v(
+            pipe,
+            prompt=args.prompt,
+            height=args.height,
+            width=args.width,
+            num_frames=args.max_num_frames,
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale,
+            use_dynamic_cfg=args.use_dynamic_cfg,
+            seed=args.seed,
+        )
+    else:
+        video = pipe.generate(
+            prompt=args.prompt,
+            ref_image=args.ref_img_path,
+            height=args.height,
+            width=args.width,
+            num_frames=args.max_num_frames,
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale,
+            use_dynamic_cfg=args.use_dynamic_cfg,
+            use_dpm=args.use_dpm,
+            seed=args.seed,
+            adaptive_threshold=args.adaptive_threshold,
+            cfg_skip_threshold=args.cfg_skip_threshold,
+            segment_steps=args.segment_steps,
+            callback_on_segment_end=progress,
+            progress=args.progress,
+        )
     if args.profile_dir:
         jax.profiler.stop_trace()
     dt = time.perf_counter() - t1

@@ -295,8 +295,15 @@ def block_forward(
     rope_sin: Optional[jnp.ndarray],
     cfg: TransformerConfig,
     attention_backend: str = "xla",
+    tokens_per_frame: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One CogVideoXBlock (reference cogvideox_transformer_3d.py:122-186)."""
+    """One CogVideoXBlock (reference cogvideox_transformer_3d.py:122-186).
+
+    ``ref`` may be zero-width ``[B, 0, D]`` — the no-ref T2V mode (stock
+    CogVideoX semantics, reference pipeline_cogvideox.py:140-746): every
+    ref-stream op degenerates to a no-op and the attended sequence is
+    ``[text | video]``.
+    """
     t_len = text.shape[1]
     r_len = ref.shape[1]
 
@@ -315,8 +322,17 @@ def block_forward(
 
     if attention_backend in WINDOWED_BACKENDS:
         # opt-in sliding-temporal-window path: text+ref are the global
-        # segment; the ref stream is one frame, so tokens/frame = r_len
-        window = (t_len + r_len, r_len, cfg.attention_window_frames)
+        # segment.  tokens/frame comes from the ref stream when present
+        # (the ref is one latent frame with the video's spatial dims); the
+        # no-ref T2V mode receives it explicitly (transformer_forward
+        # derives it from the video geometry).
+        tpf = r_len if r_len > 0 else tokens_per_frame
+        if tpf <= 0:
+            raise ValueError(
+                "windowed attention needs tokens-per-frame; call through "
+                "transformer_forward so it is derived from the video shape"
+            )
+        window = (t_len + r_len, tpf, cfg.attention_window_frames)
     attn = joint_attention(
         p["attn"],
         x,
@@ -350,7 +366,7 @@ def transformer_forward(
     params,
     cfg: TransformerConfig,
     video_latents: jnp.ndarray,  # [B, F, H, W, C] channels-last
-    ref_latents: jnp.ndarray,  # [B, Fr, Hr, Wr, C]
+    ref_latents: Optional[jnp.ndarray],  # [B, Fr, Hr, Wr, C]; None = T2V (no ref stream)
     text_embeds: jnp.ndarray,  # [B, T, text_embed_dim]
     timestep: jnp.ndarray,  # [B]
     rope_cos: Optional[jnp.ndarray] = None,  # [S_total, head_dim/2] segmented
@@ -365,6 +381,12 @@ def transformer_forward(
     (cogvideox_transformer_3d.py:450-560).  CFG batching (uncond/cond and the
     duplicated ref tokens of the ``eval=True`` path, :503-504) is done by the
     pipeline — here every batch row already carries its ref stream.
+
+    ``ref_latents=None`` selects the no-ref T2V mode (stock CogVideoX
+    semantics): the ref stream is zero-width, the attended sequence is
+    ``[text | video]``, and stock checkpoints run unmodified (the
+    reference's own T2V pipeline is broken against its modified
+    transformer — pipeline_cogvideox.py:685-686 FIXME; this one is not).
     """
     b, f, h, w, _ = video_latents.shape
     p = cfg.patch_size
@@ -389,9 +411,12 @@ def transformer_forward(
     # 2. patch/text embedding
     pe = params["patch_embed"]
     text = text_embeds.astype(cfg.dtype) @ pe["text_proj"]["kernel"] + pe["text_proj"]["bias"]
-    ref = patchify_video(ref_latents.astype(cfg.dtype), pe["proj"]["kernel"], pe["proj"]["bias"], p)
     video = patchify_video(video_latents.astype(cfg.dtype), pe["proj"]["kernel"], pe["proj"]["bias"], p)
     video = constrain(video, "dp", "sp", None)
+    if ref_latents is None:
+        ref = video[:, :0]  # zero-width stream: T2V mode
+    else:
+        ref = patchify_video(ref_latents.astype(cfg.dtype), pe["proj"]["kernel"], pe["proj"]["bias"], p)
 
     if pos_embedding is not None and not cfg.use_rotary_positional_embeddings:
         # 2b/sincos path: learned-less 3D sincos added over [text | video]
@@ -411,7 +436,8 @@ def transformer_forward(
             layer_params = apply_runtime_lora_block(layer_params, xs[1])
         v, t, r = carry
         v, t, r = block_forward(
-            layer_params, v, t, r, temb, rope_cos, rope_sin, cfg, attention_backend
+            layer_params, v, t, r, temb, rope_cos, rope_sin, cfg,
+            attention_backend, tokens_per_frame=(h // p) * (w // p),
         )
         return (v, t, r), None
 

@@ -187,7 +187,13 @@ def _build_eps_update_fns(
     key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
 
     batched_cfg = do_cfg and cfg_mode == "batched"
-    ref_in = jnp.concatenate([ref_latents, ref_latents], axis=0) if batched_cfg else ref_latents
+    # ref_latents=None: no-ref T2V mode (zero-width ref stream in the
+    # transformer — stock CogVideoX semantics)
+    ref_in = (
+        None if ref_latents is None
+        else jnp.concatenate([ref_latents, ref_latents], axis=0) if batched_cfg
+        else ref_latents
+    )
     if do_cfg and not batched_cfg:
         emb_uncond, emb_cond = jnp.split(prompt_embeds, 2, axis=0)
 
@@ -195,7 +201,11 @@ def _build_eps_update_fns(
         def fwd(lat_in, emb):
             # ref / timestep batch follow the latent batch (the CFG-skip
             # branch runs a B-sized forward inside a batched-CFG loop)
-            ref = ref_in if ref_in.shape[0] == lat_in.shape[0] else ref_latents
+            ref = (
+                None if ref_in is None
+                else ref_in if ref_in.shape[0] == lat_in.shape[0]
+                else ref_latents
+            )
             t = jnp.full((lat_in.shape[0],), timesteps[i], jnp.int32)
             if cond_latents is not None:
                 # I2V conditioning: image latents (frame-0 + zero padding)

@@ -59,6 +59,75 @@ def prepare_v2v_latents(
     return add_noise(init, noise, alphas, t0)
 
 
+def generate_t2v(
+    pipe,
+    prompt: str,
+    height: int = 480,
+    width: int = 720,
+    num_frames: int = 49,
+    num_inference_steps: int = 50,
+    guidance_scale: float = 6.0,
+    use_dynamic_cfg: bool = False,
+    seed: int = 420,
+    output_type: str = "np",
+):
+    """Plain text-to-video: NO reference-image stream (stock CogVideoX
+    semantics, reference pipeline_cogvideox.py:140-746 — whose own T2V is
+    broken against the repo's modified transformer, :685-686 FIXME).
+
+    The transformer runs with a zero-width ref stream (the attended
+    sequence is ``[text | video]`` and the RoPE tables carry no ref
+    segment), so stock CogVideoX-5b/2b checkpoints loaded without a LoRA
+    produce their published behavior.
+    """
+    cfg = pipe.transformer_cfg
+    key = jax.random.PRNGKey(seed)
+    do_cfg = guidance_scale > 1.0
+
+    prompt_embeds = pipe.encode_prompt(prompt, do_cfg=do_cfg).astype(cfg.dtype)
+    sc = pipe.vae_cfg.spatial_compression_ratio
+    f_lat = (num_frames - 1) // pipe.vae_cfg.temporal_compression_ratio + 1
+    h_lat, w_lat = height // sc, width // sc
+    latents = jax.random.normal(
+        key, (1, f_lat, h_lat, w_lat, cfg.in_channels), jnp.float32
+    ).astype(cfg.dtype)
+
+    rope_cos = rope_sin = pos_embedding = None
+    if cfg.use_rotary_positional_embeddings:
+        from s2v_tpu.ops.rope import build_segmented_rope, prepare_video_and_ref_rope
+
+        vc, vs, rc, rs = prepare_video_and_ref_rope(
+            height, width, f_lat, cfg.attention_head_dim, cfg.patch_size, sc
+        )
+        # zero-width ref segment: [text (identity) | video]
+        rope_cos, rope_sin = build_segmented_rope(
+            cfg.max_text_seq_length, rc[:0], rs[:0], vc, vs
+        )
+    else:
+        from s2v_tpu.ops.sincos import joint_text_video_pos_embedding
+
+        pos_embedding = jnp.asarray(
+            joint_text_video_pos_embedding(
+                cfg, height // sc // cfg.patch_size, width // sc // cfg.patch_size, f_lat
+            )
+        )
+
+    schedule = DenoiseSchedule.create(
+        pipe.scheduler_cfg, num_inference_steps, guidance_scale, use_dynamic_cfg
+    )
+    run = jax.jit(
+        lambda p, lat, emb: denoise(
+            p, cfg, schedule, lat, None, emb, rope_cos, rope_sin,
+            do_cfg=do_cfg, attention_backend=pipe.attention_backend,
+            pos_embedding=pos_embedding,
+        )
+    )
+    final = run(pipe.transformer_params, latents, prompt_embeds)
+    if output_type == "latent":
+        return final
+    return pipe.decode_latents(final)
+
+
 def generate_i2v(
     pipe,
     prompt: str,

@@ -400,3 +400,52 @@ def test_disentangled_modulation_loader_and_forward():
     # the all-merged forward (video/text follow base now)
     assert float(jnp.abs(out_m_disent - out_m_plain).max()) > 1e-4
     assert float(jnp.abs(out_m_disent - out_plain).max()) > 1e-4
+
+
+def test_t2v_two_stream_golden_parity():
+    """No-ref T2V mode (VERDICT r3 #5): our transformer with
+    ``ref_latents=None`` vs the independent torch model run with a
+    zero-frame ref stream — certifies the 2-stream [text | video]
+    semantics stock CogVideoX checkpoints need (the reference's own T2V
+    pipeline is broken against its modified transformer,
+    pipeline_cogvideox.py:685-686 FIXME)."""
+    cfg = TransformerConfig.tiny()
+    torch.manual_seed(0)
+    model = TorchTinyTransformer(cfg).eval()
+    params = convert_transformer_state_dict(model.hf_state_dict(), cfg)
+
+    rng = np.random.RandomState(0)
+    B, Fv, H, W = 2, 3, 16, 16
+    video = rng.randn(B, Fv, H, W, cfg.in_channels).astype(np.float32)
+    text = rng.randn(B, cfg.max_text_seq_length, cfg.text_embed_dim).astype(np.float32)
+    t = np.array([999, 40], np.float32)
+
+    cos, sin, tok = _tiny_rope_tables(cfg, Fv, H, W)
+    # zero-width ref segment: [text (identity) | video]
+    cos_seg, sin_seg = build_segmented_rope(
+        cfg.max_text_seq_length, cos[:0], sin[:0],
+        cos[tok : tok * (Fv + 1)], sin[tok : tok * (Fv + 1)],
+    )
+    ours = transformer_forward(
+        params, cfg, jnp.asarray(video), None, jnp.asarray(text), jnp.asarray(t),
+        cos_seg, sin_seg,
+    )
+
+    with torch.no_grad():
+        full_cos = np.concatenate(
+            [np.ones((cfg.max_text_seq_length, cfg.attention_head_dim // 2), np.float32),
+             cos[tok : tok * (Fv + 1)]], axis=0)
+        full_sin = np.concatenate(
+            [np.zeros((cfg.max_text_seq_length, cfg.attention_head_dim // 2), np.float32),
+             sin[tok : tok * (Fv + 1)]], axis=0)
+        tcos, tsin = rope_interleaved(full_cos, full_sin)
+        theirs = model(
+            torch.from_numpy(video).permute(0, 1, 4, 2, 3),
+            torch.zeros((B, 0, cfg.in_channels, H, W)),  # zero-frame ref
+            torch.from_numpy(text),
+            torch.from_numpy(t),
+            tcos,
+            tsin,
+        )
+    theirs = theirs.permute(0, 1, 3, 4, 2).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=5e-4, rtol=1e-4)

@@ -96,3 +96,27 @@ def test_schedule_truncate():
     np.testing.assert_array_equal(t.timesteps, sched.timesteps[10:])
     t_full = sched.truncate(1.0)
     assert len(t_full.timesteps) == 50
+
+
+def test_t2v_generate():
+    """No-ref T2V end to end (zero-width ref stream)."""
+    from s2v_tpu.pipelines.variants import generate_t2v
+
+    pipe = _pipe()
+    out = generate_t2v(
+        pipe, "a pig", height=32, width=32, num_frames=9,
+        num_inference_steps=2, guidance_scale=6.0, seed=0,
+    )
+    assert out.shape[0] == 1 and out.shape[-1] == 3
+    assert np.isfinite(out).all()
+
+
+def test_t2v_differs_from_s2v_and_is_deterministic():
+    from s2v_tpu.pipelines.variants import generate_t2v
+
+    pipe = _pipe()
+    a = generate_t2v(pipe, "a pig", height=32, width=32, num_frames=9,
+                     num_inference_steps=2, seed=0, output_type="latent")
+    b = generate_t2v(pipe, "a pig", height=32, width=32, num_frames=9,
+                     num_inference_steps=2, seed=0, output_type="latent")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
