@@ -102,6 +102,31 @@ def transformer_param_specs(cfg: TransformerConfig, model_axis: str = "model"):
     }
 
 
+def t5_param_specs(params, model_axis: str = "model"):
+    """Megatron TP ``PartitionSpec`` tree for the T5 encoder
+    (models/t5.py): q/k/v and the gated-MLP ``wi_*`` kernels are
+    column-parallel (heads / d_ff sharded), ``o``/``wo`` row-parallel (the
+    contraction psum is inserted by GSPMD), the relative-attention bias
+    table shards its head axis, embeddings / RMSNorm weights replicate.
+    Stacked per-layer kernels carry a leading layer axis (P(None, ...)).
+    """
+    m = model_axis
+
+    def spec_for(path, leaf):
+        keys = [str(getattr(p, "key", "")) for p in path]
+        if "blocks" in keys:
+            if any(k in keys for k in ("q", "k", "v", "wi_0", "wi_1")):
+                return P(None, None, m)  # [L, d_model, inner/d_ff]
+            if any(k in keys for k in ("o", "wo")):
+                return P(None, m, None)  # [L, inner/d_ff, d_model]
+            return P()  # layer norms: [L, d_model]
+        if "relative_attention_bias" in keys:
+            return P(None, m)  # [num_buckets, H]
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
 def parse_mesh_spec(spec: str) -> Dict[str, int]:
     """CLI mesh grammar -> axis sizes, e.g. ``"dp2,tp4"`` ->
     ``{"data": 2, "model": 4}`` and ``"sp8"`` -> ``{"seq": 8}``.

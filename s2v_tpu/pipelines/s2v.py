@@ -56,7 +56,13 @@ class S2VPipeline:
     # exceeds the VAE's native sample size — on a 16 GB TPU chip the full
     # 480p decode fits HBM untiled and is the mathematically exact decoder
     # output (no blend seams), measured 3.98 s vs 5.28 s tiled.
-    vae_tiling: object = True  # True | False | "auto"
+    # "auto" (default): tile only when the frame exceeds the VAE's native
+    # sample size — at the flagship 480x720 that means UNTILED, which is
+    # the exact decoder output (tiling's overlap-blend is a GPU memory
+    # workaround the reference needs and a 16 GB v5e does not: measured
+    # 3.98 s vs 5.27 s tiled for 13->49 frames).  True forces reference
+    # tiling numerics, False forces whole-frame.
+    vae_tiling: object = "auto"  # "auto" | True | False
     vae_slicing: bool = True
     # multi-chip: a jax.sharding.Mesh + logical->mesh axis map.  Attach via
     # from_pretrained(mesh=...) or set_mesh(); generate() then runs the
@@ -102,6 +108,16 @@ class S2VPipeline:
             else:
                 self.transformer_params = replicate(self.transformer_params, mesh)
             self.vae_params = replicate(self.vae_params, mesh)
+            if self.t5_on_mesh and self.t5_params is not None:
+                from s2v_tpu.parallel.sharding import t5_param_specs
+
+                if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+                    self.t5_params = shard_params(
+                        self.t5_params, mesh, t5_param_specs(self.t5_params, "model")
+                    )
+                else:
+                    self.t5_params = replicate(self.t5_params, mesh)
+                self._prompt_embed_cache.clear()
         # cached runtime-LoRA factor trees were placed for the previous
         # mesh/device layout; an *attached* adapter was just re-placed with
         # the params above, but the idle cache entries are stale
@@ -151,6 +167,11 @@ class S2VPipeline:
     # enable_model_cpu_offload, pipeline_utils.py:991 — on a 16 GB v5e chip
     # T5-XXL ~9.4 GB bf16 + DiT ~11.1 GB cannot both be HBM-resident)
     t5_on_host: bool = False
+    # True = T5 params are TP-sharded over the mesh's 'model' axis and
+    # encode runs on-device (text_encoder_device="mesh"): pod configs must
+    # not inherit the single-chip host path's serial-CPU encode latency
+    # (bench_runs/t5_host.json)
+    t5_on_mesh: bool = False
     # compiled-denoise cache for repeated generate() calls (serving)
     _compiled_denoise: dict = field(default_factory=dict, repr=False)
     # prompt -> embedding cache (serving: the "" negative prompt repeats
@@ -179,7 +200,7 @@ class S2VPipeline:
         dtype=jnp.bfloat16,
         attention_backend: str = "auto",
         quantize_int8: bool = False,
-        text_encoder_device: str = "auto",  # "auto" | "device" | "host"
+        text_encoder_device: str = "auto",  # "auto" | "device" | "host" | "mesh"
         disentangled_modulation: bool = False,
         mesh=None,  # "dp2,tp4" | {"data": 2, ...} | jax.sharding.Mesh
         cache_dir: Optional[str] = None,
@@ -241,6 +262,8 @@ class S2VPipeline:
             t5_sd = load_sharded_safetensors(t5_dir)  # numpy, host-side
             if text_encoder_device == "host":
                 t5_on_host = True
+            elif text_encoder_device == "mesh":
+                t5_on_host = False  # sharded over the mesh below (set_mesh)
             elif text_encoder_device == "auto":
                 itemsize = jnp.dtype(dtype).itemsize
                 model_bytes = itemsize * (
@@ -293,6 +316,10 @@ class S2VPipeline:
         )
         if lora_checkpoint is not None:
             pipe._merged_lora = (os.path.realpath(lora_checkpoint), float(lora_alpha))
+        if text_encoder_device == "mesh":
+            if mesh is None:
+                raise ValueError('text_encoder_device="mesh" needs mesh=...')
+            pipe.t5_on_mesh = True
         if mesh is not None:
             pipe.set_mesh(mesh)
         return pipe
@@ -555,6 +582,14 @@ class S2VPipeline:
                 with jax.default_device(cpu):
                     emb = t5_encode(self.t5_params, self.t5_cfg, jax.device_put(ids, cpu))
                 emb = jax.device_put(emb, jax.devices()[0])
+            elif self.t5_on_mesh and self.mesh is not None:
+                # TP-sharded on-device encode: one jitted program under the
+                # mesh; GSPMD inserts the row-parallel psums from the param
+                # shardings (t5_param_specs)
+                with self._mesh_ctx():
+                    emb = jax.jit(lambda p, i: t5_encode(p, self.t5_cfg, i))(
+                        self.t5_params, ids
+                    )
             else:
                 emb = t5_encode(self.t5_params, self.t5_cfg, ids)
             # FIFO cap; never evict keys needed by THIS call
@@ -618,6 +653,21 @@ class S2VPipeline:
         Untiled (the CP paths decode whole frames)."""
         z = latents.astype(self.vae_cfg.dtype) / self.vae_cfg.scaling_factor
         ring = self._seq_ring()
+        sc_ = self.vae_cfg.spatial_compression_ratio
+        if ring > 1 and self._resolve_tiling(z.shape[2] * sc_, z.shape[3] * sc_):
+            # above-native resolutions tile spatially; with a seq mesh the
+            # independent tiles decode in PARALLEL (parallel/vae_spatial.py
+            # — bit-compatible with the sequential tiled decode)
+            from s2v_tpu.parallel.vae_spatial import (
+                spatial_cp_supported,
+                spatial_tiled_decode_cp,
+            )
+
+            if spatial_cp_supported(self.vae_cfg, z, self.mesh, "seq"):
+                frames = spatial_tiled_decode_cp(
+                    self.vae_params, self.vae_cfg, z, self.mesh, "seq"
+                )
+                return denormalize_video(np.asarray(frames.astype(jnp.float32)))
         t = z.shape[1]
         fb = self.vae_cfg.num_latent_frames_batch_size
         n_cp = 0

@@ -50,11 +50,11 @@ def get_args(argv=None):
                    help="half-width (latent frames) for --attention_backend windowed")
     p.add_argument("--quantize_int8", action="store_true", default=False)
     p.add_argument("--text_encoder_device", type=str, default="auto",
-                   choices=["auto", "device", "host"],
+                   choices=["auto", "device", "host", "mesh"],
                    help="host keeps T5 in host RAM (cpu-offload equivalent)")
     p.add_argument("--mesh", type=str, default=None,
                    help="multi-chip device mesh, e.g. 'dp2,tp4' or 'sp8'")
-    p.add_argument("--enable_tiling", type=_tiling_policy, default=True)
+    p.add_argument("--enable_tiling", type=_tiling_policy, default="auto")
     p.add_argument("--enable_slicing", type=_str2bool, default=True)
     p.add_argument("--fps", type=int, default=8)
     p.add_argument("--ready_file", type=str, default=None,

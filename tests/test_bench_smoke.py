@@ -98,3 +98,69 @@ def test_turbo_quality_cpu_smoke(tmp_path):
     adaptive = next(r for r in rec["runs"] if r["name"] == "adaptive_0.1")
     assert isinstance(adaptive["n_skipped"], int) and adaptive["n_skipped"] >= 0
     assert (tmp_path / "tq.md").read_text().count("|") > 20
+
+
+def test_train_proxy_and_trained_sweep_smoke(tmp_path):
+    """tools/train_proxy.py (structured-weight proxy, VERDICT r3 #2b) +
+    the turbo sweep consuming its npz: weights overlay, prompt-bank
+    conditioning, 'trained-proxy' regime label."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    npz = tmp_path / "proxy.npz"
+    env = dict(os.environ, S2V_PROXY_SMOKE="1", S2V_PROXY_OUT=str(npz))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "train_proxy.py")],
+        capture_output=True, text=True, timeout=540, cwd=repo, env=env,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert npz.exists()
+
+    tq = tmp_path / "tq.json"
+    env = dict(
+        os.environ, S2V_TURBO_SMOKE="1", S2V_TURBO_WEIGHTS=str(npz),
+        S2V_TURBO_JSON=str(tq), S2V_TURBO_MD=str(tmp_path / "tq.md"),
+        S2V_TURBO_ONLY="cfg_skip_0.01", S2V_TURBO_LATENTS=str(tmp_path / "lat"),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "bench_turbo_quality.py")],
+        capture_output=True, text=True, timeout=540, cwd=repo, env=env,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    rec = json.loads(tq.read_text(), parse_constant=lambda x: (_ for _ in ()).throw(ValueError(x)))
+    assert rec["weights"] == "trained-proxy"
+    rows = {r["name"]: r for r in rec["runs"]}
+    assert rows["exact"]["frame_psnr_vs_exact_db"] is None
+    skip = rows["cfg_skip_0.01"]["frame_psnr_vs_exact_db"]
+    assert skip is not None and skip <= 999.0
+
+
+def test_pod_day_smoke(tmp_path):
+    """tools/pod_day.py (executable pod-day checklist, VERDICT r3 #4): a
+    representative stage subset runs on the virtual CPU mesh (the full
+    six-stage smoke takes ~5 min standalone and was timing out under CI
+    contention; bench_runs/pod_day_smoke.json holds a full-run artifact)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    art = tmp_path / "pod_day.json"
+    env = dict(os.environ, S2V_POD_DAY_SMOKE="1", S2V_POD_DAY_JSON=str(art),
+               S2V_POD_DAY_STAGES="topology,ag_overlap,dit_step")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "pod_day.py")],
+        capture_output=True, text=True, timeout=540, cwd=repo, env=env,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    rec = json.loads(art.read_text())
+    assert set(rec["stages"]) == {"topology", "ag_overlap", "dit_step"}
+    for name, stage in rec["stages"].items():
+        assert "skipped" not in stage, f"{name}: {stage}"
+
+
+def test_t5_host_bench_smoke(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    art = tmp_path / "t5.json"
+    env = dict(os.environ, S2V_T5_BENCH_TINY="1", S2V_T5_BENCH_JSON=str(art))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "bench_t5_host.py")],
+        capture_output=True, text=True, timeout=540, cwd=repo, env=env,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    rec = json.loads(art.read_text())
+    assert {r["dtype"] for r in rec["runs"]} == {"bfloat16", "float32"}

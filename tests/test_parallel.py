@@ -712,3 +712,106 @@ def test_sp_windowed_backend_through_transformer():
             )
         )(params, lat2, ref2, emb)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4, rtol=1e-4)
+
+
+def test_t5_tp_sharded_encode_matches_single_device():
+    """text_encoder_device="mesh": the TP-sharded T5 encode (megatron
+    q/k/v/wi column-parallel, o/wo row-parallel — parallel/sharding.py
+    t5_param_specs) reproduces the single-device encode."""
+    from s2v_tpu.config import T5Config
+    from s2v_tpu.models.t5 import init_t5_params, t5_encode
+    from s2v_tpu.parallel.sharding import t5_param_specs
+
+    cfg = T5Config.tiny()
+    params = init_t5_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(
+        np.random.RandomState(0).randint(2, 30, size=(2, 16)), jnp.int32
+    )
+    ref_out = np.asarray(t5_encode(params, cfg, ids), np.float32)
+
+    mesh = make_mesh({"model": 4, "data": 2})
+    specs = t5_param_specs(params, "model")
+    # every kernel leaf must have a non-trivial spec (guards the
+    # path-matching against key renames)
+    flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+    sharded_leaves = [s for _, s in flat if s != jax.sharding.PartitionSpec()]
+    # stacked tree: 7 block kernels (q k v o wi_0 wi_1 wo) + the relative
+    # attention bias table
+    assert len(sharded_leaves) == 8
+    p_sh = shard_params(params, mesh, specs)
+    with mesh_context(mesh, default_logical_map(mesh)):
+        out = jax.jit(lambda p, i: t5_encode(p, cfg, i))(p_sh, ids)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref_out, atol=2e-5, rtol=1e-4)
+
+
+def test_pipeline_t5_on_mesh_encode(tmp_path):
+    """S2VPipeline plumbing: t5_on_mesh shards T5 at set_mesh and
+    encode_prompt runs the jitted TP program."""
+    from s2v_tpu.config import T5Config, VAEConfig
+    from s2v_tpu.models.t5 import init_t5_params
+    from s2v_tpu.models.vae import init_vae_params
+    from s2v_tpu.models.transformer import init_transformer_params
+    from s2v_tpu.pipelines.s2v import S2VPipeline
+
+    class _Tok:
+        def encode(self, prompts, max_length=226):
+            out = np.zeros((len(prompts), max_length), np.int32)
+            for i, p in enumerate(prompts):
+                ids = [(hash(w) % 20) + 2 for w in p.split()][: max_length - 1] + [1]
+                out[i, : len(ids)] = ids
+            return out
+
+    tcfg = TransformerConfig.tiny()
+    t5cfg = T5Config.tiny(d_model=tcfg.text_embed_dim)
+    key = jax.random.PRNGKey(0)
+    pipe = S2VPipeline(
+        transformer_params=init_transformer_params(key, tcfg),
+        transformer_cfg=tcfg,
+        vae_params=init_vae_params(key, VAEConfig.tiny()),
+        vae_cfg=VAEConfig.tiny(),
+        t5_params=init_t5_params(key, t5cfg),
+        t5_cfg=t5cfg,
+        scheduler_cfg=SchedulerConfig(),
+        tokenizer=_Tok(),
+    )
+    base = np.asarray(pipe.encode_prompt("a pig", do_cfg=False), np.float32)
+    pipe.t5_on_mesh = True
+    pipe.set_mesh("dp2,tp4")
+    out = np.asarray(pipe.encode_prompt("a pig", do_cfg=False), np.float32)
+    np.testing.assert_allclose(out, base, atol=2e-5, rtol=1e-4)
+
+
+def test_spatial_cp_tiled_decode_matches_sequential():
+    """Spatial-tile CP decode (parallel/vae_spatial.py): full tiles decoded
+    in one sharded vmap + ragged edges sequential == the single-device
+    tiled decode bit-for-bit at fp32 tolerance (VERDICT r3 #7)."""
+    from s2v_tpu.config import VAEConfig
+    from s2v_tpu.models.vae import _tiled, init_vae_params
+    from s2v_tpu.parallel.vae_spatial import (
+        spatial_cp_supported,
+        spatial_tiled_decode_cp,
+    )
+
+    vcfg = VAEConfig.tiny()  # tile_latent 4x4, overlaps 1/6 & 1/5
+    params = init_vae_params(jax.random.PRNGKey(0), vcfg)
+    # latents above native size in both dims -> tiled regime with a mix of
+    # full and ragged edge tiles (the reference grid always overshoots)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 10, 13, vcfg.latent_channels), jnp.float32)
+
+    expected = _tiled(params, vcfg, z, encode=False)
+    mesh = make_mesh({"seq": 4}, jax.devices()[:4])
+    assert spatial_cp_supported(vcfg, z, mesh, "seq")
+    got = spatial_tiled_decode_cp(params, vcfg, z, mesh, "seq")
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=3e-5, rtol=1e-4)
+
+
+def test_spatial_cp_not_engaged_below_native():
+    from s2v_tpu.config import VAEConfig
+    from s2v_tpu.parallel.vae_spatial import spatial_cp_supported
+
+    vcfg = VAEConfig.tiny()  # tile_latent_min = 2x2
+    z = jnp.zeros((1, 2, vcfg.tile_latent_min_height, vcfg.tile_latent_min_width,
+                   vcfg.latent_channels))
+    mesh = make_mesh({"seq": 4}, jax.devices()[:4])
+    assert not spatial_cp_supported(vcfg, z, mesh, "seq")

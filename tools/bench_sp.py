@@ -27,7 +27,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from s2v_tpu.ops.pallas.flash_attention import flash_attention  # noqa: E402
 
 B, S, H, D = 1, 19126, 48, 64
-RING = 8
+RING = int(os.environ.get("S2V_BENCH_SP_RING", "8"))  # tools/pod_day.py sets 16
 S_LOC = (S + RING - 1) // RING  # 2391
 FLOPS_FULL = 4 * B * H * S * S * D  # qk + pv
 

@@ -106,7 +106,14 @@ def main():
         banded_backend, int8qk_backend = "windowed_xla", "xla"
     else:
         B, F, H, W, steps, seg = 1, 13, 60, 90, 50, 6
-        cfg0 = TransformerConfig.cogvideox_5b()
+        # S2V_TURBO_LAYERS: depth override for the trained-proxy regime
+        # (tools/train_proxy.py trains a production-dim SHALLOW model; the
+        # sweep's quality rows then come from structured weights at the
+        # real tensor shapes.  Timing rows at reduced depth are not the
+        # flagship timings — the artifact records the depth.)
+        n_layers = int(os.environ.get("S2V_TURBO_LAYERS", "0"))
+        cfg0 = (TransformerConfig.cogvideox_5b(num_layers=n_layers)
+                if n_layers else TransformerConfig.cogvideox_5b())
         vcfg = VAEConfig()
         exact_backend = "pallas"
         banded_backend, int8qk_backend = "windowed", "pallas_int8"
@@ -115,6 +122,18 @@ def main():
     latents0 = jax.random.normal(jax.random.PRNGKey(3), (B, F, H, W, cfg0.in_channels), cfg0.dtype)
     ref = jax.random.normal(key, (B, 1, H, W, cfg0.in_channels), cfg0.dtype)
     emb2 = jax.random.normal(key, (2 * B, cfg0.max_text_seq_length, cfg0.text_embed_dim), cfg0.dtype)
+    if WEIGHTS_NPZ:
+        # condition on embeddings the proxy was TRAINED on (uncond slot =
+        # a different subject's embedding; CFG then mixes two conditioned
+        # predictions — all the trajectory-smoothness gate needs)
+        import numpy as _np
+
+        with _np.load(WEIGHTS_NPZ) as zf:
+            if "__prompt_bank__" in zf.files:
+                bank = zf["__prompt_bank__"]
+                emb2 = jnp.asarray(
+                    _np.concatenate([bank[1:2]] * B + [bank[0:1]] * B, 0), cfg0.dtype
+                )
     rng = jax.random.PRNGKey(7)
 
     if SMOKE:
@@ -163,6 +182,7 @@ def main():
         os.makedirs(os.path.dirname(JSON_OUT), exist_ok=True)
         with open(JSON_OUT, "w") as f:
             json.dump({"geometry": f"B={B} F={F} {H}x{W} steps={steps}",
+                       "layers": cfg0.num_layers,
                        # every PSNR in this artifact is measured on
                        # random-init proxy weights (real checkpoint bytes
                        # cannot enter this environment — STATUS.md); the
@@ -327,13 +347,15 @@ def main():
     for r in results:
         lat = np.load(_lat_path(r["name"]))
         r["latent_max_abs_err"] = float(np.abs(lat - exact_lat).max())
-        # the exact row's PSNR-vs-itself is serialized as None, not
-        # float('inf'): json.dump writes bare `Infinity`, which strict JSON
-        # consumers (jq, JSON.parse) reject (ADVICE r3)
-        r["frame_psnr_vs_exact_db"] = (
-            None if r["name"] == "exact"
-            else round(psnr(decode(lat), frames_exact), 2)
-        )
+        # never serialize float('inf'): json.dump writes bare `Infinity`,
+        # which strict JSON consumers (jq, JSON.parse) reject (ADVICE r3).
+        # The exact row is None (PSNR vs itself is meaningless); a knob row
+        # whose output is bit-identical to exact caps at 999 dB (a pass).
+        if r["name"] == "exact":
+            r["frame_psnr_vs_exact_db"] = None
+        else:
+            v = float(psnr(decode(lat), frames_exact))
+            r["frame_psnr_vs_exact_db"] = round(min(v, 999.0), 2)
         r["speedup_vs_exact"] = round(exact_dt / max(r["denoise_s"], 1e-9), 2)
         _flush()
         print(f"# {r['name']}: psnr={r['frame_psnr_vs_exact_db']} dB, "
