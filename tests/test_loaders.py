@@ -49,6 +49,8 @@ def rope_interleaved(cos_half, sin_half):
 
 
 def torch_apply_rope(x, cos, sin):
+    if x.shape[2] == 0:  # zero-width segment (T2V's empty ref stream)
+        return x
     x_real, x_imag = x.reshape(*x.shape[:-1], -1, 2).unbind(-1)
     x_rot = torch.stack([-x_imag, x_real], dim=-1).flatten(3)
     return (x.float() * cos[None, None] + x_rot.float() * sin[None, None]).to(x.dtype)
