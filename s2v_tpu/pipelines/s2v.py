@@ -273,6 +273,14 @@ class S2VPipeline:
                 dev = jax.devices()[0]
                 t5_on_host = dev.platform == "tpu" and model_bytes > 13.5e9
             if t5_on_host:
+                # host CPUs emulate bf16 — fp32 encode measured 6x faster
+                # at full XXL dims (29 vs 179 s warm on a 1-core host,
+                # bench_runs/t5_host.json); RAM cost 19 GB vs 9.4 GB
+                import dataclasses
+
+                t5_cfg = dataclasses.replace(
+                    t5_cfg, dtype=jnp.float32, param_dtype=jnp.float32
+                )
                 with jax.default_device(jax.devices("cpu")[0]):
                     t5_params = convert_t5_state_dict(t5_sd, t5_cfg)
             else:

@@ -72,7 +72,14 @@ def main():
             rs.standard_normal(shape).astype(np.float32) * 0.02, dtype
         )
 
+    want = {
+        d.strip()
+        for d in os.environ.get("S2V_T5_BENCH_DTYPES", "bfloat16,float32").split(",")
+        if d.strip()
+    }
     for dtype_name, dtype in (("bfloat16", jnp.bfloat16), ("float32", jnp.float32)):
+        if dtype_name not in want:
+            continue
         t0 = time.perf_counter()
         rs = np.random.RandomState(0)
         flat = jax.tree_util.tree_flatten_with_path(skeleton)
@@ -86,7 +93,10 @@ def main():
         ids = jnp.asarray(
             np.random.RandomState(0).randint(2, 320, size=(1, seq)), jnp.int32
         )
-        enc = jax.jit(lambda p, i: t5_encode(p, cfg, i))
+        # the compute dtype must follow the round's param dtype (the scan
+        # carry starts at cfg.dtype; fp32 params would widen it mid-scan)
+        cfg_d = dataclasses.replace(cfg, dtype=dtype, param_dtype=dtype)
+        enc = jax.jit(lambda p, i: t5_encode(p, cfg_d, i))
         t0 = time.perf_counter()
         out = enc(params, ids)
         jax.block_until_ready(out)
@@ -123,6 +133,13 @@ def main():
         gc.collect()
 
     os.makedirs(os.path.dirname(JSON_OUT), exist_ok=True)
+    if os.path.exists(JSON_OUT):  # merge partial-dtype runs
+        try:
+            prior = json.load(open(JSON_OUT))
+            have = {r["dtype"] for r in rows}
+            rows = [r for r in prior.get("runs", []) if r["dtype"] not in have] + rows
+        except Exception:
+            pass
     with open(JSON_OUT, "w") as f:
         json.dump({
             "dims": f"d_model={cfg.d_model} d_ff={cfg.d_ff} layers={cfg.num_layers}",

@@ -139,6 +139,9 @@ def main():
     prep, init_opt, train_step = make_full_train_step(
         cfg, SchedulerConfig(), OptimizerSpec(learning_rate=2e-5),
         attention_backend=backend, remat=True,
+        # mixed precision: fp32 master + bf16 forward — fp32 activations at
+        # flagship geometry blow the compile-time HBM budget even at 4 layers
+        compute_dtype=None if SMOKE else jnp.bfloat16,
     )
     fparams = prep(master)
     del master
