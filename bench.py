@@ -289,12 +289,50 @@ def main():
                 tq.get("geometry") if os.environ.get("S2V_BENCH_TURBO_JSON")
                 else f"B={B} F={F} {H}x{W} steps={steps}"
             )
+            # second weight regime (VERDICT r3 #2b): if the trained-proxy
+            # sweep artifact exists (tools/train_proxy.py weights, shallow
+            # depth — its PSNR rows characterize structured trajectories,
+            # its timings do NOT replace the flagship ones), a knob must
+            # clear the 35 dB gate in BOTH regimes to be quoted.
+            trained_psnr = {}
+            try:
+                # an explicit S2V_BENCH_TURBO_JSON override (tests, ad-hoc
+                # sweeps) opts out of the committed default artifacts, so the
+                # trained regime then also only comes from an explicit path
+                tr_path = os.environ.get("S2V_BENCH_TURBO_TRAINED_JSON") or (
+                    None if os.environ.get("S2V_BENCH_TURBO_JSON") else os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "bench_runs", "turbo_quality_trained.json",
+                    )
+                )
+                if tr_path is None:
+                    raise FileNotFoundError
+                with open(tr_path) as f:
+                    tqt = json.load(f)
+                if not tqt.get("smoke") and tqt.get("weights") == "trained-proxy":
+                    trained_psnr = {
+                        r["name"]: r["frame_psnr_vs_exact_db"]
+                        for r in tqt.get("runs", [])
+                        if isinstance(r.get("frame_psnr_vs_exact_db"), (int, float))
+                    }
+            except FileNotFoundError:
+                pass
+            except Exception as e:
+                print(f"# trained-proxy artifact unreadable: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+
+            def _gate(r):
+                if r["frame_psnr_vs_exact_db"] <= 35:
+                    return False
+                t = trained_psnr.get(r["name"])
+                return t is None or t > 35
+
             cands = [
                 r for r in tq.get("runs", [])
                 if r["name"] in KNOBS
                 and isinstance(r.get("frame_psnr_vs_exact_db"), (int, float))
             ]
-            passing = [r for r in cands if r["frame_psnr_vs_exact_db"] > 35]
+            passing = [r for r in cands if _gate(r)]
             fallback = next((r for r in cands if r["name"] == "turbo"), None)
             pick = (min(passing, key=lambda r: r["denoise_s"]) if passing
                     else fallback)
@@ -314,15 +352,21 @@ def main():
                     "sec_per_clip": round(tsec, 3),
                     "vs_baseline": round(BASELINE_SECONDS / tsec, 3),
                     "frame_psnr_vs_exact_db": pick["frame_psnr_vs_exact_db"],
-                    "quality_gate_35db": "pass" if pick["frame_psnr_vs_exact_db"] > 35 else "fail",
-                    # the gate was evaluated on random-init proxy weights
-                    # (real checkpoint bytes cannot enter this environment —
+                    "quality_gate_35db": "pass" if _gate(pick) else "fail",
+                    # the gate was evaluated on proxy weights (real
+                    # checkpoint bytes cannot enter this environment —
                     # STATUS.md); banded/int8 error on real attention maps
                     # may differ, so the label rides every quote of this block
-                    "weights": tq.get("weights", "random-proxy"),
+                    "weights": (
+                        "random+trained-proxy"
+                        if pick["name"] in trained_psnr
+                        else tq.get("weights", "random-proxy")
+                    ),
                     "knobs": KNOBS[pick["name"]],
                     "source": "bench_runs/turbo_quality.json",
                 }
+                if pick["name"] in trained_psnr:
+                    turbo["frame_psnr_vs_exact_db_trained"] = trained_psnr[pick["name"]]
         except Exception as e:
             print(f"# turbo block skipped: {type(e).__name__}: {e}", file=sys.stderr)
 

@@ -67,6 +67,57 @@ def test_bench_turbo_block(tmp_path):
     assert 0 < t["vs_baseline"] < 1  # 96.89 / ~258 s
 
 
+def test_bench_turbo_two_regime_gate(tmp_path):
+    """VERDICT r3 #2b: when a trained-proxy sweep artifact is also present,
+    a knob must clear the 35 dB gate in BOTH weight regimes to be quoted —
+    a faster composite that passes on random weights but fails on the
+    structured trajectory is rejected, and the quoted block carries the
+    trained-regime PSNR + the combined regime label."""
+    art = tmp_path / "tq.json"
+    art.write_text(json.dumps({
+        "geometry": "B=1 F=13 60x90 steps=50", "smoke": False,
+        "runs": [
+            {"name": "exact", "denoise_s": 404.4},
+            {"name": "turbo_w1", "denoise_s": 230.0,
+             "frame_psnr_vs_exact_db": 41.0, "speedup_vs_exact": 1.76},
+            {"name": "turbo", "denoise_s": 252.9,
+             "frame_psnr_vs_exact_db": 38.5, "speedup_vs_exact": 1.6},
+        ],
+    }))
+    trained = tmp_path / "tq_trained.json"
+    trained.write_text(json.dumps({
+        "geometry": "B=1 F=13 60x90 steps=50", "smoke": False,
+        "weights": "trained-proxy", "layers": 4,
+        "runs": [
+            {"name": "exact", "denoise_s": 37.8},
+            # the faster composite FAILS the gate on structured weights
+            {"name": "turbo_w1", "denoise_s": 21.0,
+             "frame_psnr_vs_exact_db": 31.2, "speedup_vs_exact": 1.8},
+            {"name": "turbo", "denoise_s": 24.0,
+             "frame_psnr_vs_exact_db": 37.1, "speedup_vs_exact": 1.58},
+        ],
+    }))
+    env = dict(os.environ, S2V_BENCH_STEPS="2",
+               S2V_BENCH_TURBO_JSON=str(art),
+               S2V_BENCH_TURBO_TRAINED_JSON=str(trained))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "import bench; bench.main()"],
+        capture_output=True, text=True, timeout=540, cwd=repo, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][0])
+    t = rec["turbo"]
+    # turbo_w1 is faster but fails the trained gate; turbo passes both
+    assert t["knobs"].startswith("int8 linears + banded w=2")
+    assert t["quality_gate_35db"] == "pass"
+    assert t["frame_psnr_vs_exact_db"] == 38.5
+    assert t["frame_psnr_vs_exact_db_trained"] == 37.1
+    assert t["weights"] == "random+trained-proxy"
+
+
 def test_turbo_quality_cpu_smoke(tmp_path):
     """tools/bench_turbo_quality.py (the VERDICT r2 #5 quality artifact) must
     keep working end-to-end: tiny-config CPU sweep over a knob subset
