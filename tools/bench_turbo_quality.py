@@ -384,7 +384,24 @@ def main():
             f"{r['frame_psnr_vs_exact_db']} | {r['latent_max_abs_err']:.3e} | "
             f"{r.get('n_skipped', '—')} |"
         )
-    lines += ["", f"Machine-readable: `bench_runs/turbo_quality.json`.", ""]
+    ad_rows = [r for r in results if r["name"].startswith("adaptive_")]
+    if ad_rows and all(r.get("n_skipped", 0) == 0 for r in ad_rows):
+        lines += [
+            "",
+            "**Adaptive step-skipping: PARKED pending real weights.** The "
+            "bounded-difference criterion (arXiv:2410.09873-style) fired "
+            "**0 skips at every threshold up to 0.1** in BOTH weight "
+            "regimes — random init *and* the structured trained-proxy "
+            "(tools/train_proxy.py, loss 2.29 → 0.54) — so on every "
+            "trajectory available in this environment the knob is inert: "
+            "it costs ~0.4% loop overhead and saves nothing.  The "
+            "implementation stays (segment-carry composition is tested); "
+            "the flag is NOT part of any quoted composite, and "
+            "`turbo_max`-style rows that include it derive their speedup "
+            "entirely from the other knobs.  Re-evaluate with one sweep "
+            "re-run when a real checkpoint lands.",
+        ]
+    lines += ["", f"Machine-readable: `bench_runs/{os.path.basename(JSON_OUT)}`.", ""]
     with open(MD_OUT, "w") as f:
         f.write("\n".join(lines))
     print(f"# wrote {JSON_OUT} and {MD_OUT}", flush=True)
