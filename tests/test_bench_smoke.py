@@ -204,6 +204,23 @@ def test_pod_day_smoke(tmp_path):
         assert "skipped" not in stage, f"{name}: {stage}"
 
 
+def test_block_ablation_smoke():
+    """tools/bench_block_ablation.py: in-context per-piece block ablation
+    (kernel / qk-norm+rope / adaLN monkeypatched to identities) must run the
+    full flow on a tiny CPU config and emit the deltas JSON."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, S2V_ABLATE_SMOKE="1")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "bench_block_ablation.py")],
+        capture_output=True, text=True, timeout=540, cwd=repo, env=env,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    rec = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert set(rec["deltas_ms"]) == {"attention_incl_relayout", "qknorm_rope",
+                                     "adaln_x2", "linears_plus_rest"}
+    assert rec["ms_per_layer"]["full"] > 0
+
+
 def test_t5_host_bench_smoke(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     art = tmp_path / "t5.json"
