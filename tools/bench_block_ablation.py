@@ -97,14 +97,18 @@ def main():
         float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
 
     def chain(n):
-        def body(carry, _):
-            v, t, r = carry
-            v, t, r = tr.block_forward(
-                p1, v, t, r, temb, cos, sin, cfg, attention_backend=backend
-            )
-            return (v.astype(dt), t.astype(dt), r.astype(dt)), None
+        # params/temb/rope ride as TRACED args: closure capture would lower
+        # the ~260 MB block tree as executable constants, which the axon
+        # relay's remote-compile endpoint rejects (HTTP 413) — the same
+        # gotcha as the round-3 LoRA train step
+        def run(p, te, c, s, v0, t0, r0):
+            def body(carry, _):
+                v, t, r = carry
+                v, t, r = tr.block_forward(
+                    p, v, t, r, te, c, s, cfg, attention_backend=backend
+                )
+                return (v.astype(dt), t.astype(dt), r.astype(dt)), None
 
-        def run(v0, t0, r0):
             (v, t, r), _ = jax.lax.scan(body, (v0, t0, r0), None, length=n)
             return v
 
@@ -112,12 +116,12 @@ def main():
 
     def slope():
         f1, f2 = chain(n1), chain(n2)
-        _sync(f1(video, text, ref))
-        _sync(f2(video, text, ref))
+        _sync(f1(p1, temb, cos, sin, video, text, ref))
+        _sync(f2(p1, temb, cos, sin, video, text, ref))
 
         def run(f):
             t0 = time.perf_counter()
-            _sync(f(video, text, ref))
+            _sync(f(p1, temb, cos, sin, video, text, ref))
             return time.perf_counter() - t0
 
         t1 = min(run(f1) for _ in range(reps))
