@@ -10,11 +10,15 @@ text_proj, both adaLN modulation linears, ff.net.2), trained with the
 v-prediction objective on the frozen base model.
 
 Design: LoRA params live in a separate pytree mirroring the kernels they
-adapt; the forward pass merges ``W + (alpha/r) A @ B`` *functionally inside
-the loss*, so gradients flow only into A/B (the base tree is a frozen
-constant under ``jax.grad``).  One jitted ``train_step`` = forward + grad +
-optax update; multi-chip training shards the batch over ``data`` and the
-merged weights inherit the TP shardings of the base params.
+adapt; the loss applies ``W + (alpha/r) A @ B`` per layer INSIDE the block
+scan via the runtime factor tree (models/transformer.py RUNTIME_LORA_KEY),
+so gradients flow only into A/B (the base tree is a frozen constant under
+``jax.grad``) and no second weight tree ever materializes (a whole-tree
+merge is loop-invariant and gets hoisted by XLA — see lora_loss_fn).  One
+jitted ``train_step`` = forward + grad + optax update, optionally donating
+the old state (``donate=True`` at the production call sites); multi-chip
+training shards the batch over ``data`` and the per-layer adapted weights
+inherit the TP shardings of the base params.
 """
 
 from __future__ import annotations
@@ -132,10 +136,40 @@ def lora_loss_fn(
 
     batch: {"video_latents" [B,F,h,w,C], "ref_latents" [B,1,h,w,C],
             "text_embeds" [B,T,txt], optional "rope_cos"/"rope_sin"}.
+
+    Adapters are applied via the runtime (unmerged) factor tree
+    (models/transformer.py RUNTIME_LORA_KEY): per-layer ``W + scale*A@B``
+    INSIDE the block scan.  A whole-tree functional merge before the
+    forward (the pre-round-4 design) is loop-invariant, so XLA
+    materializes every layer's merged target kernels simultaneously as
+    HLO temps — measured +6.5 GB at L=16 on v5e (bench_runs/
+    r04_probe_L16b.log: bf16[16,12288,3072] + [16,3072,9216] + ... live
+    at once), which is why the flagship 42-layer step never fit 16 GB.
+    In-scan application keeps delta transients per-layer (~300 MB peak)
+    and is mathematically identical (exact in fp32; one fp32-add rounding
+    difference in bf16).  ``spec.disentangled`` still uses the functional
+    merge — it needs the pre-merge ``base_linear`` beside the adapted
+    modulation kernels (SURVEY.md §0 enable_lora semantics).
     """
     from s2v_tpu.training.full import vpred_loss
 
-    params = merge_lora_params(base_params, lora_params, spec)
+    if spec.disentangled:
+        params = merge_lora_params(base_params, lora_params, spec)
+    else:
+        from s2v_tpu.models.transformer import RUNTIME_LORA_KEY
+
+        blocks: Dict[str, dict] = {}
+        top: Dict[str, dict] = {}
+        for name, ab in lora_params.items():
+            pair = {"a": ab["a"] * spec.scale, "b": ab["b"]}
+            (top if name in ("patch_proj", "text_proj") else blocks)[name] = pair
+        tree = {}
+        if blocks:
+            tree["blocks"] = blocks
+        if top:
+            tree["top"] = top
+        params = dict(base_params)
+        params[RUNTIME_LORA_KEY] = tree
     return vpred_loss(params, cfg, batch, alphas_cumprod, rng,
                       attention_backend=attention_backend, remat=remat)
 
@@ -149,6 +183,7 @@ def make_lora_train_step(
     attention_backend: str = "xla",
     remat: bool = True,
     optimizer_spec=None,
+    donate: bool = False,
 ):
     """Returns (init_opt_state, train_step) with train_step jitted:
     ``(lora, opt_state, batch, rng) -> (lora, opt_state, loss)``.
@@ -160,7 +195,16 @@ def make_lora_train_step(
     ``training.optim.OptimizerSpec``) selects the reference-template
     optimizer surface (adam/adamw/prodigy, LR schedules with warmup,
     grad-norm clipping, gradient accumulation); when omitted the legacy
-    plain ``adamw(learning_rate)`` is used."""
+    plain ``adamw(learning_rate)`` is used.
+
+    ``donate=True`` donates the old lora/opt trees to the step: without
+    donation the fp32 outputs "share 0B with arguments"
+    (bench_runs/r04_probe_L16b.log) — ~3.3 GB of avoidable duplication at
+    rank-128 flagship on a 16 GB chip.  Donation DELETES the input arrays,
+    so callers must rebind ``lora, opt_state = train_step(lora, opt_state,
+    ...)`` and never touch the old trees again; it is opt-in because
+    inspecting pre-step params (tests, debugging) is a legitimate API use.
+    The training CLI and on-chip benches enable it."""
     import optax
 
     if spec.disentangled and not cfg.disentangled_modulation:
@@ -182,8 +226,10 @@ def make_lora_train_step(
     # 5b tree (11.1 GB) would be lowered into the executable as constants
     # (mlir "large amount of constants" + a multi-minute compile); as an
     # argument it is a zero-copy device reference and jit caches on
-    # shape/dtype so the public 4-arg call signature below never retraces
-    @jax.jit
+    # shape/dtype so the public 4-arg call signature below never retraces.
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def _train_step(lora_params, opt_state, batch, rng, base):
         loss, grads = jax.value_and_grad(lora_loss_fn)(
             lora_params, base, cfg, spec, batch, alphas, rng, attention_backend, remat
@@ -195,6 +241,10 @@ def make_lora_train_step(
     def train_step(lora_params, opt_state, batch, rng):
         return _train_step(lora_params, opt_state, batch, rng, base_params)
 
+    # expose the raw jitted 5-arg step so tools can .lower()/.compile() it
+    # explicitly (compile-vs-execute separation in tools/train_probe.py)
+    train_step.jitted = _train_step
+    train_step.base_params = base_params
     return init_opt_state, train_step
 
 

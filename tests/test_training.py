@@ -305,3 +305,56 @@ def test_remat_seg_grads_identical():
     g_seg = jax.grad(lora_loss_fn)(lora, base, cfg, spec, batch, alphas, rng, "xla", "seg")
     for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_seg)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5)
+
+
+def test_inscan_lora_matches_functional_merge():
+    """The round-4 loss applies adapters per layer INSIDE the block scan
+    (runtime factor tree) so no second weight tree materializes; loss and
+    grads must match the whole-tree functional merge exactly (fp32, and
+    spec.scale folds into A as an exact power-of-two here)."""
+    from s2v_tpu.schedulers.ddim import compute_alphas_cumprod
+    from s2v_tpu.training.full import vpred_loss
+
+    cfg, base, spec, lora, batch = _setup()
+    # nonzero B so the adapters actually perturb the forward
+    lora = jax.tree.map(lambda x: x + 0.03, lora)
+    alphas = jnp.asarray(compute_alphas_cumprod(SchedulerConfig()))
+    rng = jax.random.PRNGKey(37)
+
+    def loss_merge(l):
+        return vpred_loss(merge_lora_params(base, l, spec), cfg, batch, alphas, rng)
+
+    l_scan, g_scan = jax.value_and_grad(lora_loss_fn)(
+        lora, base, cfg, spec, batch, alphas, rng, "xla", False
+    )
+    l_merge, g_merge = jax.value_and_grad(loss_merge)(lora)
+    np.testing.assert_allclose(float(l_scan), float(l_merge), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_scan), jax.tree.leaves(g_merge)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5)
+
+
+def test_donated_train_step_rebind_loop():
+    """donate=True (the production call sites): the rebinding loop works,
+    the old trees are deleted in place, and the losses match the
+    non-donating step bit-for-bit."""
+    cfg, base, spec, lora, batch = _setup()
+    init_opt, step = make_lora_train_step(
+        base, cfg, spec, SchedulerConfig(), learning_rate=1e-2, donate=True
+    )
+    _, step_plain = make_lora_train_step(
+        base, cfg, spec, SchedulerConfig(), learning_rate=1e-2
+    )
+    lora_p, opt_p = jax.tree.map(jnp.copy, lora), init_opt(lora)
+    losses_plain = []
+    for i in range(2):
+        lora_p, opt_p, loss = step_plain(lora_p, opt_p, batch, jax.random.PRNGKey(i))
+        losses_plain.append(float(loss))
+
+    lora_d, opt_d = jax.tree.map(jnp.copy, lora), init_opt(lora)
+    old_leaf = jax.tree.leaves(lora_d)[0]
+    for i in range(2):
+        lora_d, opt_d, loss = step(lora_d, opt_d, batch, jax.random.PRNGKey(i))
+        assert float(loss) == losses_plain[i]
+    assert old_leaf.is_deleted()
+    for a, b in zip(jax.tree.leaves(lora_p), jax.tree.leaves(lora_d)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

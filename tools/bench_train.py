@@ -101,9 +101,11 @@ def main():
         }
         init_opt, train_step = make_lora_train_step(
             params, cfg, spec, SchedulerConfig(), learning_rate=1e-4,
-            attention_backend=backend, remat=remat,
+            attention_backend=backend, remat=remat, donate=True,
         )
-        lora, opt_state = lora0, init_opt(lora0)
+        # donation deletes the step's inputs — keep lora0 alive across rungs
+        lora = jax.tree.map(jnp.copy, lora0)
+        opt_state = init_opt(lora)
 
         def run():
             nonlocal lora, opt_state

@@ -57,6 +57,13 @@ def main():
     for L in [int(x) for x in args.layers.split(",")]:
         cfg = TransformerConfig.cogvideox_5b(num_layers=L)
         t0 = time.perf_counter()
+        # the previous rung's trees must be freed BEFORE this rung's init
+        # allocates (python rebinds names only after the RHS completes — at
+        # L=42 the live L=28 tree + the new 11.1 GB tree OOM'd the chip)
+        params = lora = opt_state = batch = compiled = lowered = None
+        import gc
+
+        gc.collect()
         try:
             params = jax.jit(lambda k, c=cfg: init_transformer_params_stacked(k, c))(
                 jax.random.PRNGKey(0)
@@ -80,11 +87,13 @@ def main():
             }
             init_opt, train_step = make_lora_train_step(
                 params, cfg, spec, SchedulerConfig(), learning_rate=1e-4,
-                attention_backend="pallas", remat=remat,
+                attention_backend="pallas", remat=remat, donate=True,
             )
             opt_state = init_opt(lora)
             t1 = time.perf_counter()
-            lowered = train_step.lower(lora, opt_state, batch, jax.random.PRNGKey(3))
+            lowered = train_step.jitted.lower(
+                lora, opt_state, batch, jax.random.PRNGKey(3), params
+            )
             t2 = time.perf_counter()
             compiled = lowered.compile()
             t3 = time.perf_counter()
@@ -107,11 +116,15 @@ def main():
             }
             if args.execute:
                 t4 = time.perf_counter()
-                lora2, opt2, loss = compiled(lora, opt_state, batch, jax.random.PRNGKey(3))
+                lora2, opt2, loss = compiled(
+                    lora, opt_state, batch, jax.random.PRNGKey(3), params
+                )
                 row["step1_s"] = round(time.perf_counter() - t4, 1)
                 row["loss"] = round(float(loss), 4)
                 t5 = time.perf_counter()
-                lora2, opt2, loss = compiled(lora2, opt2, batch, jax.random.PRNGKey(4))
+                lora2, opt2, loss = compiled(
+                    lora2, opt2, batch, jax.random.PRNGKey(4), params
+                )
                 float(loss)
                 row["step2_s"] = round(time.perf_counter() - t5, 2)
                 del lora2, opt2
