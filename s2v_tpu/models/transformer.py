@@ -210,11 +210,6 @@ def _lora_delta(ab) -> jnp.ndarray:
 
 
 def _add_delta(leaf: dict, delta: jnp.ndarray) -> dict:
-    if "kernel" not in leaf:
-        raise ValueError(
-            "runtime LoRA requires unquantized kernels (int8 trees merge "
-            "their adapters at load; use lora mode 'merge')"
-        )
     kernel = leaf["kernel"]
     if delta.shape != kernel.shape:
         raise ValueError(
@@ -224,37 +219,66 @@ def _add_delta(leaf: dict, delta: jnp.ndarray) -> dict:
     return {**leaf, "kernel": new}
 
 
+def _attach_factors(leaf: dict, pairs) -> dict:
+    """int8 leaves can't absorb a merge (W + AB isn't int8): attach the
+    factor pairs for ops.quant.dense to apply output-additively
+    (``y += (x @ a) @ b``) — the QLoRA forward.  Slotted q/k/v factors pad
+    ``b`` to the fused kernel's full output width (zero columns elsewhere),
+    mirroring the merged path's full-width delta so TP shardings pass
+    through unchanged."""
+    out_width = leaf["q"].shape[-1]
+    attached = []
+    for ab, slot in pairs:
+        a, b = ab["a"], ab["b"]
+        if slot is not None:
+            d = b.shape[-1]
+            b_full = jnp.zeros(b.shape[:-1] + (out_width,), b.dtype)
+            b_full = jax.lax.dynamic_update_slice_in_dim(
+                b_full, b, slot * d, axis=b.ndim - 1
+            )
+            b = b_full
+        attached.append((a, b))
+    return {**leaf, "lora": tuple(attached)}
+
+
 def apply_runtime_lora_block(p: dict, lora: dict) -> dict:
     """One block's params with its runtime deltas applied (copy-on-write;
     transients are per-layer, so the scan never materializes a second
     weight tree).
 
-    The separate q/k/v factor pairs of reference checkpoints are combined
+    bf16 kernels merge in place (``W + a @ b``); int8 kernels get their
+    factor pairs attached instead (see :func:`_attach_factors`).  The
+    separate q/k/v factor pairs of reference checkpoints are combined
     into ONE full-width [D, 3D] delta (zero columns for absent slots) so
     the add stays a plain elementwise op — the fused qkv kernel's column
     slots (multiples of D) do not align to TP shard boundaries (3D/tp), and
     a full-width add lets GSPMD keep the kernel's sharding untouched."""
     out = {k: dict(v) if isinstance(v, dict) else v for k, v in p.items()}
-    slotted: dict = {}
+    grouped: dict = {}
     for name, ab in lora.items():
         path, slot = _RT_BLOCK_TARGETS[name]
-        delta = _lora_delta(ab)
-        if slot is not None:
-            slotted.setdefault(path, [None, None, None])[slot] = delta
+        grouped.setdefault(path, []).append((ab, slot))
+    for path, items in grouped.items():
+        node = out
+        for key in path[:-1]:
+            node[key] = dict(node[key])
+            node = node[key]
+        leaf = node[path[-1]]
+        if "q" in leaf:
+            node[path[-1]] = _attach_factors(leaf, items)
             continue
-        node = out
-        for key in path[:-1]:
-            node[key] = dict(node[key])
-            node = node[key]
-        node[path[-1]] = _add_delta(node[path[-1]], delta)
-    for path, deltas in slotted.items():
-        width = next(d for d in deltas if d is not None)
-        deltas = [jnp.zeros_like(width) if d is None else d for d in deltas]
-        node = out
-        for key in path[:-1]:
-            node[key] = dict(node[key])
-            node = node[key]
-        node[path[-1]] = _add_delta(node[path[-1]], jnp.concatenate(deltas, axis=-1))
+        full = [ab for ab, slot in items if slot is None]
+        slots = [(ab, slot) for ab, slot in items if slot is not None]
+        for ab in full:
+            leaf = _add_delta(leaf, _lora_delta(ab))
+        if slots:
+            deltas = [None, None, None]
+            for ab, slot in slots:
+                deltas[slot] = _lora_delta(ab)
+            width = next(d for d in deltas if d is not None)
+            deltas = [jnp.zeros_like(width) if d is None else d for d in deltas]
+            leaf = _add_delta(leaf, jnp.concatenate(deltas, axis=-1))
+        node[path[-1]] = leaf
     return out
 
 

@@ -29,19 +29,57 @@ def quantize_weight_int8(kernel: jnp.ndarray):
     return {"q": q, "scale": scale}
 
 
-def int8_dense(x: jnp.ndarray, wq: dict, bias=None):
-    """Dynamic per-token int8 matmul: quantize x rows, int8 MXU contraction
-    with int32 accumulation, rescale by (x_scale * w_scale)."""
-    xf = x.astype(jnp.float32)
+@jax.custom_vjp
+def _int8_mm(xf: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray):
+    """fp32 x @ dequant(q, scale) via the int8 MXU path (dynamic per-token
+    activation quantization, int32 accumulation).
+
+    custom_vjp because ``round`` has a zero gradient: as written the chain
+    rule would silently kill every gradient flowing THROUGH an int8 layer
+    (QLoRA training adapts layers both above and below frozen int8
+    linears).  The backward treats the op as the linear map it approximates
+    — ``dx = g @ (q * scale)^T`` — the exact gradient of the dequantized
+    linear (straight-through on the activation quantizer).  q/scale are
+    frozen buffers; their zero cotangents are DCE'd by XLA."""
+    return _int8_mm_impl(xf, q, scale)
+
+
+def _int8_mm_impl(xf, q, scale):
     x_scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
     x_scale = jnp.where(x_scale == 0, 1.0, x_scale)
     xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
     y = jax.lax.dot_general(
-        xq, wq["q"],
-        (((xq.ndim - 1,), (wq["q"].ndim - 2,)), ((), ())),
+        xq, q,
+        (((xq.ndim - 1,), (q.ndim - 2,)), ((), ())),
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32)
-    y = y * x_scale * wq["scale"].reshape((1,) * (y.ndim - 1) + (-1,))
+    return y * x_scale * scale.reshape((1,) * (y.ndim - 1) + (-1,))
+
+
+def _int8_mm_fwd(xf, q, scale):
+    return _int8_mm_impl(xf, q, scale), (q, scale)
+
+
+def _int8_mm_bwd(res, g):
+    q, scale = res
+    # dx = (g * w_scale) @ q^T — int8 weights are exact in bf16 (|q| <= 127)
+    gs = (g * scale.reshape((1,) * (g.ndim - 1) + (-1,))).astype(jnp.bfloat16)
+    dx = jax.lax.dot_general(
+        gs, q.astype(jnp.bfloat16),
+        (((g.ndim - 1,), (q.ndim - 1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return dx, jnp.zeros_like(q), jnp.zeros_like(scale)
+
+
+_int8_mm.defvjp(_int8_mm_fwd, _int8_mm_bwd)
+
+
+def int8_dense(x: jnp.ndarray, wq: dict, bias=None):
+    """Dynamic per-token int8 matmul: quantize x rows, int8 MXU contraction
+    with int32 accumulation, rescale by (x_scale * w_scale).
+    Differentiable w.r.t. ``x`` (see :func:`_int8_mm`)."""
+    y = _int8_mm(x.astype(jnp.float32), wq["q"], wq["scale"])
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(x.dtype)
@@ -49,9 +87,21 @@ def int8_dense(x: jnp.ndarray, wq: dict, bias=None):
 
 def dense(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     """Format-dispatching dense layer: bf16 {"kernel","bias"} or int8
-    {"q","scale","bias"}."""
+    {"q","scale","bias"}.
+
+    An optional ``"lora"`` entry — a tuple of fp32 ``(a [in,r], b [r,out])``
+    factor pairs, the alpha/r scale pre-folded into ``a`` — is applied
+    output-additively: ``y += (x @ a) @ b``.  int8 kernels cannot absorb a
+    LoRA delta by merging (the sum isn't int8), so QLoRA training and
+    runtime adapter serving over quantized bases ride this path; matmuls
+    run in the input dtype (matching the merged path, where the delta is
+    cast to the kernel dtype before the add)."""
     if "q" in params:
-        return int8_dense(x, params, params.get("bias"))
+        y = int8_dense(x, params, params.get("bias"))
+        for a, b in params.get("lora", ()):
+            h = x @ a.astype(x.dtype)
+            y = y + (h @ b.astype(x.dtype)).astype(y.dtype)
+        return y
     y = x @ params["kernel"]
     if "bias" in params:
         y = y + params["bias"]

@@ -358,8 +358,10 @@ class S2VPipeline:
         own PEFT runtime-adapter architecture (src/inference.py:218-229),
         TPU-shaped.  Swap cost is a ~0.4 GB factor upload (rank 128) — and
         ~0 s for adapters already in the device cache — vs an 11 GB
-        re-merge; per-step overhead is <0.5% FLOPs.  Requires an
-        unquantized (bf16/fp32) base tree.  ``None`` detaches the factors
+        re-merge; per-step overhead is <0.5% FLOPs.  Over an int8
+        (``quantize_int8=True``) base the factors apply output-additively
+        inside each dense (ops/quant.py) — the QLoRA serving composition;
+        over bf16 they merge per layer.  ``None`` detaches the factors
         (instant base restore).  Structure changes (attach from base /
         detach) recompile the denoise loop once; swapping between adapters
         reuses executables.
@@ -377,10 +379,9 @@ class S2VPipeline:
         if mode not in ("merge", "runtime"):
             raise ValueError(f"lora mode must be 'merge' or 'runtime', got {mode!r}")
         if mode == "runtime":
-            # resolve + validate the factor tree (and the int8 guard) BEFORE
-            # unwinding any merged adapter: a bad checkpoint must leave the
-            # pipeline exactly as it was (fail-before-mutate, same contract
-            # as the merge path)
+            # resolve + validate the factor tree BEFORE unwinding any merged
+            # adapter: a bad checkpoint must leave the pipeline exactly as
+            # it was (fail-before-mutate, same contract as the merge path)
             tree = self._resolve_runtime_lora(lora_checkpoint, lora_alpha)
             if self._merged_lora is not None:
                 # a merged adapter is folded into the kernels; restore the
@@ -471,18 +472,6 @@ class S2VPipeline:
                 "load_lora(None) first, or use load_lora(path, "
                 "mode='runtime') which unwinds the merge automatically"
             )
-        self._check_unquantized_base()
-
-    def _check_unquantized_base(self) -> None:
-        if any(
-            getattr(x, "dtype", None) == jnp.int8
-            for x in jax.tree.leaves(self.transformer_params)
-        ):
-            raise ValueError(
-                "runtime LoRA requires an unquantized (bf16/fp32) base tree; "
-                "int8 pipelines fold adapters at load — use load_lora(..., "
-                "mode='merge')"
-            )
 
     def _place_runtime_tree(self, tree: dict):
         dt = self.transformer_cfg.param_dtype
@@ -501,9 +490,9 @@ class S2VPipeline:
         any merged adapter is unwound (fail-before-mutate)."""
         if lora_checkpoint is None:
             return None
-        # int8 guard up front; the merged-adapter case is legal here (the
-        # caller unwinds it between resolve and attach)
-        self._check_unquantized_base()
+        # the merged-adapter case is legal here (the caller unwinds it
+        # between resolve and attach); int8 bases take the output-additive
+        # factor path inside ops.quant.dense
         key = (os.path.realpath(lora_checkpoint), float(lora_alpha))
         tree = self._runtime_lora_cache.pop(key, None)
         if tree is None:

@@ -93,6 +93,11 @@ def get_args(argv=None):
     p.add_argument("--disentangled_modulation", action="store_true", default=False,
                    help="train norm1/norm2 LoRA with the intended enable_lora "
                         "semantics (ref-stream-only modulation adapters)")
+    p.add_argument("--quantize_base", action="store_true", default=False,
+                   help="QLoRA: freeze the base transformer in int8 (6.4 GB "
+                        "instead of 11.1) and apply adapters output-additively "
+                        "— fits flagship 42-layer rank-128 LoRA training on "
+                        "one 16 GB chip (lora mode only)")
     p.add_argument("--validation_prompt", type=str, default=None,
                    help="prompt(s) sampled during training to eyeball progress "
                         "(template log_validation); separate multiple with "
@@ -411,7 +416,18 @@ def main(args=None):
             f"freeze the EMA at the initial weights (and the final snapshot "
             f"would export an untrained model)"
         )
-    pipe = S2VPipeline.from_pretrained(os.path.expanduser(args.pretrained_model_name_or_path))
+    if args.quantize_base and args.train_mode != "lora":
+        raise SystemExit("--quantize_base is a LoRA-mode option (full "
+                         "fine-tuning updates the base weights, which must "
+                         "stay bf16/fp32)")
+    if args.quantize_base and args.disentangled_modulation:
+        raise SystemExit("--quantize_base cannot combine with "
+                         "--disentangled_modulation (the disentangled path "
+                         "merges modulation kernels into the base tree)")
+    pipe = S2VPipeline.from_pretrained(
+        os.path.expanduser(args.pretrained_model_name_or_path),
+        quantize_int8=args.quantize_base,
+    )
     pipe.set_attention(args.attention_backend, args.attention_window)
     tc = pipe.vae_cfg.temporal_compression_ratio
     if (args.max_num_frames - 1) % tc:
@@ -571,7 +587,8 @@ def main(args=None):
                          step, args.max_train_steps, float(loss),
                          (time.perf_counter() - t0) / (step - start_step))
             if args.validation_steps and step % args.validation_steps == 0:
-                from s2v_tpu.training.lora import merge_lora_params
+                from s2v_tpu.training.lora import (
+                    merge_lora_params, runtime_tree_from_training)
 
                 cfg_ov = None
                 if spec.disentangled:
@@ -580,10 +597,18 @@ def main(args=None):
                     cfg_ov = dataclasses.replace(
                         pipe.transformer_cfg, disentangled_modulation=True
                     )
+                if args.quantize_base:
+                    # int8 base can't absorb a merge: sample through the
+                    # runtime factor tree (same composition the QLoRA loss
+                    # trains)
+                    from s2v_tpu.models.transformer import RUNTIME_LORA_KEY
+
+                    ov = dict(pipe.transformer_params)
+                    ov[RUNTIME_LORA_KEY] = runtime_tree_from_training(lora, spec)
+                else:
+                    ov = merge_lora_params(pipe.transformer_params, lora, spec)
                 _validate(args, pipe, dataset, step, log,
-                          params_override=merge_lora_params(
-                              pipe.transformer_params, lora, spec),
-                          cfg_override=cfg_ov)
+                          params_override=ov, cfg_override=cfg_ov)
             if step % args.checkpointing_steps == 0 or step >= args.max_train_steps:
                 save(step)
             if step >= args.max_train_steps:

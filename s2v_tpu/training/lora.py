@@ -70,14 +70,29 @@ def _kernel_at(params, path):
     return node["kernel"]
 
 
+def _kernel_shape_at(params, path):
+    """Kernel shape of a target leaf — bf16 ``{"kernel"}`` or int8
+    ``{"q","scale"}`` (QLoRA: the frozen base is quantized, adapters ride
+    output-additively; the int8 q array has the kernel's [.., in, out])."""
+    node = params
+    for p in path:
+        node = node[p]
+    return (node["kernel"] if "kernel" in node else node["q"]).shape
+
+
+def base_is_quantized(base_params) -> bool:
+    """True when the transformer tree carries int8 kernels (QLoRA base)."""
+    blocks = base_params.get("blocks", {})
+    return "q" in blocks.get("attn", {}).get("qkv", {})
+
+
 def init_lora_params(key, base_params, spec: LoRASpec, dtype=jnp.float32):
     """A ~ N(0, 1/r) (PEFT-style kaiming-ish), B = 0 — so the adapted model
     starts exactly at the base model."""
     lora = {}
     keys = jax.random.split(key, len(spec.targets))
     for k, name in zip(keys, spec.targets):
-        kernel = _kernel_at(base_params, _TARGETS[name])
-        *lead, d_in, d_out = kernel.shape
+        *lead, d_in, d_out = _kernel_shape_at(base_params, _TARGETS[name])
         a = jax.random.normal(k, (*lead, d_in, spec.rank), dtype) / np.sqrt(spec.rank)
         b = jnp.zeros((*lead, spec.rank, d_out), dtype)
         lora[name] = {"a": a, "b": b}
@@ -87,6 +102,12 @@ def init_lora_params(key, base_params, spec: LoRASpec, dtype=jnp.float32):
 def merge_lora_params(base_params, lora_params, spec: LoRASpec):
     """Functional merge: returns a new tree with
     ``kernel + scale * a @ b`` at each target (gradient flows to a/b)."""
+    if base_is_quantized(base_params):
+        raise ValueError(
+            "merge_lora_params needs a bf16/fp32 base (int8 kernels cannot "
+            "absorb a merge); QLoRA adapters are applied output-additively "
+            "via the runtime factor tree — see lora_loss_fn"
+        )
     merged = jax.tree.map(lambda x: x, base_params)  # shallow-ish copy
 
     def set_kernel(tree, path, new_kernel):
@@ -207,6 +228,13 @@ def make_lora_train_step(
     The training CLI and on-chip benches enable it."""
     import optax
 
+    if spec.disentangled and base_is_quantized(base_params):
+        raise ValueError(
+            "disentangled LoRA needs a bf16/fp32 base (it merges modulation "
+            "kernels and keeps the pre-merge base_linear beside them, which "
+            "int8 kernels cannot express); drop --quantize_base or "
+            "--disentangled_modulation"
+        )
     if spec.disentangled and not cfg.disentangled_modulation:
         import dataclasses
 

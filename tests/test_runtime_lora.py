@@ -226,13 +226,28 @@ def test_merge_none_on_pristine_base_skips_reload(snap_and_lora):
     assert pipe._base_transformer_sd is None
 
 
-def test_runtime_lora_int8_guard(snap_and_lora):
+def test_runtime_lora_over_int8_base(snap_and_lora):
+    """QLoRA serving composition: runtime factors over an int8 base apply
+    output-additively (ops/quant.py dense) — generate must track the bf16
+    merged pipeline within int8 quantization tolerance, and detach must
+    restore the int8 base output exactly."""
     from s2v_tpu.pipelines.s2v import S2VPipeline
 
     snap, lora = snap_and_lora
+    ref = S2VPipeline.from_pretrained(snap, dtype=jnp.float32, lora_checkpoint=lora)
+    want = _gen(ref)
+
     pipe = S2VPipeline.from_pretrained(snap, dtype=jnp.float32, quantize_int8=True)
-    with pytest.raises(ValueError, match="unquantized"):
-        pipe.load_lora(lora, mode="runtime")
+    base_out = _gen(pipe)
+    pipe.load_lora(lora, mode="runtime")
+    got = _gen(pipe)
+    # the adapter must move the int8 output toward the merged bf16 output
+    assert np.abs(got - want).max() < np.abs(base_out - want).max()
+    denom = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / denom < 0.15
+
+    pipe.load_lora(None, mode="runtime")
+    np.testing.assert_array_equal(_gen(pipe), base_out)
 
 
 def test_save_pretrained_rejects_attached_runtime_lora(snap_and_lora, tmp_path):

@@ -358,3 +358,138 @@ def test_donated_train_step_rebind_loop():
     assert old_leaf.is_deleted()
     for a, b in zip(jax.tree.leaves(lora_p), jax.tree.leaves(lora_d)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# QLoRA: int8 frozen base + output-additive runtime adapters
+# ---------------------------------------------------------------------------
+
+
+def test_int8_mm_vjp_is_dequant_linear_grad():
+    """_int8_mm's custom VJP must equal the gradient of the dequantized
+    linear map x @ (q * scale) — NOT the zero gradient that round() would
+    propagate without it."""
+    from s2v_tpu.ops.quant import _int8_mm, quantize_weight_int8
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(k1, (3, 7, 16), jnp.float32)
+    w = jax.random.normal(k2, (16, 24), jnp.float32) * 0.1
+    wq = quantize_weight_int8(w)
+    g = jax.random.normal(k3, (3, 7, 24), jnp.float32)
+
+    dx = jax.vjp(lambda xx: _int8_mm(xx, wq["q"], wq["scale"]), x)[1](g)[0]
+    w_deq = np.asarray(wq["q"], np.float32) * np.asarray(wq["scale"])
+    dx_ref = np.asarray(g) @ w_deq.reshape(16, 24).T
+    # backward runs the g*scale product in bf16 before the MXU dot
+    np.testing.assert_allclose(np.asarray(dx), dx_ref, atol=2e-2, rtol=2e-2)
+    assert float(jnp.abs(dx).max()) > 0.0
+
+
+def _quantized_setup():
+    from s2v_tpu.ops.quant import quantize_transformer_params
+
+    cfg, base, spec, lora, batch = _setup()
+    return cfg, base, quantize_transformer_params(base), spec, lora, batch
+
+
+def test_qlora_gradients_flow_through_int8_layers():
+    """The trap this guards: round() has zero grad, so without the custom
+    VJP the first layer's adapters would receive exactly zero gradient
+    (their path to the loss crosses every later int8 linear).  Checks the
+    LAYER-0 qkv B-factor grad is nonzero (A-grads are zero at B=0 init by
+    construction)."""
+    from s2v_tpu.schedulers.ddim import compute_alphas_cumprod
+
+    cfg, base, qbase, spec, lora, batch = _quantized_setup()
+    alphas = jnp.asarray(compute_alphas_cumprod(SchedulerConfig()))
+    grads = jax.grad(lora_loss_fn)(
+        lora, qbase, cfg, spec, batch, alphas, jax.random.PRNGKey(5), "xla", False
+    )
+    g_b0 = np.asarray(grads["qkv"]["b"][0])
+    assert np.abs(g_b0).max() > 0.0, "layer-0 grad is zero: int8 VJP broken"
+    # bf16-target adapters (norm linears, patch/text proj) keep flowing too
+    assert np.abs(np.asarray(grads["norm1.linear"]["b"][0])).max() > 0.0
+    assert np.abs(np.asarray(grads["patch_proj"]["b"])).max() > 0.0
+
+
+def test_qlora_loss_and_grads_close_to_bf16_base():
+    """int8-base loss/grads track the bf16-base run within quantization
+    tolerance (per-channel int8 error is small at tiny dims)."""
+    from s2v_tpu.schedulers.ddim import compute_alphas_cumprod
+
+    cfg, base, qbase, spec, lora, batch = _quantized_setup()
+    lora = jax.tree.map(lambda x: x + 0.02, lora)
+    alphas = jnp.asarray(compute_alphas_cumprod(SchedulerConfig()))
+    rng = jax.random.PRNGKey(7)
+
+    l_q, g_q = jax.value_and_grad(lora_loss_fn)(
+        lora, qbase, cfg, spec, batch, alphas, rng, "xla", False
+    )
+    l_b, g_b = jax.value_and_grad(lora_loss_fn)(
+        lora, base, cfg, spec, batch, alphas, rng, "xla", False
+    )
+    np.testing.assert_allclose(float(l_q), float(l_b), rtol=0.05)
+    for a, b in zip(jax.tree.leaves(g_q), jax.tree.leaves(g_b)):
+        denom = np.abs(np.asarray(b)).max() + 1e-6
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() / denom < 0.25
+
+
+def test_qlora_train_steps_reduce_loss():
+    """End-to-end QLoRA: donated train steps on the int8 base run, losses
+    stay finite, and a few steps reduce the loss."""
+    cfg, base, qbase, spec, lora, batch = _quantized_setup()
+    init_opt, step = make_lora_train_step(
+        qbase, cfg, spec, SchedulerConfig(), learning_rate=1e-2, donate=True
+    )
+    opt_state = init_opt(lora)
+    losses = []
+    for i in range(4):
+        lora, opt_state, loss = step(lora, opt_state, batch, jax.random.PRNGKey(0))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_qlora_rejects_disentangled_and_merge():
+    import pytest
+
+    from s2v_tpu.ops.quant import quantize_transformer_params
+
+    cfg, base, spec, lora, batch = _setup()
+    qbase = quantize_transformer_params(base)
+    with pytest.raises(ValueError, match="bf16/fp32 base"):
+        merge_lora_params(qbase, lora, spec)
+    dspec = LoRASpec(rank=4, alpha=8.0, disentangled=True)
+    with pytest.raises(ValueError, match="disentangled"):
+        make_lora_train_step(qbase, cfg, dspec, SchedulerConfig())
+
+
+def test_runtime_factors_over_int8_match_bf16_merge():
+    """Forward with int8 base + attached runtime factors ~= bf16 base with
+    the same adapters merged (within int8 quantization tolerance) — the
+    serving-side composition QLoRA checkpoints rely on."""
+    from s2v_tpu.models.transformer import RUNTIME_LORA_KEY
+    from s2v_tpu.ops.quant import quantize_transformer_params
+
+    cfg, base, spec, lora, batch = _setup()
+    lora = jax.tree.map(lambda x: x + 0.05, lora)
+    merged = merge_lora_params(base, lora, spec)
+    qbase = quantize_transformer_params(base)
+
+    blocks, top = {}, {}
+    for name, ab in lora.items():
+        pair = {"a": ab["a"] * spec.scale, "b": ab["b"]}
+        (top if name in ("patch_proj", "text_proj") else blocks)[name] = pair
+    qtree = dict(qbase)
+    qtree[RUNTIME_LORA_KEY] = {"blocks": blocks, "top": top}
+
+    t = jnp.array([100, 500])
+    out_merged = transformer_forward(
+        merged, cfg, batch["video_latents"], batch["ref_latents"], batch["text_embeds"], t
+    )
+    out_q = transformer_forward(
+        qtree, cfg, batch["video_latents"], batch["ref_latents"], batch["text_embeds"], t
+    )
+    err = np.abs(np.asarray(out_q) - np.asarray(out_merged)).max()
+    scale = np.abs(np.asarray(out_merged)).max()
+    assert err / scale < 0.05, f"int8+runtime vs bf16+merge rel err {err/scale}"

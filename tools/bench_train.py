@@ -51,9 +51,14 @@ def main():
         B, H, W = 1, 60, 90
         backend = "pallas"
         rank = 128
-        # (remat, latent frames): flagship seg-remat first; per-layer remat
-        # at flagship is a measured OOM (42 carries + 11.1 GB base > 16 GB)
-        ladder = [("seg", 13), ("seg", 9), (True, 9), ("seg", 7)]
+        # (remat, latent frames, quantize_base): QLoRA flagship first — the
+        # bf16 base is a PROVEN compile-time OOM at 42 layers (args alone
+        # 11.1 base + 3.2 lora/opt ~ 14.3 GB of 15.75; bench_runs/
+        # r04_probe_inscan.log + /tmp probe L=28: args 9.82 + temps 9.13).
+        # int8 freezing drops the base to ~5.6 GB AND halves the segment
+        # weight-slice temps of the nested-remat backward.
+        ladder = [("seg", 13, True), ("seg", 9, True), ("seg", 9, False),
+                  ("seg", 7, False)]
         iters, warmup = 3, 1
     else:
         cfg = TransformerConfig.tiny()
@@ -77,15 +82,28 @@ def main():
             cos[tok : tok * (F + 1)], sin[tok : tok * (F + 1)],
         )
 
-    # one jitted init: per-leaf eager init is hundreds of relay round-trips
-    params = jax.jit(lambda k: init_transformer_params_stacked(k, cfg))(
-        jax.random.PRNGKey(0)
-    )
-    jax.block_until_ready(jax.tree.leaves(params)[0])
     spec = LoRASpec(rank=rank, alpha=2.0 * rank)
-    lora0 = init_lora_params(jax.random.PRNGKey(1), params, spec)
+    # base tree state, rebuilt when a rung flips quantize_base (bf16 and
+    # int8 trees must never be alive together: 11.1 + 6.4 GB > 16 GB HBM)
+    tree_state = {"quant": None, "params": None, "lora0": None}
 
-    def attempt(remat, F):
+    def get_params(quant):
+        if tree_state["quant"] != quant:
+            tree_state["params"] = tree_state["lora0"] = None
+            jax.clear_caches()
+            # one jitted init: per-leaf eager init is hundreds of relay
+            # round-trips through the axon relay
+            tree_state["params"] = jax.jit(
+                lambda k: init_transformer_params_stacked(k, cfg, quantized=quant)
+            )(jax.random.PRNGKey(0))
+            jax.block_until_ready(jax.tree.leaves(tree_state["params"])[0])
+            tree_state["lora0"] = init_lora_params(
+                jax.random.PRNGKey(1), tree_state["params"], spec)
+            tree_state["quant"] = quant
+        return tree_state["params"], tree_state["lora0"]
+
+    def attempt(remat, F, quant):
+        params, lora0 = get_params(quant)
         cs, sn = make_rope(F)
         key = jax.random.PRNGKey(2)
         batch = {
@@ -126,11 +144,13 @@ def main():
         return (time.perf_counter() - t0) / iters, compile_s, loss
 
     last_err = None
-    for remat, F in ladder:
-        label = f"remat={'full' if remat is True else remat} frames={F}"
+    for remat, F, *q in ladder:
+        quant = q[0] if q else False
+        label = (f"remat={'full' if remat is True else remat} frames={F}"
+                 + (" base=int8(qlora)" if quant else " base=bf16"))
         try:
             print(f"# attempt: {label} ...", flush=True)
-            s_per_step, compile_s, loss = attempt(remat, F)
+            s_per_step, compile_s, loss = attempt(remat, F, quant)
         except Exception as e:  # RESOURCE_EXHAUSTED etc: step down the ladder
             msg = str(e).splitlines()[0][:200]
             print(f"# attempt: {label} FAILED: {msg}", flush=True)

@@ -29,6 +29,8 @@ def main():
     p.add_argument("--frames", type=int, default=13)
     p.add_argument("--remat", default="seg")
     p.add_argument("--rank", type=int, default=128)
+    p.add_argument("--quantize_base", action="store_true", default=False,
+                   help="QLoRA rung: int8 frozen base (random int8 init)")
     p.add_argument("--execute", action="store_true",
                    help="also run one step after a successful compile")
     args = p.parse_args()
@@ -65,9 +67,11 @@ def main():
 
         gc.collect()
         try:
-            params = jax.jit(lambda k, c=cfg: init_transformer_params_stacked(k, c))(
-                jax.random.PRNGKey(0)
-            )
+            params = jax.jit(
+                lambda k, c=cfg: init_transformer_params_stacked(
+                    k, c, quantized=args.quantize_base
+                )
+            )(jax.random.PRNGKey(0))
             jax.block_until_ready(jax.tree.leaves(params)[0])
             spec = LoRASpec(rank=args.rank, alpha=2.0 * args.rank)
             lora = init_lora_params(jax.random.PRNGKey(1), params, spec)
