@@ -815,3 +815,65 @@ def test_spatial_cp_not_engaged_below_native():
                    vcfg.latent_channels))
     mesh = make_mesh({"seq": 4}, jax.devices()[:4])
     assert not spatial_cp_supported(vcfg, z, mesh, "seq")
+
+
+def test_qlora_train_step_under_mesh_matches_single_device():
+    """QLoRA (int8 frozen base, output-additive adapters) under a dp2 x tp4
+    mesh: the int8 tree TP-shards via transformer_param_specs_like, the
+    batch dp-shards, and the donated train step's loss matches the
+    single-device run to fp32 tolerance."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from s2v_tpu.ops.quant import quantize_transformer_params
+    from s2v_tpu.parallel import mesh_context
+    from s2v_tpu.parallel.sharding import (
+        default_logical_map,
+        shard_params,
+        transformer_param_specs_like,
+    )
+    from s2v_tpu.training.lora import (
+        LoRASpec,
+        init_lora_params,
+        make_lora_train_step,
+    )
+
+    cfg, params, lat, ref, emb, cs, sn = _setup()
+    qparams = quantize_transformer_params(params)
+    spec = LoRASpec(rank=2, alpha=4.0)
+    lora0 = init_lora_params(jax.random.PRNGKey(9), qparams, spec)
+    lora0 = jax.tree.map(lambda x: x + 0.02, lora0)
+    B = 2
+    batch = {
+        "video_latents": jnp.concatenate([lat, lat * 0.5], axis=0),
+        "ref_latents": jnp.concatenate([ref, ref], axis=0),
+        "text_embeds": emb[:B],
+        "rope_cos": cs,
+        "rope_sin": sn,
+    }
+
+    def run(base, batch, mesh=None):
+        init_opt, step = make_lora_train_step(
+            base, cfg, spec, SchedulerConfig(), learning_rate=1e-3
+        )
+        lora, opt = jax.tree.map(jnp.copy, lora0), init_opt(lora0)
+        losses = []
+        for i in range(2):
+            if mesh is not None:
+                with mesh_context(mesh, default_logical_map(mesh)):
+                    lora, opt, loss = step(lora, opt, batch, jax.random.PRNGKey(i))
+            else:
+                lora, opt, loss = step(lora, opt, batch, jax.random.PRNGKey(i))
+            losses.append(float(loss))
+        return losses
+
+    want = run(qparams, batch)
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    sharded = shard_params(
+        qparams, mesh, transformer_param_specs_like(qparams, "model")
+    )
+    sbatch = dict(batch)
+    for k in ("video_latents", "ref_latents", "text_embeds"):
+        sbatch[k] = jax.device_put(sbatch[k], NamedSharding(mesh, P("data")))
+    got = run(sharded, sbatch, mesh=mesh)
+    np.testing.assert_allclose(got, want, rtol=2e-4)
