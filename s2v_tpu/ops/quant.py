@@ -30,9 +30,10 @@ def quantize_weight_int8(kernel: jnp.ndarray):
 
 
 @jax.custom_vjp
-def _int8_mm(xf: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray):
-    """fp32 x @ dequant(q, scale) via the int8 MXU path (dynamic per-token
-    activation quantization, int32 accumulation).
+def _int8_mm(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray):
+    """``x @ dequant(q, scale)`` via the int8 MXU path (dynamic per-token
+    activation quantization, int32 accumulation); input and output stay in
+    ``x.dtype``.
 
     custom_vjp because ``round`` has a zero gradient: as written the chain
     rule would silently kill every gradient flowing THROUGH an int8 layer
@@ -40,11 +41,19 @@ def _int8_mm(xf: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray):
     linears).  The backward treats the op as the linear map it approximates
     — ``dx = g @ (q * scale)^T`` — the exact gradient of the dequantized
     linear (straight-through on the activation quantizer).  q/scale are
-    frozen buffers; their zero cotangents are DCE'd by XLA."""
-    return _int8_mm_impl(xf, q, scale)
+    frozen buffers; their zero cotangents are DCE'd by XLA.
+
+    The custom_vjp boundary deliberately carries ``x.dtype`` (bf16 on the
+    product path) in BOTH directions: an fp32 signature here materializes
+    stream-sized fp32 temps per int8 dense in the rematted backward —
+    measured +~2 GB at the flagship train geometry (f32[1,19126,3072] x 9
+    in the L=42 QLoRA compile report) — while interior fp32 math fuses
+    into the surrounding passes."""
+    return _int8_mm_impl(x, q, scale)
 
 
-def _int8_mm_impl(xf, q, scale):
+def _int8_mm_impl(x, q, scale):
+    xf = x.astype(jnp.float32)
     x_scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
     x_scale = jnp.where(x_scale == 0, 1.0, x_scale)
     xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
@@ -53,23 +62,26 @@ def _int8_mm_impl(xf, q, scale):
         (((xq.ndim - 1,), (q.ndim - 2,)), ((), ())),
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32)
-    return y * x_scale * scale.reshape((1,) * (y.ndim - 1) + (-1,))
+    y = y * x_scale * scale.reshape((1,) * (y.ndim - 1) + (-1,))
+    return y.astype(x.dtype)
 
 
-def _int8_mm_fwd(xf, q, scale):
-    return _int8_mm_impl(xf, q, scale), (q, scale)
+def _int8_mm_fwd(x, q, scale):
+    # the zero-size proto array carries x.dtype to the backward
+    return _int8_mm_impl(x, q, scale), (q, scale, jnp.zeros((0,), x.dtype))
 
 
 def _int8_mm_bwd(res, g):
-    q, scale = res
+    q, scale, proto = res
     # dx = (g * w_scale) @ q^T — int8 weights are exact in bf16 (|q| <= 127)
-    gs = (g * scale.reshape((1,) * (g.ndim - 1) + (-1,))).astype(jnp.bfloat16)
+    gs = (g.astype(jnp.float32) * scale.reshape((1,) * (g.ndim - 1) + (-1,)))
+    gs = gs.astype(jnp.bfloat16)
     dx = jax.lax.dot_general(
         gs, q.astype(jnp.bfloat16),
         (((g.ndim - 1,), (q.ndim - 1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return dx, jnp.zeros_like(q), jnp.zeros_like(scale)
+    return dx.astype(proto.dtype), jnp.zeros_like(q), jnp.zeros_like(scale)
 
 
 _int8_mm.defvjp(_int8_mm_fwd, _int8_mm_bwd)
@@ -79,10 +91,10 @@ def int8_dense(x: jnp.ndarray, wq: dict, bias=None):
     """Dynamic per-token int8 matmul: quantize x rows, int8 MXU contraction
     with int32 accumulation, rescale by (x_scale * w_scale).
     Differentiable w.r.t. ``x`` (see :func:`_int8_mm`)."""
-    y = _int8_mm(x.astype(jnp.float32), wq["q"], wq["scale"])
+    y = _int8_mm(x, wq["q"], wq["scale"])
     if bias is not None:
-        y = y + bias.astype(jnp.float32)
-    return y.astype(x.dtype)
+        y = y + bias.astype(y.dtype)
+    return y
 
 
 def dense(params: dict, x: jnp.ndarray) -> jnp.ndarray:
