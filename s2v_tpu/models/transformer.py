@@ -468,7 +468,7 @@ def transformer_forward(
     xs = (
         (params["blocks"], lora_blocks) if lora_blocks is not None else params["blocks"]
     )
-    if remat == "seg":
+    if isinstance(remat, str) and remat.startswith("seg"):
         # segmented (nested) remat — the sqrt(L) memory/compute point:
         # per-layer remat still saves every scan carry (42 x ~118 MB of
         # stream state at flagship B=1 ~ 4.9 GB, which on top of the
@@ -478,11 +478,21 @@ def transformer_forward(
         # segment's backward runs — (S + L/S) carries instead of L, for
         # one extra forward recompute.  Identical math/order => identical
         # grads (tested against "full").
+        #
+        # "seg" picks S minimizing S + L/S; "seg<N>" pins S = N (N must
+        # divide L) — more segments shrink the [L/S, in, out] weight-slice
+        # temps the nested backward materializes per target, at the cost
+        # of more saved stream boundaries.
         L = cfg.num_layers
-        S = min(
-            (d for d in range(1, L + 1) if L % d == 0),
-            key=lambda d: d + L // d,
-        )
+        if remat != "seg":
+            S = int(remat[3:])
+            if L % S:
+                raise ValueError(f"remat={remat!r}: {S} does not divide {L} layers")
+        else:
+            S = min(
+                (d for d in range(1, L + 1) if L % d == 0),
+                key=lambda d: d + L // d,
+            )
         inner = jax.checkpoint(scan_body)
 
         def seg_body(carry, xs_seg):

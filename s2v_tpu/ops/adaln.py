@@ -64,8 +64,13 @@ def ada_layer_norm_zero_3stream(
     norm_b = params["norm"]["bias"]
 
     def mod_stream(x, sh, sc):
-        xn = layer_norm(x, norm_w, norm_b, eps).astype(jnp.float32)
-        return (xn * (1.0 + sc[:, None, :]) + sh[:, None, :]).astype(x.dtype)
+        # modulation applied in the stream dtype (fp32 for fp32 models): the
+        # per-channel (1+scale)/shift vectors round to bf16 once; an fp32
+        # apply keeps stream-sized fp32 tensors live in the rematted train
+        # backward (see ops/norms.py)
+        xn = layer_norm(x, norm_w, norm_b, eps)
+        dt = x.dtype
+        return xn * (1.0 + sc[:, None, :]).astype(dt) + sh[:, None, :].astype(dt)
 
     video_n = mod_stream(video, shift, scale)
     text_n = mod_stream(text, t_shift, t_scale)
@@ -90,6 +95,6 @@ def ada_layer_norm_out(params, x: jnp.ndarray, temb: jnp.ndarray, eps: float = 1
     """
     mod = _modulation(params["linear"], temb)  # [B, 2D]
     shift, scale = jnp.split(mod, 2, axis=-1)
-    xn = layer_norm(x, params["norm"]["weight"], params["norm"]["bias"], eps).astype(jnp.float32)
-    out = xn * (1.0 + scale[:, None, :]) + shift[:, None, :]
-    return out.astype(x.dtype)
+    xn = layer_norm(x, params["norm"]["weight"], params["norm"]["bias"], eps)
+    dt = x.dtype
+    return xn * (1.0 + scale[:, None, :]).astype(dt) + shift[:, None, :].astype(dt)

@@ -53,10 +53,15 @@ def _int8_mm(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray):
 
 
 def _int8_mm_impl(x, q, scale):
-    xf = x.astype(jnp.float32)
-    x_scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    # the row max is computed on x directly (bf16 comparisons are exact),
+    # and the f32 upcast of x has exactly ONE consumer (the quantize
+    # chain) — a shared f32 view of the stream materializes 224 MB temps
+    # per int8 dense in the rematted train backward (L=42 QLoRA report)
+    x_scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32) / 127.0
     x_scale = jnp.where(x_scale == 0, 1.0, x_scale)
-    xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / x_scale), -127, 127
+    ).astype(jnp.int8)
     y = jax.lax.dot_general(
         xq, q,
         (((xq.ndim - 1,), (q.ndim - 2,)), ((), ())),
@@ -73,11 +78,14 @@ def _int8_mm_fwd(x, q, scale):
 
 def _int8_mm_bwd(res, g):
     q, scale, proto = res
-    # dx = (g * w_scale) @ q^T — int8 weights are exact in bf16 (|q| <= 127)
-    gs = (g.astype(jnp.float32) * scale.reshape((1,) * (g.ndim - 1) + (-1,)))
-    gs = gs.astype(jnp.bfloat16)
+    # dx = (g * w_scale) @ q^T — int8 weights are exact in bf16 (|q| <= 127).
+    # The g*scale product runs in g's dtype (bf16 on the product path; the
+    # scale rounds to bf16, a ~0.4% relative grad perturbation): an f32
+    # intermediate here materializes stream-sized temps in the rematted
+    # backward (measured f32[1,19126,3072] copies in the L=42 report).
+    gs = g * scale.reshape((1,) * (g.ndim - 1) + (-1,)).astype(g.dtype)
     dx = jax.lax.dot_general(
-        gs, q.astype(jnp.bfloat16),
+        gs.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
         (((g.ndim - 1,), (q.ndim - 1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )

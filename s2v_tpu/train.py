@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import time
 
 import numpy as np
@@ -80,7 +81,6 @@ def get_args(argv=None):
                         "--mesh with a seq axis. pallas_int8 is "
                         "inference-only (no backward kernels)")
     p.add_argument("--remat", type=str, default="full",
-                   choices=["full", "dots", "seg", "none"],
                    help="block-scan rematerialization: full = O(1-layer) "
                         "activations (recompute everything in bwd), dots = "
                         "save matmul outputs / recompute elementwise (faster "
@@ -130,7 +130,17 @@ def get_args(argv=None):
     return p.parse_args(argv)
 
 
-_REMAT_MODES = {"full": True, "dots": "dots", "seg": "seg", "none": False}
+_REMAT_MODES = {"full": True, "dots": "dots", "none": False}
+
+
+def _remat_mode(name: str):
+    """full/dots/none/seg/seg<N> -> transformer_forward remat policy
+    (seg<N> pins the nested-checkpoint segment count)."""
+    if name in _REMAT_MODES:
+        return _REMAT_MODES[name]
+    if re.fullmatch(r"seg\d*", name):
+        return name
+    raise SystemExit(f"--remat {name!r}: expected full, dots, none, seg or segN")
 
 
 def _resume_position(args, step, dataset):
@@ -257,7 +267,7 @@ def _run_full(args, pipe, dataset, opt_spec, log):
         pipe.transformer_cfg, pipe.scheduler_cfg, opt_spec,
         attention_backend=args.attention_backend,
         mesh=mesh, compute_dtype=compute_dtype, ema_decay=args.ema_decay,
-        remat=_REMAT_MODES[args.remat],
+        remat=_remat_mode(args.remat),
     )
     # fp32 master weights (the bf16 checkpoint would lose update precision).
     # Under FSDP the cast happens host-side per leaf, landing directly on
@@ -508,7 +518,7 @@ def main(args=None):
             batch_sharding = NamedSharding(pipe.mesh, P("data"))
     mesh_ctx = pipe._mesh_ctx  # fresh (re-entrant) context per step
 
-    remat = _REMAT_MODES[args.remat]
+    remat = _remat_mode(args.remat)
     lora = init_lora_params(jax.random.PRNGKey(args.seed), pipe.transformer_params, spec)
     # donate=True: the train loop below rebinds (lora, opt_state) every step,
     # so the old fp32 trees are freed in place (~3.3 GB at rank-128 flagship)

@@ -182,7 +182,15 @@ def lora_loss_fn(
         blocks: Dict[str, dict] = {}
         top: Dict[str, dict] = {}
         for name, ab in lora_params.items():
-            pair = {"a": ab["a"] * spec.scale, "b": ab["b"]}
+            # compute-dtype factors inside the loss (the fp32 master copy is
+            # what the optimizer updates): fp32 factor xs + their scan
+            # cotangents cost ~1.5 GB of flagship train-step temps, and the
+            # astype transpose hands the caller fp32 grads either way; for
+            # fp32 models (cfg.dtype == float32) this is a no-op
+            pair = {
+                "a": (ab["a"] * spec.scale).astype(cfg.dtype),
+                "b": ab["b"].astype(cfg.dtype),
+            }
             (top if name in ("patch_proj", "text_proj") else blocks)[name] = pair
         tree = {}
         if blocks:

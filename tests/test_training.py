@@ -305,6 +305,18 @@ def test_remat_seg_grads_identical():
     g_seg = jax.grad(lora_loss_fn)(lora, base, cfg, spec, batch, alphas, rng, "xla", "seg")
     for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_seg)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5)
+    # "seg<N>" pins the segment count; grads stay identical, and a
+    # non-divisor N is rejected
+    g_seg2 = jax.grad(lora_loss_fn)(
+        lora, base, cfg, spec, batch, alphas, rng, "xla", f"seg{cfg.num_layers}"
+    )
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_seg2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5)
+    import pytest
+
+    with pytest.raises(ValueError, match="divide"):
+        lora_loss_fn(lora, base, cfg, spec, batch, alphas, rng, "xla",
+                     f"seg{cfg.num_layers + 1}")
 
 
 def test_inscan_lora_matches_functional_merge():
@@ -493,3 +505,4 @@ def test_runtime_factors_over_int8_match_bf16_merge():
     err = np.abs(np.asarray(out_q) - np.asarray(out_merged)).max()
     scale = np.abs(np.asarray(out_merged)).max()
     assert err / scale < 0.05, f"int8+runtime vs bf16+merge rel err {err/scale}"
+
