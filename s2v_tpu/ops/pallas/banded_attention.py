@@ -233,7 +233,9 @@ def banded_flash_attention(
         out_shape = [out_shape, jax.ShapeDtypeStruct((b * h, n_frames * fp, 1), jnp.float32)]
 
     out = pl.pallas_call(
-        _flash_kernel,
+        # column-layout lse: fq (per-frame row split) is not 128-aligned,
+        # so the row-major lse block of the core flash path is illegal here
+        functools.partial(_flash_kernel, lse_row=False),
         grid=(b * h, n_frames * rs, n_k),
         in_specs=[
             pl.BlockSpec((1, fq, d + 1), lambda bh, qi, j: (bh, qi, 0)),
@@ -273,7 +275,7 @@ def _flash_kernel_sp(off_ref, q_ref, kt_ref, v_ref, o_ref, *rest):
     """The plain flash kernel with a leading scalar-prefetch ref (the
     shard's global frame offset — consumed by the index_maps, not here)."""
     del off_ref
-    return _flash_kernel(q_ref, kt_ref, v_ref, o_ref, *rest)
+    return _flash_kernel(q_ref, kt_ref, v_ref, o_ref, *rest, lse_row=False)
 
 
 def banded_flash_attention_local(

@@ -167,7 +167,7 @@ def _dq_kernel_sp(off_ref, *refs):
     """The full-backward dq kernel behind a scalar-prefetch ref (the
     shard's frame offset — consumed by the index_maps, not the body)."""
     del off_ref
-    return _dq_kernel(*refs)
+    return _dq_kernel(*refs, stat_row=False)
 
 
 @functools.partial(
@@ -256,8 +256,9 @@ def banded_flash_attention_bwd(
         return band_k_block(f, j, window_frames, lay)
 
     # ---- (2) dq for video queries: banded grid, stock dq kernel
+    # (column-layout lse/D: fq is not 128-aligned — see flash_attention.py)
     dq_vid = pl.pallas_call(
-        _dq_kernel,
+        functools.partial(_dq_kernel, stat_row=False),
         grid=(bh, n_frames * rs, n_k),
         in_specs=[
             pl.BlockSpec((1, fq, d + 1), lambda bh, qi, j: (bh, qi, 0)),  # q_aug

@@ -64,9 +64,13 @@ NEG_INF = -1e30
 _LANES = 128
 
 
-def _flash_kernel(q_ref, kt_ref, v_ref, o_ref, *rest):
+def _flash_kernel(q_ref, kt_ref, v_ref, o_ref, *rest, lse_row=True):
     # pallas passes refs as (inputs..., outputs..., scratch...): with the
-    # training variant the lse output ref precedes the scratch refs
+    # training variant the lse output ref precedes the scratch refs.
+    # lse_row: True -> lse block (1, 1, bq) (row-major [BH, 1, S] array,
+    # 8x sublane pad); False -> legacy column block (1, bq, 1) — kept for
+    # the banded grids, whose per-frame block width is not 128-aligned so
+    # a lane-major lse block is illegal there.
     if len(rest) == 3:
         lse_ref, m_scratch, acc_scratch = rest
     else:
@@ -110,8 +114,13 @@ def _flash_kernel(q_ref, kt_ref, v_ref, o_ref, *rest):
         l = jnp.where(l == 0.0, 1.0, l)  # fully-masked (padded-query) rows
         o_ref[0] = (acc_scratch[:, :-1] / l).astype(o_ref.dtype)
         if lse_ref is not None:
-            # log-sum-exp per row (training residual for the backward pass)
-            lse_ref[0] = m_scratch[:, :1] + jnp.log(l)
+            # log-sum-exp per row (training residual for the backward pass).
+            # Stored ROW-major ([BH, 1, S] block (1, 1, bq)): a [.., S, 1]
+            # column output gets (8,128)-tile padded 128x by XLA — 322 MB of
+            # HLO temp at flagship f=9 vs 21 MB this way (the in-kernel
+            # [bq,1]->[1,bq] relayout is a once-per-q-block transpose).
+            lse = m_scratch[:, :1] + jnp.log(l)
+            lse_ref[0] = lse.T if lse_row else lse
 
 
 def _flash_kernel_bounded(q_ref, kt_ref, v_ref, o_ref, lse_ref, acc_scratch,
@@ -162,8 +171,9 @@ def _flash_kernel_bounded(q_ref, kt_ref, v_ref, o_ref, lse_ref, acc_scratch,
         o_ref[0] = (acc_scratch[:, :-1] / l_safe).astype(o_ref.dtype)
         # log(l); the caller adds M0 back for the true log-sum-exp.  l == 0
         # means every p in the row underflowed — surface it as NEG_INF so
-        # the caller's min-check trips the online fallback.
-        lse_ref[0] = jnp.where(l == 0.0, NEG_INF, jnp.log(l_safe))
+        # the caller's min-check trips the online fallback.  Row-major
+        # store ([BH, 1, S]) — see _flash_kernel's lse note.
+        lse_ref[0] = jnp.where(l == 0.0, NEG_INF, jnp.log(l_safe)).T
 
 
 def _bounded_call(q_aug, kt_aug, v_aug, out_dtype, block_q, block_k, interpret,
@@ -181,11 +191,11 @@ def _bounded_call(q_aug, kt_aug, v_aug, out_dtype, block_q, block_k, interpret,
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, s, d), out_dtype),
-            jax.ShapeDtypeStruct((bh, s, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, s), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((block_q, d + 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -319,9 +329,9 @@ def flash_attention(
         if want_lse:
             out_specs = [
                 out_specs,
-                pl.BlockSpec((1, block_q, 1), lambda bh, qi, ki: (bh, qi, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda bh, qi, ki: (bh, 0, qi)),
             ]
-            out_shape = [out_shape, jax.ShapeDtypeStruct((b * h, s, 1), jnp.float32)]
+            out_shape = [out_shape, jax.ShapeDtypeStruct((b * h, 1, s), jnp.float32)]
         return pl.pallas_call(
             _flash_kernel,
             grid=(b * h, n_q, n_k),
@@ -385,7 +395,7 @@ def flash_attention(
         if return_lse:
             return (
                 o.reshape(b, h, s, d).transpose(0, 2, 1, 3),
-                lse[..., 0].reshape(b, h, s),  # [B, H, S]
+                lse[:, 0, :].reshape(b, h, s),  # [B, H, S]
             )
         return o.reshape(b, h, s, d).transpose(0, 2, 1, 3)
     if softmax_mode != "online":
@@ -396,6 +406,6 @@ def flash_attention(
         o, lse = out
         return (
             o.reshape(b, h, s, d).transpose(0, 2, 1, 3),
-            lse[..., 0].reshape(b, h, s),  # [B, H, S]
+            lse[:, 0, :].reshape(b, h, s),  # [B, H, S]
         )
     return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)

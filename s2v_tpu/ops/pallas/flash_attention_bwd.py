@@ -37,7 +37,11 @@ NEG_INF = -1e30
 POS_INF = 1e30
 
 
-def _dq_kernel(q_ref, kt_ref, vt_ref, k_ref, do_ref, lse_ref, d_ref, dq_ref, acc):
+def _dq_kernel(q_ref, kt_ref, vt_ref, k_ref, do_ref, lse_ref, d_ref, dq_ref, acc,
+               *, stat_row=True):
+    # stat_row: True -> lse/D blocks (1, 1, bq) from row-major [BH, 1, S]
+    # arrays (8x sublane pad); False -> legacy column blocks (1, bq, 1),
+    # kept for the banded grids whose per-frame width is not 128-aligned.
     ki = pl.program_id(2)
     n_k = pl.num_programs(2)
 
@@ -50,14 +54,19 @@ def _dq_kernel(q_ref, kt_ref, vt_ref, k_ref, do_ref, lse_ref, d_ref, dq_ref, acc
     z = jax.lax.dot_general(
         q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk]; padded keys at -1e30
-    p = jnp.exp(z - lse_ref[0])  # lse block [bq, 1] broadcasts
+    # in the row layout ([BH, 1, S]: a [.., S, 1] column operand would be
+    # (8,128)-tile padded 128x in HBM — see flash_attention.py's lse note)
+    # one [1,bq]->[bq,1] relayout per (qi, ki) step, then broadcast
+    lse_b = lse_ref[0].T if stat_row else lse_ref[0]  # [bq, 1]
+    d_b = d_ref[0].T if stat_row else d_ref[0]  # [bq, 1]
+    p = jnp.exp(z - lse_b)
 
     do = do_ref[0]  # [bq, d]
     vt = vt_ref[0]  # [d, bk]
     dp = jax.lax.dot_general(
         do, vt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk]
-    ds = p * (dp - d_ref[0])  # D block [bq, 1] broadcasts
+    ds = p * (dp - d_b)
 
     k = k_ref[0]  # [bk, d]
     acc[:] += jax.lax.dot_general(
@@ -170,7 +179,9 @@ def flash_attention_bwd(
         axis=-1,
     )
     d_row = jnp.pad(d_row, ((0, 0), (0, sq - s)))
-    lse_col, d_col = lse_b[..., None], d_row[..., None]  # [BH, sq, 1]
+    # both kernels take the ROW layout [BH, 1, sq] (8x sublane pad, ~21 MB
+    # at flagship) — the column layout [BH, sq, 1] would tile-pad 128x
+    # (~322 MB per operand buffer; the round-4 train-step OOM's #4/#5)
     lse_row, d_rrow = lse_b[:, None, :], d_row[:, None, :]  # [BH, 1, sq]
 
     dq = pl.pallas_call(
@@ -182,8 +193,8 @@ def flash_attention_bwd(
             pl.BlockSpec((1, d, block_k), lambda bh, qi, ki: (bh, 0, ki)),  # vt
             pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),  # k
             pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),  # do
-            pl.BlockSpec((1, block_q, 1), lambda bh, qi, ki: (bh, qi, 0)),  # lse
-            pl.BlockSpec((1, block_q, 1), lambda bh, qi, ki: (bh, qi, 0)),  # D
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi, ki: (bh, 0, qi)),  # lse row
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi, ki: (bh, 0, qi)),  # D row
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
@@ -192,7 +203,7 @@ def flash_attention_bwd(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_aug, kt_aug, vt, k_p, do, lse_col, d_col)
+    )(q_aug, kt_aug, vt, k_p, do, lse_row, d_rrow)
     dq = dq[:, :s] * jnp.asarray(scale, q.dtype)
 
     dk, dv = pl.pallas_call(

@@ -60,6 +60,12 @@ def get_args(argv=None):
     p.add_argument("--adam_beta2", type=float, default=0.95)
     p.add_argument("--adam_weight_decay", type=float, default=1e-4)
     p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--moment_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="adam/adamw first-moment (mu) storage dtype; "
+                        "bfloat16 halves the largest optimizer buffer "
+                        "(~0.6 GB at rank-128 flagship LoRA) with no "
+                        "measurable loss impact (mu is a grad EMA)")
     p.add_argument("--train_batch_size", type=int, default=1)
     p.add_argument("--max_train_steps", type=int, default=1000)
     p.add_argument("--height", type=int, default=480)
@@ -467,6 +473,7 @@ def main(args=None):
         beta2=args.adam_beta2,
         epsilon=args.adam_epsilon,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
+        moment_dtype=args.moment_dtype,
     )
     if args.train_mode == "full":
         return _run_full(args, pipe, dataset, opt_spec, log)

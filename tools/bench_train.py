@@ -50,22 +50,24 @@ def main():
         cfg = TransformerConfig.cogvideox_5b()
         B, H, W = 1, 60, 90
         backend = "pallas"
-        rank = 128
-        # (remat, latent frames, quantize_base): QLoRA flagship first — the
-        # bf16 base is a PROVEN compile-time OOM at 42 layers (args alone
-        # 11.1 base + 3.2 lora/opt ~ 14.3 GB of 15.75; bench_runs/
-        # r04_probe_inscan.log + /tmp probe L=28: args 9.82 + temps 9.13).
-        # int8 freezing drops the base to ~5.6 GB AND halves the segment
-        # weight-slice temps of the nested-remat backward.
-        ladder = [("seg", 13, True), ("seg", 9, True), ("seg", 9, False),
-                  ("seg", 7, False)]
+        # (remat, latent frames, quantize_base, rank): QLoRA flagship first —
+        # the bf16 base is a PROVEN compile-time OOM at 42 layers (L=42 f=9
+        # AOT dump: arguments 14.71 GB + temps 7.43 GB on a 15.75 GB chip,
+        # bench_runs/r04_probe_L42_f9.log).  The rungs attack every term:
+        # int8 base (-5.5 GB args), seg14 (weight-slice temps 504->216 MB
+        # per target), bf16 adam mu (-0.6 GB at r=128), rank 64 (-1.8 GB),
+        # row-major lse/D kernel stats (-1.3 GB of 128x-padded temps).
+        # r=128 at f=13 measured 17.15 G of 15.75 (bench_runs/
+        # r04_probe_qlora_f13.log: args 9.56 + temps 7.59, 45.9% frag) —
+        # 1.4 GB over, so the r=64 flagship rung leads
+        ladder = [("seg14", 13, True, 64), ("seg14", 13, True, 128),
+                  ("seg14", 9, True, 64), ("seg14", 9, False, 64)]
         iters, warmup = 3, 1
     else:
         cfg = TransformerConfig.tiny()
         B, H, W = 1, 8, 8
         backend = "xla"
-        rank = 2
-        ladder = [(True, 2)]
+        ladder = [(True, 2, False, 2)]
         iters, warmup = 2, 1
 
     def make_rope(F):
@@ -82,13 +84,12 @@ def main():
             cos[tok : tok * (F + 1)], sin[tok : tok * (F + 1)],
         )
 
-    spec = LoRASpec(rank=rank, alpha=2.0 * rank)
     # base tree state, rebuilt when a rung flips quantize_base (bf16 and
     # int8 trees must never be alive together: 11.1 + 6.4 GB > 16 GB HBM)
-    tree_state = {"quant": None, "params": None, "lora0": None}
+    tree_state = {"quant": None, "rank": None, "params": None, "lora0": None}
 
-    def get_params(quant):
-        if tree_state["quant"] != quant:
+    def get_params(quant, rank):
+        if tree_state["quant"] != quant or tree_state["rank"] != rank:
             tree_state["params"] = tree_state["lora0"] = None
             jax.clear_caches()
             # one jitted init: per-leaf eager init is hundreds of relay
@@ -98,12 +99,14 @@ def main():
             )(jax.random.PRNGKey(0))
             jax.block_until_ready(jax.tree.leaves(tree_state["params"])[0])
             tree_state["lora0"] = init_lora_params(
-                jax.random.PRNGKey(1), tree_state["params"], spec)
-            tree_state["quant"] = quant
+                jax.random.PRNGKey(1), tree_state["params"],
+                LoRASpec(rank=rank, alpha=2.0 * rank))
+            tree_state["quant"], tree_state["rank"] = quant, rank
         return tree_state["params"], tree_state["lora0"]
 
-    def attempt(remat, F, quant):
-        params, lora0 = get_params(quant)
+    def attempt(remat, F, quant, rank):
+        spec = LoRASpec(rank=rank, alpha=2.0 * rank)
+        params, lora0 = get_params(quant, rank)
         cs, sn = make_rope(F)
         key = jax.random.PRNGKey(2)
         batch = {
@@ -117,9 +120,14 @@ def main():
             "rope_cos": cs,
             "rope_sin": sn,
         }
+        from s2v_tpu.training.optim import OptimizerSpec
+
         init_opt, train_step = make_lora_train_step(
             params, cfg, spec, SchedulerConfig(), learning_rate=1e-4,
             attention_backend=backend, remat=remat, donate=True,
+            # bf16 adam mu: the production memory configuration on a
+            # 16 GB chip (see ladder comment); nu stays fp32
+            optimizer_spec=OptimizerSpec(moment_dtype="bfloat16"),
         )
         # donation deletes the step's inputs — keep lora0 alive across rungs
         lora = jax.tree.map(jnp.copy, lora0)
@@ -144,13 +152,13 @@ def main():
         return (time.perf_counter() - t0) / iters, compile_s, loss
 
     last_err = None
-    for remat, F, *q in ladder:
-        quant = q[0] if q else False
+    for remat, F, quant, rank in ladder:
         label = (f"remat={'full' if remat is True else remat} frames={F}"
-                 + (" base=int8(qlora)" if quant else " base=bf16"))
+                 + (" base=int8(qlora)" if quant else " base=bf16")
+                 + f" rank={rank}")
         try:
             print(f"# attempt: {label} ...", flush=True)
-            s_per_step, compile_s, loss = attempt(remat, F, quant)
+            s_per_step, compile_s, loss = attempt(remat, F, quant, rank)
         except Exception as e:  # RESOURCE_EXHAUSTED etc: step down the ladder
             msg = str(e).splitlines()[0][:200]
             print(f"# attempt: {label} FAILED: {msg}", flush=True)
@@ -165,7 +173,7 @@ def main():
                       if on_tpu else "LoRA train step (tiny smoke)",
             "value": round(s_per_step, 3),
             "unit": "s/step",
-            "detail": f"{label} backend={backend} rank={rank} "
+            "detail": f"{label} backend={backend} mu=bf16 "
                       f"compile={compile_s:.1f}s loss={loss:.4f} "
                       f"steps/hour={3600.0 / s_per_step:.1f}",
         }))

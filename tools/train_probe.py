@@ -89,9 +89,13 @@ def main():
                 "rope_cos": cs,
                 "rope_sin": sn,
             }
+            from s2v_tpu.training.optim import OptimizerSpec
+
             init_opt, train_step = make_lora_train_step(
                 params, cfg, spec, SchedulerConfig(), learning_rate=1e-4,
                 attention_backend="pallas", remat=remat, donate=True,
+                # match tools/bench_train.py's production memory config
+                optimizer_spec=OptimizerSpec(moment_dtype="bfloat16"),
             )
             opt_state = init_opt(lora)
             t1 = time.perf_counter()
