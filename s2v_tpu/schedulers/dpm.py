@@ -40,18 +40,27 @@ def dpm_multipliers(
     final = 1.0 if set_alpha_to_one else float(alphas_cumprod[0])
     a_prev = np.where(prev >= 0, alphas_cumprod[np.clip(prev, 0, None)], final).astype(np.float64)
 
-    lamb = np.log(np.sqrt(a_t / (1.0 - a_t)))
-    lamb_next = np.log(np.sqrt(a_prev / (1.0 - a_prev)))
+    # Deliberate infinities at the schedule endpoints (the reference computes
+    # the same in torch): zero-terminal-SNR gives alphas_cumprod[t_max] == 0
+    # -> lamb = -inf, and set_alpha_to_one gives a_prev == 1 on the last step
+    # -> lamb_next = +inf.  Both collapse to finite multipliers below
+    # (exp(-inf) = 0, expm1(-inf) = -1, 1/inf = 0); only log(0)/x-over-0
+    # warnings are suppressed — no NaN is ever produced, and every returned
+    # table is asserted finite.
+    with np.errstate(divide="ignore"):
+        lamb = np.log(np.sqrt(a_t / (1.0 - a_t)))
+        lamb_next = np.log(np.sqrt(a_prev / (1.0 - a_prev)))
     h = lamb_next - lamb
 
-    # timestep_back values: shift by one step
-    a_back = np.concatenate([[a_t[0]], a_t[:-1]])  # a_back[i] = a_t[i-1]
-    lamb_prev = np.log(np.sqrt(a_back / (1.0 - a_back)))
-    h_last = lamb - lamb_prev
-    with np.errstate(divide="ignore", invalid="ignore"):
-        r = np.where(h != 0, h_last / h, 1.0)
-    # r == 0 only on step 0 (h_last = 0), where has_back masks the 2nd-order
-    # path entirely; substitute 1 to keep the table finite.
+    # h_last[i] = lamb[i] - lamb[i-1] (timestep_back = timesteps[i-1]).
+    # Step 0 has no timestep_back: branch explicitly to 0 instead of
+    # computing lamb[0] - lamb[0], which is (-inf) - (-inf) = NaN under
+    # zero-SNR (the round-4 "invalid value in subtract" warning).
+    h_last = np.zeros_like(h)
+    h_last[1:] = lamb[1:] - lamb[:-1]
+    # r[0] = 0/h[0] -> masked to 1 (has_back zeroes the 2nd-order path at
+    # step 0 anyway); h == 0 lanes (degenerate repeated timesteps) masked too.
+    r = np.divide(h_last, h, out=np.ones_like(h), where=h != 0)
     r = np.where(r != 0, r, 1.0)
 
     mult1 = np.sqrt((1.0 - a_prev) / (1.0 - a_t)) * np.exp(-h)
@@ -64,7 +73,7 @@ def dpm_multipliers(
     has_back[1:] = 1.0
     has_back = np.where(prev >= 0, has_back, 0.0)
 
-    return {
+    out = {
         "mult1": mult1.astype(np.float32),
         "mult2": mult2.astype(np.float32),
         "mult3": mult3.astype(np.float32),
@@ -73,6 +82,13 @@ def dpm_multipliers(
         "a_t": a_t.astype(np.float32),
         "has_back": has_back.astype(np.float32),
     }
+    for name, table in out.items():
+        if not np.isfinite(table).all():
+            raise FloatingPointError(
+                f"dpm_multipliers: non-finite entries in {name!r} — the "
+                f"endpoint-infinity collapse above failed for this schedule"
+            )
+    return out
 
 
 def dpm_step(

@@ -54,6 +54,14 @@ class OptimizerSpec:
             raise ValueError(
                 f"moment_dtype must be 'float32' or 'bfloat16', got {self.moment_dtype!r}"
             )
+        if self.optimizer == "prodigy" and self.moment_dtype != "float32":
+            # optax.contrib.prodigy exposes no moment-dtype knob; silently
+            # keeping fp32 moments would contradict the requested config
+            raise ValueError(
+                "moment_dtype='bfloat16' is not supported with "
+                "optimizer='prodigy' (optax prodigy keeps fp32 state); use "
+                "adam/adamw for low-precision moments"
+            )
 
 
 def make_lr_schedule(spec: OptimizerSpec):

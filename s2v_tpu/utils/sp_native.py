@@ -48,13 +48,39 @@ def _load_lib() -> ctypes.CDLL:
     return lib
 
 
+def _needs_nmt_nfkc(text: str) -> bool:
+    """True when the native no-normalization path could diverge from the
+    reference's sentencepiece ``nmt_nfkc`` normalizer: any non-ASCII
+    character, or ASCII that NFKC would still rewrite.  ASCII printable text
+    is nmt_nfkc-invariant (the charsmap only rewrites control/space/compat
+    codepoints), which is the regime the native Viterbi path is
+    parity-tested in."""
+    import unicodedata
+
+    if any(ord(c) > 0x7F for c in text):
+        return True
+    return unicodedata.normalize("NFKC", text) != text
+
+
 class NativeSPTokenizer:
     """T5-style tokenizer over a raw ``spiece.model``: unigram Viterbi in
     C++, ``<cls>``-aware, pads to max_length and appends EOS (matching the
     reference pipeline's ``padding="max_length"`` call,
-    pipeline_cogvideox.py:209-218)."""
+    pipeline_cogvideox.py:209-218).
 
-    def __init__(self, spiece_model_path: str, cls_token: str = "<cls>"):
+    Scope guard: the C++ path applies **no** nmt_nfkc normalization, so a
+    non-ASCII prompt (accented/CJK/full-width text) could silently tokenize
+    differently from the reference's sentencepiece.  Such prompts are
+    rerouted to the ``tokenizers`` wrapper when a ``tokenizer.json`` is
+    available (``fallback_tokenizer_json``, auto-discovered next to the
+    spiece.model), and rejected with a clear error otherwise."""
+
+    def __init__(
+        self,
+        spiece_model_path: str,
+        cls_token: str = "<cls>",
+        fallback_tokenizer_json: str = None,
+    ):
         self._lib = _load_lib()
         self._h = self._lib.sp_load(spiece_model_path.encode())
         if not self._h:
@@ -66,6 +92,20 @@ class NativeSPTokenizer:
         # sp vocab (reference src/inference.py:182-189 -> id 32100 for T5).
         self.cls_token = cls_token
         self.cls_id = self._lib.sp_vocab_size(self._h)
+        if fallback_tokenizer_json is None:
+            candidate = os.path.join(
+                os.path.dirname(os.path.abspath(spiece_model_path)), "tokenizer.json"
+            )
+            fallback_tokenizer_json = candidate if os.path.exists(candidate) else None
+        self._fallback_json = fallback_tokenizer_json
+        self._fallback = None  # built lazily on the first non-ASCII prompt
+
+    def _fallback_tokenizer(self):
+        if self._fallback is None and self._fallback_json:
+            from s2v_tpu.utils.tokenizer import T5CLSTokenizer
+
+            self._fallback = T5CLSTokenizer(self._fallback_json, self.cls_token)
+        return self._fallback
 
     def __len__(self) -> int:
         return self._lib.sp_vocab_size(self._h) + 1  # + <cls>
@@ -92,6 +132,25 @@ class NativeSPTokenizer:
     def encode(self, prompts: Union[str, Sequence[str]], max_length: int = 226) -> np.ndarray:
         if isinstance(prompts, str):
             prompts = [prompts]
+        if any(_needs_nmt_nfkc(p) for p in prompts):
+            fb = self._fallback_tokenizer()
+            if fb is not None:
+                from s2v_tpu.utils.logging import get_logger
+
+                get_logger("s2v_tpu.tokenizer").info(
+                    "non-ASCII prompt: routing to the tokenizers backend "
+                    "(the native sentencepiece path skips nmt_nfkc "
+                    "normalization)"
+                )
+                return fb.encode(prompts, max_length)
+            raise ValueError(
+                "NativeSPTokenizer got a non-ASCII (or NFKC-non-invariant) "
+                "prompt but the native path applies no nmt_nfkc "
+                "normalization, so token ids could silently differ from the "
+                "reference's sentencepiece.  Provide a tokenizer.json next "
+                "to the spiece.model (rerouted automatically) or tokenize "
+                "with s2v_tpu.utils.tokenizer.T5CLSTokenizer."
+            )
         out = np.full((len(prompts), max_length), self.pad_id, np.int32)
         for i, p in enumerate(prompts):
             ids = self._encode_one(p)

@@ -506,3 +506,15 @@ def test_runtime_factors_over_int8_match_bf16_merge():
     scale = np.abs(np.asarray(out_merged)).max()
     assert err / scale < 0.05, f"int8+runtime vs bf16+merge rel err {err/scale}"
 
+
+
+def test_prodigy_rejects_low_precision_moments():
+    """optax prodigy has no moment-dtype knob; asking for bf16 moments must
+    fail loudly instead of silently keeping fp32 (ADVICE r4)."""
+    import pytest
+
+    from s2v_tpu.training.optim import OptimizerSpec
+
+    with pytest.raises(ValueError, match="prodigy"):
+        OptimizerSpec(optimizer="prodigy", moment_dtype="bfloat16")
+    OptimizerSpec(optimizer="prodigy")  # fp32 moments fine

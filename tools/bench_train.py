@@ -59,9 +59,12 @@ def main():
         # row-major lse/D kernel stats (-1.3 GB of 128x-padded temps).
         # r=128 at f=13 measured 17.15 G of 15.75 (bench_runs/
         # r04_probe_qlora_f13.log: args 9.56 + temps 7.59, 45.9% frag) —
-        # 1.4 GB over, so the r=64 flagship rung leads
-        ladder = [("seg14", 13, True, 64), ("seg14", 13, True, 128),
-                  ("seg14", 9, True, 64), ("seg14", 9, False, 64)]
+        # 1.4 GB over, so r=64 is the flagship rank here (no r=128 rung:
+        # rank 128 strictly dominates rank 64's memory, so it can never
+        # succeed after an identical r=64 rung fails)
+        ladder = [("seg14", 13, True, 64),
+                  ("seg14", 9, True, 64), ("seg14", 9, False, 64),
+                  ("seg14", 7, False, 64), ("seg14", 5, False, 64)]
         iters, warmup = 3, 1
     else:
         cfg = TransformerConfig.tiny()
@@ -173,7 +176,11 @@ def main():
                       if on_tpu else "LoRA train step (tiny smoke)",
             "value": round(s_per_step, 3),
             "unit": "s/step",
-            "detail": f"{label} backend={backend} mu=bf16 "
+            # optimizer surface: OptimizerSpec defaults (adamw b2=0.95,
+            # wd=1e-4) since r4 — loss not comparable with the r<=3 numbers
+            # that used optax.adamw(1e-4, b2=0.999)
+            "detail": f"{label} backend={backend} "
+                      f"opt=adamw(b2=0.95,wd=1e-4,mu=bf16) "
                       f"compile={compile_s:.1f}s loss={loss:.4f} "
                       f"steps/hour={3600.0 / s_per_step:.1f}",
         }))
