@@ -232,3 +232,72 @@ def test_t5_host_bench_smoke(tmp_path):
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     rec = json.loads(art.read_text())
     assert {r["dtype"] for r in rec["runs"]} == {"bfloat16", "float32"}
+
+
+def _run_bench(env_extra, timeout=540):
+    env = dict(os.environ, **env_extra)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "import bench; bench.main()"],
+        capture_output=True, text=True, timeout=timeout, cwd=repo, env=env,
+    )
+
+
+def test_bench_survives_midrun_hang():
+    """VERDICT r4 #1: a phase hang after the forward measurement must still
+    produce a parsed non-null JSON line — the watchdog emits the best
+    partial result (labeled) and exits 0 instead of dying on the driver's
+    timeout."""
+    out = _run_bench({
+        "S2V_BENCH_STEPS": "2",
+        "S2V_BENCH_BUDGET_S": "45",
+        "S2V_BENCH_TEST_HANG_PHASE": "post_fwd",
+        "S2V_BENCH_TEST_HANG_S": "3600",
+    }, timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == 1, out.stdout
+    rec = json.loads(lines[0])
+    assert rec["value"] is not None and rec["value"] > 0
+    assert rec["vs_baseline"] > 0
+    assert rec["measurement"]["partial"] is True
+    assert "extrapolated" in rec["measurement"]["denoise"]
+    assert "watchdog" in out.stderr
+
+
+def test_bench_survives_pre_measurement_hang():
+    """A hang before ANY measurement exists must emit the last committed
+    on-chip number explicitly labeled stale — provenance over null."""
+    out = _run_bench({
+        "S2V_BENCH_STEPS": "2",
+        "S2V_BENCH_BUDGET_S": "20",
+        "S2V_BENCH_TEST_HANG_PHASE": "pre_fwd",
+        "S2V_BENCH_TEST_HANG_S": "3600",
+    }, timeout=90)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][0])
+    assert rec["stale"] is True
+    assert rec["value"] == 396.907  # bench.LAST_GOOD
+    assert "STALE" in rec["measurement"]["denoise"]
+
+
+def test_bench_budget_truncates_denoise_loop():
+    """When the budget can't fit the full measured loop, the result is an
+    extrapolation from the measured prefix with an explicit measured_steps
+    label (never silently quoted as a full measurement)."""
+    # 8 steps, seg_len = 2; hang nothing, but shrink the budget so the VAE
+    # reserve forces an early stop. On CPU each tiny segment is fast, so
+    # use a generous-but-finite budget and assert the labeling contract on
+    # whatever was measured.
+    out = _run_bench({"S2V_BENCH_STEPS": "8"}, timeout=540)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][0])
+    m = rec["measurement"]
+    assert m["measured_steps"] >= 1
+    if m["measured_steps"] >= 8:
+        assert m["denoise"] == "measured"
+    else:
+        assert f"extrapolated from {m['measured_steps']}" in m["denoise"]
+    assert m["decode"] == "measured"

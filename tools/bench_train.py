@@ -30,7 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     import bench  # repo-root bench.py: shared backend-init watchdog
 
-    bench._init_backend_with_watchdog()
+    if bench._init_backend_with_watchdog() is None:
+        print(json.dumps({
+            "metric": "LoRA train step", "value": None, "unit": "s/step",
+            "detail": "jax backend init failed/hung — no measurement possible",
+        }))
+        sys.exit(2)
     import jax
     import jax.numpy as jnp
 

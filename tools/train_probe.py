@@ -37,7 +37,8 @@ def main():
 
     import bench
 
-    bench._init_backend_with_watchdog()
+    if bench._init_backend_with_watchdog() is None:
+        sys.exit(2)
     import jax
     import jax.numpy as jnp
 
