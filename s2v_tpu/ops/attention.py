@@ -54,6 +54,53 @@ def resolve_attention_backend(backend: str) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+def route_seq_backend(
+    backend: str, num_heads: int, seq_ring: int, tp_size: int = 1
+):
+    """Route a single-chip backend to its sequence-parallel form for a mesh
+    with a ``seq`` axis of size ``seq_ring``, applying the documented
+    legality fallbacks (docs/SCALING.md "Ulysses legality"):
+
+      * ``pallas`` -> ``sp_allgather`` (a Pallas call under plain GSPMD does
+        not partition; the explicit shard_map AG-KV wrapper is the
+        sequence-parallel kernel path — measured 17.3 ms/device/layer vs the
+        ring engine's 63.8 ms at the flagship geometry on v5e)
+      * ``pallas_int8`` -> ``sp_int8`` (int8-QK kernel via the AG-KV wrapper)
+      * ``windowed`` -> ``sp_windowed`` (banded kernel via frame sharding)
+      * ``sp_ulysses`` -> ``sp_allgather`` when ``(num_heads / tp_size) %
+        seq_ring != 0`` — e.g. the v5e-64 plan's dp2 x sp16 x tp2 mesh where
+        48/2 = 24 heads are not divisible by ring 16, so AG-KV (no
+        divisibility constraint) engages instead.
+
+    Returns ``(backend, reason)`` — ``reason`` is a human-readable line when
+    a fallback rerouted the request, else None.
+    """
+    if seq_ring <= 1:
+        return backend, None
+    if backend == "pallas":
+        return "sp_allgather", None
+    if backend == "pallas_int8":
+        return "sp_int8", None
+    if backend == "windowed":
+        return "sp_windowed", None
+    if backend == "windowed_gather":
+        raise ValueError(
+            "attention_backend='windowed_gather' has no sequence-parallel "
+            "wrapper; under a seq mesh use 'windowed' (reroutes to the "
+            "sp_windowed banded kernel) or 'windowed_xla'"
+        )
+    if backend == "sp_ulysses":
+        heads_local = num_heads // max(tp_size, 1)
+        if heads_local % seq_ring != 0:
+            return "sp_allgather", (
+                f"sp_ulysses illegal on this mesh ({heads_local} heads per "
+                f"tp shard not divisible by seq ring {seq_ring}) — falling "
+                f"back to sp_allgather (AG-KV has no divisibility "
+                f"constraint; docs/SCALING.md)"
+            )
+    return backend, None
+
+
 def attention_hbm_guard(
     backend: str,
     batch: int,

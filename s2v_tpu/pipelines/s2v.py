@@ -758,29 +758,25 @@ class S2VPipeline:
         from s2v_tpu.ops.attention import (
             attention_hbm_guard,
             resolve_attention_backend,
+            route_seq_backend,
         )
 
         self.attention_backend = resolve_attention_backend(self.attention_backend)
-        backend = self.attention_backend
-        if self._seq_ring() > 1:
-            if backend == "pallas":
-                # a Pallas call under plain GSPMD does not partition; the
-                # sequence-parallel kernel path is the explicit shard_map
-                # all-gather-KV wrapper (measured 17.3 ms/device/layer vs
-                # the ring engine's 63.8 ms at the flagship geometry on
-                # v5e — docs/SCALING.md)
-                backend = "sp_allgather"
-            elif backend == "pallas_int8":
-                backend = "sp_int8"  # int8-QK kernel via the AG-KV wrapper
-            elif backend == "windowed":
-                backend = "sp_windowed"  # banded kernel via frame sharding
-            elif backend == "windowed_gather":
-                raise ValueError(
-                    "attention_backend='windowed_gather' has no sequence-"
-                    "parallel wrapper; under a seq mesh use 'windowed' "
-                    "(reroutes to the sp_windowed banded kernel) or "
-                    "'windowed_xla'"
-                )
+        tp_size = (
+            int(self.mesh.shape["model"])
+            if self.mesh is not None and "model" in self.mesh.axis_names
+            else 1
+        )
+        backend, reroute_reason = route_seq_backend(
+            self.attention_backend,
+            self.transformer_cfg.num_attention_heads,
+            self._seq_ring(),
+            tp_size,
+        )
+        if reroute_reason:
+            from s2v_tpu.utils.logging import get_logger
+
+            get_logger("s2v_tpu.pipeline").warning(reroute_reason)
         cfg = self.transformer_cfg
 
         # input validation (reference check_inputs :372-421 + the static

@@ -12,14 +12,18 @@ import jax
 import jax.numpy as jnp
 
 
-def tiny_pipeline(attention_backend: str = "xla"):
-    """S2VPipeline over random tiny-config weights (no T5/tokenizer)."""
+def tiny_pipeline(attention_backend: str = "xla", **cfg_overrides):
+    """S2VPipeline over random tiny-config weights (no T5/tokenizer).
+
+    ``cfg_overrides`` land on ``TransformerConfig.tiny`` — e.g.
+    ``num_attention_heads=8`` for meshes whose seq ring needs more head
+    divisibility than the 4-head default (dryrun n=16 phase)."""
     from s2v_tpu.config import TransformerConfig, VAEConfig
     from s2v_tpu.models.transformer import init_transformer_params
     from s2v_tpu.models.vae import init_vae_params
     from s2v_tpu.pipelines.s2v import S2VPipeline
 
-    cfg = TransformerConfig.tiny()
+    cfg = TransformerConfig.tiny(**cfg_overrides)
     vcfg = VAEConfig.tiny(latent_channels=cfg.in_channels)
     return S2VPipeline(
         transformer_params=init_transformer_params(jax.random.PRNGKey(0), cfg),

@@ -877,3 +877,114 @@ def test_qlora_train_step_under_mesh_matches_single_device():
         sbatch[k] = jax.device_put(sbatch[k], NamedSharding(mesh, P("data")))
     got = run(sharded, sbatch, mesh=mesh)
     np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_route_seq_backend_quoted_slices():
+    """docs/SCALING.md table legality at the FLAGSHIP head count (48):
+    v5e-16 dp2xsp8 and v5e-32 dp2xsp16 keep Ulysses; v5e-64 dp2xsp16xtp2
+    (24 heads/shard % 16 != 0) falls back to AG-KV with a stated reason."""
+    from s2v_tpu.ops.attention import route_seq_backend
+
+    assert route_seq_backend("sp_ulysses", 48, 8, 2) == ("sp_ulysses", None)
+    assert route_seq_backend("sp_ulysses", 48, 16, 1) == ("sp_ulysses", None)
+    b, reason = route_seq_backend("sp_ulysses", 48, 16, 2)
+    assert b == "sp_allgather" and "not divisible" in reason
+    # single-chip names route to their SP forms under any seq ring
+    assert route_seq_backend("pallas", 48, 16, 1)[0] == "sp_allgather"
+    assert route_seq_backend("pallas_int8", 48, 8, 1)[0] == "sp_int8"
+    assert route_seq_backend("windowed", 48, 8, 1)[0] == "sp_windowed"
+    # no seq axis: untouched
+    assert route_seq_backend("pallas", 48, 1, 4) == ("pallas", None)
+    import pytest
+
+    with pytest.raises(ValueError, match="windowed_gather"):
+        route_seq_backend("windowed_gather", 48, 8, 1)
+
+
+_V5E64_LOWER_SCRIPT = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+import jax, jax.numpy as jnp
+from jax import lax
+assert len(jax.devices()) >= 64, len(jax.devices())
+
+from s2v_tpu.config import SchedulerConfig, TransformerConfig
+from s2v_tpu.models.transformer import init_transformer_params_stacked
+from s2v_tpu.ops.attention import route_seq_backend
+from s2v_tpu.ops.rope import build_segmented_rope, prepare_video_and_ref_rope
+from s2v_tpu.parallel import default_logical_map, make_mesh, mesh_context
+from s2v_tpu.pipelines.denoise import DenoiseSchedule, _build_step_fn
+
+# FLAGSHIP WIDTH (48 heads x 64 dim, 19,126-token sequence); depth 2 — the
+# sharding legality the scaling table quotes depends on heads/seq/frames,
+# not depth, and depth 42 only scales the scan length.
+cfg = TransformerConfig.cogvideox_5b(num_layers=2)
+B, F, H, W = 1, 13, 60, 90
+params = init_transformer_params_stacked(jax.random.PRNGKey(0), cfg)
+vc, vs, rc, rs = prepare_video_and_ref_rope(480, 720, F, cfg.attention_head_dim)
+cs, sn = build_segmented_rope(cfg.max_text_seq_length, rc, rs, vc, vs)
+video = jnp.zeros((B, F, H, W, cfg.in_channels), cfg.dtype)
+ref = jnp.zeros((B, 1, H, W, cfg.in_channels), cfg.dtype)
+emb2 = jnp.zeros((2 * B, cfg.max_text_seq_length, cfg.text_embed_dim), cfg.dtype)
+sched = DenoiseSchedule.create(SchedulerConfig(), 50, 6.0, use_dynamic_cfg=True)
+
+MESHES = [
+    # (name, axes, requested backend, expected backend after routing)
+    ("v5e-32 dp2 x sp16 (Ulysses)", {{"data": 2, "seq": 16}},
+     "sp_ulysses", "sp_ulysses"),
+    ("v5e-64 dp2 x sp16 x tp2 (AG-KV fallback)",
+     {{"data": 2, "seq": 16, "model": 2}}, "sp_ulysses", "sp_allgather"),
+]
+for name, axes, requested, expected in MESHES:
+    mesh = make_mesh(axes)
+    tp = axes.get("model", 1)
+    backend, reason = route_seq_backend(
+        requested, cfg.num_attention_heads, axes["seq"], tp)
+    assert backend == expected, (name, backend, expected, reason)
+    step = _build_step_fn(
+        params, cfg, sched, ref, emb2, cs, sn, True, jax.random.PRNGKey(7),
+        backend, None, "batched", None)
+    fn = jax.jit(lambda carry: lax.fori_loop(0, 2, step, carry))
+    carry = (video, jnp.zeros_like(video))
+    with mesh_context(mesh, default_logical_map(mesh)):
+        lowered = fn.lower(carry)
+    text = lowered.as_text()
+    # the sharded attention must actually be in the program: shardy manual
+    # computation regions + the expected collective
+    assert "sdy.manual" in text, name
+    want_coll = "all_to_all" if backend == "sp_ulysses" else "all_gather"
+    assert want_coll in text, (name, want_coll)
+    print(f"LOWER_OK {{name}}: backend={{backend}}", flush=True)
+print("ALL_OK", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_v5e_64_mesh_lowering_flagship_width():
+    """VERDICT r4 #4: shape-only jit-lowering of the denoise step at the
+    FLAGSHIP width (48 heads, S=19,126) under the scaling plan's v5e-32 and
+    v5e-64 meshes on a 64-device virtual CPU mesh — asserting the documented
+    Ulysses/AG-KV routing engages.  Lowering only (no compile/execute): the
+    claim being certified is mesh legality, padding math, and shard_map
+    tracing at the quoted head/seq/frame divisibilities."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    for k in list(env):
+        if k.startswith(("PALLAS_AXON", "AXON_", "TPU_")):
+            env.pop(k)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append("--xla_force_host_platform_device_count=64")
+    env["XLA_FLAGS"] = " ".join(flags)
+    out = subprocess.run(
+        [_sys.executable, "-c", _V5E64_LOWER_SCRIPT.format(repo=repo)],
+        capture_output=True, text=True, timeout=900, env=env, cwd=repo,
+    )
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
+    assert "ALL_OK" in out.stdout
+    assert out.stdout.count("LOWER_OK") == 2
