@@ -220,13 +220,15 @@ def _add_delta(leaf: dict, delta: jnp.ndarray) -> dict:
 
 
 def _attach_factors(leaf: dict, pairs) -> dict:
-    """int8 leaves can't absorb a merge (W + AB isn't int8): attach the
-    factor pairs for ops.quant.dense to apply output-additively
-    (``y += (x @ a) @ b``) — the QLoRA forward.  Slotted q/k/v factors pad
-    ``b`` to the fused kernel's full output width (zero columns elsewhere),
-    mirroring the merged path's full-width delta so TP shardings pass
-    through unchanged."""
-    out_width = leaf["q"].shape[-1]
+    """Attach the factor pairs for ops.quant.dense to apply
+    output-additively (``y += (x @ a) @ b``).  int8 leaves can't absorb a
+    merge (W + AB isn't int8) — the QLoRA forward; bf16 dense leaves take
+    the same path because a per-layer kernel merge forces XLA to relayout
+    the whole stacked kernel (2.21 GB HLO temp at 5b — see ops.quant.dense).
+    Slotted q/k/v factors pad ``b`` to the fused kernel's full output width
+    (zero columns elsewhere), mirroring the merged path's full-width delta
+    so TP shardings pass through unchanged."""
+    out_width = (leaf["q"] if "q" in leaf else leaf["kernel"]).shape[-1]
     attached = []
     for ab, slot in pairs:
         a, b = ab["a"], ab["b"]
@@ -246,13 +248,14 @@ def apply_runtime_lora_block(p: dict, lora: dict) -> dict:
     transients are per-layer, so the scan never materializes a second
     weight tree).
 
-    bf16 kernels merge in place (``W + a @ b``); int8 kernels get their
-    factor pairs attached instead (see :func:`_attach_factors`).  The
-    separate q/k/v factor pairs of reference checkpoints are combined
-    into ONE full-width [D, 3D] delta (zero columns for absent slots) so
-    the add stays a plain elementwise op — the fused qkv kernel's column
-    slots (multiples of D) do not align to TP shard boundaries (3D/tp), and
-    a full-width add lets GSPMD keep the kernel's sharding untouched."""
+    The dense-routed targets (fused qkv, to_out, ff.net_2) get their
+    factor pairs ATTACHED for output-additive application in
+    ops.quant.dense — both int8 (a merge isn't int8) and bf16 (a per-layer
+    kernel merge forces a 2.21 GB stacked-kernel relayout at 5b, see
+    :func:`_attach_factors`).  The adaLN modulation linears (norm1/norm2,
+    [512, 6D] — small, not dense-routed) keep the in-place merge
+    (``W + a @ b``); their slotless full-width delta keeps GSPMD shardings
+    untouched."""
     out = {k: dict(v) if isinstance(v, dict) else v for k, v in p.items()}
     grouped: dict = {}
     for name, ab in lora.items():
@@ -264,20 +267,11 @@ def apply_runtime_lora_block(p: dict, lora: dict) -> dict:
             node[key] = dict(node[key])
             node = node[key]
         leaf = node[path[-1]]
-        if "q" in leaf:
+        if "q" in leaf or path[0] in ("attn", "ff"):
             node[path[-1]] = _attach_factors(leaf, items)
             continue
-        full = [ab for ab, slot in items if slot is None]
-        slots = [(ab, slot) for ab, slot in items if slot is not None]
-        for ab in full:
+        for ab, _slot in items:  # norm linears: slotless by construction
             leaf = _add_delta(leaf, _lora_delta(ab))
-        if slots:
-            deltas = [None, None, None]
-            for ab, slot in slots:
-                deltas[slot] = _lora_delta(ab)
-            width = next(d for d in deltas if d is not None)
-            deltas = [jnp.zeros_like(width) if d is None else d for d in deltas]
-            leaf = _add_delta(leaf, jnp.concatenate(deltas, axis=-1))
         node[path[-1]] = leaf
     return out
 

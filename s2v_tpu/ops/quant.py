@@ -112,19 +112,22 @@ def dense(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     An optional ``"lora"`` entry — a tuple of fp32 ``(a [in,r], b [r,out])``
     factor pairs, the alpha/r scale pre-folded into ``a`` — is applied
     output-additively: ``y += (x @ a) @ b``.  int8 kernels cannot absorb a
-    LoRA delta by merging (the sum isn't int8), so QLoRA training and
-    runtime adapter serving over quantized bases ride this path; matmuls
-    run in the input dtype (matching the merged path, where the delta is
-    cast to the kernel dtype before the add)."""
+    LoRA delta by merging (the sum isn't int8); bf16 kernels take the same
+    path because a per-layer ``W + a@b`` merge makes the stacked kernel a
+    second consumer with a different preferred layout — XLA then inserts a
+    full relayout copy of the [42, 3072, 9216] qkv stack (2.21 GB of HBM
+    temp, the round-5 flagship-serving OOM).  Output-additive touches the
+    kernel exactly as the base program does (zero extra kernel traffic) at
+    ~0.2 % extra FLOPs/step for rank 64.  Matmuls run in the input dtype."""
     if "q" in params:
         y = int8_dense(x, params, params.get("bias"))
-        for a, b in params.get("lora", ()):
-            h = x @ a.astype(x.dtype)
-            y = y + (h @ b.astype(x.dtype)).astype(y.dtype)
-        return y
-    y = x @ params["kernel"]
-    if "bias" in params:
-        y = y + params["bias"]
+    else:
+        y = x @ params["kernel"]
+        if "bias" in params:
+            y = y + params["bias"]
+    for a, b in params.get("lora", ()):
+        h = x @ a.astype(x.dtype)
+        y = y + (h @ b.astype(x.dtype)).astype(y.dtype)
     return y
 
 
