@@ -540,12 +540,14 @@ def main():
             print(f"# real-loop bench fell back to extrapolation "
                   f"(2 x B=1 fwd, sequential-CFG upper bound): {type(e).__name__}",
                   file=sys.stderr)
-        if on_tpu:
-            del params, step_fn, video, ref, text
-            gc.collect()
     else:
         print(f"# budget: skipping measured denoise loop "
               f"({_remaining():.0f}s left)", file=sys.stderr)
+    if on_tpu:
+        # free the 11.1 GB transformer tree BEFORE the VAE allocates —
+        # on every path, including the budget-skip one
+        del params, step_fn, video, ref, text
+        gc.collect()
 
     # VAE decode: 13 latent frames -> 49 px frames (transformer params freed)
     _maybe_test_hang("pre_vae")

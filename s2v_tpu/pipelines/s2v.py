@@ -698,11 +698,32 @@ class S2VPipeline:
                     ring, n_cp, t,
                 )
             sc = self.vae_cfg.spatial_compression_ratio
-            frames = vae_decode(
-                self.vae_params, self.vae_cfg, z,
-                use_tiling=self._resolve_tiling(z.shape[2] * sc, z.shape[3] * sc),
-                use_slicing=self.vae_slicing,
-            )
+            tiled = self._resolve_tiling(z.shape[2] * sc, z.shape[3] * sc)
+            try:
+                frames = vae_decode(
+                    self.vae_params, self.vae_cfg, z,
+                    use_tiling=tiled, use_slicing=self.vae_slicing,
+                )
+            except Exception as e:
+                # degrade, don't die: the "auto" untiled 480p decode fits a
+                # 16 GB chip when the decode has the HBM to itself (bench.py
+                # frees the DiT first) but can exhaust it in a resident
+                # serving process (DiT + adapters + T5 stay loaded).  The
+                # tiled decode is the reference's own memory workaround —
+                # exact per-tile, overlap-blended seams — so fall back to it
+                # instead of failing the request.
+                if tiled is True or "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                from s2v_tpu.utils.logging import get_logger
+
+                get_logger("s2v_tpu.pipeline").warning(
+                    "untiled VAE decode exhausted HBM with the serving stack "
+                    "resident — retrying with reference-style spatial tiling"
+                )
+                frames = vae_decode(
+                    self.vae_params, self.vae_cfg, z,
+                    use_tiling=True, use_slicing=self.vae_slicing,
+                )
         return denormalize_video(np.asarray(frames.astype(jnp.float32)))
 
     def postprocess_video(self, video01: np.ndarray, output_type: str):

@@ -42,7 +42,9 @@ def test_cli_inference_e2e(tmp_path):
          "--prompt", "<cls> a pig walking",
          "--height", "32", "--width", "32", "--max_num_frames", "9",
          "--num_inference_steps", "2", "--output_dir", str(outdir)],
-        capture_output=True, text=True, timeout=480, cwd=repo, env=env,
+        # generous: a 1-CPU host under concurrent load (the on-chip bench
+        # runs share this box) can stretch the tiny jit several-fold
+        capture_output=True, text=True, timeout=900, cwd=repo, env=env,
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     mp4s = [f for f in os.listdir(outdir) if f.endswith(".mp4")]

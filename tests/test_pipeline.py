@@ -538,3 +538,39 @@ def test_vae_tiling_auto_policy():
     out = pipe.generate(prompt="a pig", ref_image=ref, height=32, width=32,
                         num_frames=5, num_inference_steps=1, seed=1)
     assert np.isfinite(out).all()
+
+
+def test_decode_latents_degrades_to_tiled_on_hbm_exhaustion(monkeypatch):
+    """A resident serving process (DiT + adapters + T5 in HBM) can exhaust
+    HBM on the untiled 'auto' decode; the pipeline must retry with the
+    reference-style tiled decode instead of failing the request (round-5
+    flagship serving fix)."""
+    from s2v_tpu.testing import tiny_pipeline
+
+    pipe = tiny_pipeline()
+    calls = []
+    import s2v_tpu.pipelines.s2v as s2v_mod
+
+    real = s2v_mod.vae_decode
+
+    def fake(params, cfg, z, use_tiling=False, use_slicing=True):
+        calls.append(use_tiling)
+        if not use_tiling:
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+        return real(params, cfg, z, use_tiling=False, use_slicing=use_slicing)
+
+    monkeypatch.setattr(s2v_mod, "vae_decode", fake)
+    z = jax.random.normal(
+        jax.random.PRNGKey(0), (1, 2, 4, 4, pipe.vae_cfg.latent_channels)
+    )
+    frames = pipe.decode_latents(z)
+    assert calls == [False, True]  # untiled attempt, then the tiled retry
+    assert np.isfinite(frames).all()
+
+    # a NON-memory failure must still raise (no silent retry loop)
+    def fake_other(params, cfg, z, use_tiling=False, use_slicing=True):
+        raise RuntimeError("some other backend error")
+
+    monkeypatch.setattr(s2v_mod, "vae_decode", fake_other)
+    with pytest.raises(RuntimeError, match="other backend"):
+        pipe.decode_latents(z)
