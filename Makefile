@@ -1,7 +1,9 @@
 # Developer entry points
 
-.PHONY: test test-fast bench native demo dryrun parity clean
+.PHONY: test test-fast test-heavy bench native demo dryrun parity clean
 
+# default full tier (~35 min on a 1-CPU host; multi-minute production-dim
+# tests live in the opt-in heavy tier — see pyproject [tool.pytest.ini_options])
 test:
 	python -m pytest tests/ -q
 
@@ -9,6 +11,12 @@ test:
 # the jit-heavy modules carry pytest.mark.slow
 test-fast:
 	python -m pytest tests/ -q -m "not slow"
+
+# heavy tier: production-dim parity (42-block full-scale, real key
+# inventories) + e2e subprocess drives (~60 min); run per-release or when
+# loaders/models/cli change
+test-heavy:
+	python -m pytest tests/ -q -m heavy
 
 bench:
 	python bench.py

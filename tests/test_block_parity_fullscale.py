@@ -92,6 +92,7 @@ def test_one_block_production_dims_parity():
     np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=2e-3)
 
 
+@pytest.mark.heavy  # 27 min on a 1-CPU host (r5 durations profile)
 def test_full_depth_42_block_parity_with_per_block_drift():
     """The FULL 42-block stacked forward at real hidden dims (3072 / 48xd64),
     fp32 on CPU, with a per-block drift budget (VERDICT r2 #3 proxy
@@ -220,6 +221,7 @@ def test_full_depth_42_block_parity_with_per_block_drift():
     assert err <= 4e-5 * (L + 1), f"full-depth output rel err {err:.3e}"
 
 
+@pytest.mark.heavy  # 5.4 min on a 1-CPU host (r5 durations profile)
 def test_one_block_production_dims_gradient_parity():
     """Training-path numerics at real dims: d<loss>/dW through the jax
     block (chunked attention custom VJP, remat) must match torch autograd

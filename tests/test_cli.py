@@ -12,7 +12,8 @@ import sys
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow  # subprocess + jitted tiny denoise
+# two subprocess jit sessions (~10-15 min loaded; r5 durations profile)
+pytestmark = [pytest.mark.slow, pytest.mark.heavy]
 
 
 def test_cli_inference_e2e(tmp_path):
@@ -44,7 +45,7 @@ def test_cli_inference_e2e(tmp_path):
          "--num_inference_steps", "2", "--output_dir", str(outdir)],
         # generous: a 1-CPU host under concurrent load (the on-chip bench
         # runs share this box) can stretch the tiny jit several-fold
-        capture_output=True, text=True, timeout=900, cwd=repo, env=env,
+        capture_output=True, text=True, timeout=1800, cwd=repo, env=env,
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     mp4s = [f for f in os.listdir(outdir) if f.endswith(".mp4")]
