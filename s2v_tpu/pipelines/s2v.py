@@ -712,16 +712,28 @@ class S2VPipeline:
                 # tiled decode is the reference's own memory workaround —
                 # exact per-tile, overlap-blended seams — so fall back to it
                 # instead of failing the request.
-                if tiled is True or "RESOURCE_EXHAUSTED" not in str(e):
+                if "RESOURCE_EXHAUSTED" not in str(e):
                     raise
+                import dataclasses
+
                 from s2v_tpu.utils.logging import get_logger
 
                 get_logger("s2v_tpu.pipeline").warning(
-                    "untiled VAE decode exhausted HBM with the serving stack "
-                    "resident — retrying with reference-style spatial tiling"
+                    "VAE decode exhausted HBM with the serving stack "
+                    "resident — retrying with quarter-size spatial tiles "
+                    "(4x less activation peak per decoder call; overlap "
+                    "blending as in the reference tiled path)"
+                )
+                sc = self.vae_cfg.spatial_compression_ratio
+                lean_cfg = dataclasses.replace(
+                    self.vae_cfg,
+                    # tile mins derive from sample dims (sample/2); halving
+                    # them quarters each tile's area.  Floor: 8 latent px.
+                    sample_height=max(self.vae_cfg.sample_height // 2, 16 * sc),
+                    sample_width=max(self.vae_cfg.sample_width // 2, 16 * sc),
                 )
                 frames = vae_decode(
-                    self.vae_params, self.vae_cfg, z,
+                    self.vae_params, lean_cfg, z,
                     use_tiling=True, use_slicing=self.vae_slicing,
                 )
         return denormalize_video(np.asarray(frames.astype(jnp.float32)))

@@ -184,3 +184,4 @@ def test_tiled_encode_geometry():
     x = jax.random.normal(jax.random.PRNGKey(4), (1, 9, 96, 80, 3), jnp.float32)
     moments = vae_encode(params, cfg, x, use_tiling=True)
     assert moments.shape == (1, 3, 12, 10, 2 * cfg.latent_channels)
+
