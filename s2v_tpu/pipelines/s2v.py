@@ -172,6 +172,10 @@ class S2VPipeline:
     # not inherit the single-chip host path's serial-CPU encode latency
     # (bench_runs/t5_host.json)
     t5_on_mesh: bool = False
+    # sticky degraded-decode flag: once a resident-serving decode exhausts
+    # HBM, later requests go straight to the lean tiled path instead of
+    # re-paying the doomed compile (see decode_latents)
+    _decode_lean: bool = field(default=False, repr=False)
     # compiled-denoise cache for repeated generate() calls (serving)
     _compiled_denoise: dict = field(default_factory=dict, repr=False)
     # prompt -> embedding cache (serving: the "" negative prompt repeats
@@ -699,6 +703,13 @@ class S2VPipeline:
                 )
             sc = self.vae_cfg.spatial_compression_ratio
             tiled = self._resolve_tiling(z.shape[2] * sc, z.shape[3] * sc)
+            if self._decode_lean:
+                # a previous request already exhausted HBM on the resolved
+                # policy: go straight to the lean path — re-attempting the
+                # doomed compile would waste ~30-60 s of remote-compile time
+                # on EVERY request
+                return denormalize_video(np.asarray(
+                    self._decode_lean_tiles(z).astype(jnp.float32)))
             try:
                 frames = vae_decode(
                     self.vae_params, self.vae_cfg, z,
@@ -714,29 +725,36 @@ class S2VPipeline:
                 # instead of failing the request.
                 if "RESOURCE_EXHAUSTED" not in str(e):
                     raise
-                import dataclasses
-
                 from s2v_tpu.utils.logging import get_logger
 
                 get_logger("s2v_tpu.pipeline").warning(
                     "VAE decode exhausted HBM with the serving stack "
                     "resident — retrying with quarter-size spatial tiles "
                     "(4x less activation peak per decoder call; overlap "
-                    "blending as in the reference tiled path)"
+                    "blending as in the reference tiled path).  Subsequent "
+                    "requests take the lean path directly."
                 )
-                sc = self.vae_cfg.spatial_compression_ratio
-                lean_cfg = dataclasses.replace(
-                    self.vae_cfg,
-                    # tile mins derive from sample dims (sample/2); halving
-                    # them quarters each tile's area.  Floor: 8 latent px.
-                    sample_height=max(self.vae_cfg.sample_height // 2, 16 * sc),
-                    sample_width=max(self.vae_cfg.sample_width // 2, 16 * sc),
-                )
-                frames = vae_decode(
-                    self.vae_params, lean_cfg, z,
-                    use_tiling=True, use_slicing=self.vae_slicing,
-                )
+                self._decode_lean = True
+                frames = self._decode_lean_tiles(z)
         return denormalize_video(np.asarray(frames.astype(jnp.float32)))
+
+    def _decode_lean_tiles(self, z):
+        """Degraded-mode decode for HBM-constrained resident serving:
+        reference-style tiled decode at quarter-size tiles."""
+        import dataclasses
+
+        sc = self.vae_cfg.spatial_compression_ratio
+        lean_cfg = dataclasses.replace(
+            self.vae_cfg,
+            # tile mins derive from sample dims (sample/2); halving them
+            # quarters each tile's area.  Floor: 16 latent px.
+            sample_height=max(self.vae_cfg.sample_height // 2, 16 * sc),
+            sample_width=max(self.vae_cfg.sample_width // 2, 16 * sc),
+        )
+        return vae_decode(
+            self.vae_params, lean_cfg, z,
+            use_tiling=True, use_slicing=self.vae_slicing,
+        )
 
     def postprocess_video(self, video01: np.ndarray, output_type: str):
         """Reference ``VideoProcessor.postprocess_video`` output types

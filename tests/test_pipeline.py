@@ -567,6 +567,13 @@ def test_decode_latents_degrades_to_tiled_on_hbm_exhaustion(monkeypatch):
     assert calls == [False, True]  # untiled attempt, then the tiled retry
     assert np.isfinite(frames).all()
 
+    # the degraded decision is sticky: the next request skips the doomed
+    # untiled compile and goes straight to the lean tiled path
+    calls.clear()
+    frames = pipe.decode_latents(z)
+    assert calls == [True]
+    assert np.isfinite(frames).all()
+
     # a NON-memory failure must still raise (no silent retry loop)
     def fake_other(params, cfg, z, use_tiling=False, use_slicing=True):
         raise RuntimeError("some other backend error")
