@@ -191,7 +191,12 @@ def main():
     lora2 = _write_lora_ckpt(os.path.join(WORK, "lora_ckpt2"), rank, seed=9)
     print("# assets ready", flush=True)
 
-    # daemon
+    # daemon — its own session/process group so that a SIGTERM to this
+    # orchestrator (driver timeout, TaskStop) can never orphan a daemon
+    # holding the chip lease mid-init (observed: a stale lease wedges the
+    # relay for ~15 min)
+    import signal
+
     daemon_log = open(os.path.join(WORK, "daemon.log"), "w")
     t0 = time.time()
     proc = subprocess.Popen(
@@ -199,7 +204,18 @@ def main():
             repo=REPO, tokenizer_json=tokenizer_json,
             socket_path=SOCKET_PATH, ready_file=READY_FILE)],
         stdout=daemon_log, stderr=subprocess.STDOUT, cwd=REPO,
+        start_new_session=True,
     )
+
+    def _kill_daemon_group(signum=None, frame=None):
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except Exception:
+            pass
+        if signum is not None:
+            sys.exit(1)
+
+    signal.signal(signal.SIGTERM, _kill_daemon_group)
     try:
         deadline = time.time() + (120 if SMOKE else 600)
         while not os.path.exists(READY_FILE):
@@ -264,7 +280,7 @@ def main():
         proc.wait(timeout=60)
     finally:
         if proc.poll() is None:
-            proc.kill()
+            _kill_daemon_group()
         daemon_log.close()
 
     # decode-validate the warm mp4 (frames + fps)
