@@ -710,21 +710,29 @@ class S2VPipeline:
                 # on EVERY request
                 return denormalize_video(np.asarray(
                     self._decode_lean_tiles(z).astype(jnp.float32)))
+            # degrade, don't die: the "auto" untiled 480p decode fits a
+            # 16 GB chip when the decode has the HBM to itself (bench.py
+            # frees the DiT first) but can exhaust it in a resident serving
+            # process (DiT + adapters + T5 stay loaded).  The tiled decode
+            # is the reference's own memory workaround — exact per-tile,
+            # overlap-blended seams — so fall back to it instead of failing
+            # the request.  The retry happens OUTSIDE the except block: the
+            # exception's traceback pins the failed call's locals (the
+            # multi-GB conv-cache pytree), and retrying while those are
+            # still live just exhausts HBM again.
+            oom = False
             try:
                 frames = vae_decode(
                     self.vae_params, self.vae_cfg, z,
                     use_tiling=tiled, use_slicing=self.vae_slicing,
                 )
             except Exception as e:
-                # degrade, don't die: the "auto" untiled 480p decode fits a
-                # 16 GB chip when the decode has the HBM to itself (bench.py
-                # frees the DiT first) but can exhaust it in a resident
-                # serving process (DiT + adapters + T5 stay loaded).  The
-                # tiled decode is the reference's own memory workaround —
-                # exact per-tile, overlap-blended seams — so fall back to it
-                # instead of failing the request.
                 if "RESOURCE_EXHAUSTED" not in str(e):
                     raise
+                oom = True  # except-var (and its frame pins) drop at exit
+            if oom:
+                import gc
+
                 from s2v_tpu.utils.logging import get_logger
 
                 get_logger("s2v_tpu.pipeline").warning(
@@ -735,6 +743,7 @@ class S2VPipeline:
                     "requests take the lean path directly."
                 )
                 self._decode_lean = True
+                gc.collect()  # free the failed attempt's device buffers NOW
                 frames = self._decode_lean_tiles(z)
         return denormalize_video(np.asarray(frames.astype(jnp.float32)))
 
