@@ -703,11 +703,33 @@ class S2VPipeline:
                 )
             sc = self.vae_cfg.spatial_compression_ratio
             tiled = self._resolve_tiling(z.shape[2] * sc, z.shape[3] * sc)
+            # Resident-serving HBM gate: with the DiT (+adapters, T5)
+            # HBM-resident, the untiled 480p decode's ~4-5 GB workspace may
+            # not fit.  Attempting it anyway is WORSE than degrading
+            # upfront: a failed execution with donated conv-cache buffers
+            # does not reliably release HBM, so the retry inherits a full
+            # chip (observed round 5).  TPU exposes live memory_stats —
+            # route by actual free bytes instead of failing first.
+            if not self._decode_lean and not tiled:
+                free = self._device_free_bytes()
+                if free is not None and free < 5.5e9:
+                    from s2v_tpu.utils.logging import get_logger
+
+                    get_logger("s2v_tpu.pipeline").info(
+                        "decode: %.1f GB HBM free with the serving stack "
+                        "resident — using %s instead of the untiled decode",
+                        free / 2**30,
+                        "quarter-size tiles" if free < 2.5e9
+                        else "reference-style tiling",
+                    )
+                    if free < 2.5e9:
+                        self._decode_lean = True
+                    else:
+                        tiled = True
             if self._decode_lean:
-                # a previous request already exhausted HBM on the resolved
-                # policy: go straight to the lean path — re-attempting the
-                # doomed compile would waste ~30-60 s of remote-compile time
-                # on EVERY request
+                # this process already established that only the lean path
+                # fits — go straight there (re-attempting the doomed
+                # compile/execute wastes ~30-60 s per request)
                 return denormalize_video(np.asarray(
                     self._decode_lean_tiles(z).astype(jnp.float32)))
             # degrade, don't die: the "auto" untiled 480p decode fits a
@@ -746,6 +768,36 @@ class S2VPipeline:
                 gc.collect()  # free the failed attempt's device buffers NOW
                 frames = self._decode_lean_tiles(z)
         return denormalize_video(np.asarray(frames.astype(jnp.float32)))
+
+    def _device_free_bytes(self):
+        """Estimated free HBM on device 0, or None on CPU.
+
+        Prefers live ``memory_stats`` when the backend provides it; the
+        axon relay does not, so the fallback computes what this pipeline
+        holds resident (transformer incl. runtime factors, VAE, on-device
+        T5) against the v5e's 15.75 GB usable (the figure every XLA OOM
+        dump on this chip reports) minus its 258 MB reserved block."""
+        try:
+            import jax
+
+            if jax.default_backend() == "cpu":
+                return None
+            st = jax.local_devices()[0].memory_stats() or {}
+            limit, used = st.get("bytes_limit"), st.get("bytes_in_use")
+            if limit is not None and used is not None:
+                return int(limit) - int(used)
+            resident = 0
+            for tree in (self.transformer_params, self.vae_params,
+                         None if self.t5_on_host else self.t5_params):
+                if tree is None:
+                    continue
+                for leaf in jax.tree.leaves(tree):
+                    if hasattr(leaf, "nbytes"):
+                        resident += int(leaf.nbytes)
+            usable = 15.75 * 2**30 - 258 * 2**20
+            return max(0, int(usable) - resident)
+        except Exception:
+            return None
 
     def _decode_lean_tiles(self, z):
         """Degraded-mode decode for HBM-constrained resident serving:

@@ -581,3 +581,45 @@ def test_decode_latents_degrades_to_tiled_on_hbm_exhaustion(monkeypatch):
     monkeypatch.setattr(s2v_mod, "vae_decode", fake_other)
     with pytest.raises(RuntimeError, match="other backend"):
         pipe.decode_latents(z)
+
+
+def test_decode_hbm_gate_routes_by_free_bytes(monkeypatch):
+    """Resident-serving upfront gate: the decode mode is chosen from the
+    estimated free HBM instead of failing first (a failed donated-buffer
+    execution does not reliably release HBM on this backend)."""
+    from s2v_tpu.testing import tiny_pipeline
+
+    import s2v_tpu.pipelines.s2v as s2v_mod
+
+    real = s2v_mod.vae_decode
+
+    for free, want_first_tiling in ((3.9e9, True), (6.0e9, False)):
+        pipe = tiny_pipeline()
+        calls = []
+
+        def fake(params, cfg, z, use_tiling=False, use_slicing=True):
+            calls.append(use_tiling)
+            return real(params, cfg, z, use_tiling=False, use_slicing=use_slicing)
+
+        monkeypatch.setattr(s2v_mod, "vae_decode", fake)
+        monkeypatch.setattr(
+            type(pipe), "_device_free_bytes", lambda self, v=free: v)
+        monkeypatch.setattr(
+            type(pipe), "_resolve_tiling", lambda self, h, w: False)
+        z = jax.random.normal(
+            jax.random.PRNGKey(0), (1, 2, 4, 4, pipe.vae_cfg.latent_channels))
+        pipe.decode_latents(z)
+        assert calls == [want_first_tiling], (free, calls)
+
+    # < 2.5 GB free: straight to the lean quarter-tile path, sticky
+    pipe = tiny_pipeline()
+    monkeypatch.setattr(type(pipe), "_device_free_bytes", lambda self: 2.0e9)
+    monkeypatch.setattr(type(pipe), "_resolve_tiling", lambda self, h, w: False)
+    lean_calls = []
+    monkeypatch.setattr(
+        type(pipe), "_decode_lean_tiles",
+        lambda self, z: (lean_calls.append(1), real(self.vae_params, self.vae_cfg, z))[1])
+    z = jax.random.normal(
+        jax.random.PRNGKey(0), (1, 2, 4, 4, pipe.vae_cfg.latent_channels))
+    pipe.decode_latents(z)
+    assert lean_calls == [1] and pipe._decode_lean
