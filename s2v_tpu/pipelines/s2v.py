@@ -498,20 +498,23 @@ class S2VPipeline:
         # between resolve and attach); int8 bases take the output-additive
         # factor path inside ops.quant.dense
         key = (os.path.realpath(lora_checkpoint), float(lora_alpha))
-        tree = self._runtime_lora_cache.pop(key, None)
-        if tree is None:
+        host = self._runtime_lora_cache.pop(key, None)
+        if host is None:
             from s2v_tpu.loaders.lora import load_runtime_lora
 
             host = load_runtime_lora(
                 lora_checkpoint, self.transformer_cfg.num_layers, alpha=lora_alpha
             )
-            tree = self._place_runtime_tree(host)
-            # evict least-recently-used (~0.4 GB each at rank 128)
+            # evict least-recently-used (host numpy, ~0.8 GB fp32 at r128)
             while len(self._runtime_lora_cache) >= 4:
                 self._runtime_lora_cache.pop(next(iter(self._runtime_lora_cache)))
-        # (re-)insert last: hits refresh recency, so hot adapters survive
-        self._runtime_lora_cache[key] = tree
-        return tree
+        # (re-)insert last: hits refresh recency, so hot adapters survive.
+        # The cache holds HOST trees: keeping idle adapters in HBM stole
+        # ~0.4 GB per entry from the resident-serving decode budget
+        # (round-5 warm-request OOM); a swap now pays one ~0.4 GB factor
+        # upload — seconds — and only the ATTACHED adapter lives on device.
+        self._runtime_lora_cache[key] = host
+        return self._place_runtime_tree(host)
 
     def _attach_runtime_lora(self, tree: Optional[dict]) -> None:
         from s2v_tpu.models.transformer import RUNTIME_LORA_KEY
