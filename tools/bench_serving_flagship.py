@@ -49,6 +49,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SMOKE = bool(os.environ.get("S2V_SERVING_SMOKE"))
+# "runtime" (default): multi-tenant factor-tree swaps.  "merge": the
+# single-tenant configuration — no factors resident (more decode headroom),
+# subject swaps re-merge the cached host base (the flagship merge-swap
+# cost is exactly what this mode measures).
+MODE = os.environ.get("S2V_SERVING_MODE", "runtime")
 JSON_OUT = os.environ.get(
     "S2V_SERVING_JSON", os.path.join(REPO, "bench_runs", "r05_serving.json")
 )
@@ -105,6 +110,14 @@ pipe = S2VPipeline(
     t5_cfg=t5cfg,
     tokenizer=tok,
 )
+if {mode!r} == "merge":
+    # merge-mode swaps need the pristine host base (normally cached by
+    # from_pretrained's snapshot dir; this pipeline is built in-process,
+    # so export it once at startup)
+    print("daemon: exporting host base for merge swaps ...", flush=True)
+    from s2v_tpu.loaders.export_hf import transformer_state_dict
+
+    pipe._base_transformer_sd = transformer_state_dict(pipe.transformer_params, tcfg)
 print("daemon: serving", flush=True)
 ServingDaemon(pipe, {socket_path!r}).serve_forever(ready_file={ready_file!r})
 """
@@ -201,7 +214,7 @@ def main():
     t0 = time.time()
     proc = subprocess.Popen(
         [sys.executable, "-u", "-c", DAEMON_CODE.format(
-            repo=REPO, tokenizer_json=tokenizer_json,
+            repo=REPO, tokenizer_json=tokenizer_json, mode=MODE,
             socket_path=SOCKET_PATH, ready_file=READY_FILE)],
         stdout=daemon_log, stderr=subprocess.STDOUT, cwd=REPO,
         start_new_session=True,
@@ -228,10 +241,11 @@ def main():
         assert _request({"op": "ping"})["pong"]
         print(f"# daemon up in {startup_s:.1f}s", flush=True)
 
-        # attach subject #1 (runtime factors) BEFORE the cold compile: the
-        # serving contract is adapter->adapter swaps over one executable
+        # attach subject #1 BEFORE the cold compile: the serving contract is
+        # adapter->adapter swaps over one executable (in merge mode this is
+        # the first host merge + full-tree upload)
         r_attach = _request({"op": "load_lora", "checkpoint_path": lora1,
-                             "lora_alpha": 2.0 * rank, "lora_mode": "runtime"})
+                             "lora_alpha": 2.0 * rank, "lora_mode": MODE})
         assert r_attach["status"] == "ok", r_attach
 
         # COLD request: compile + full run through to mp4 bytes
@@ -248,11 +262,12 @@ def main():
         print(f"# cold request {cold_s:.1f}s compiled={r_cold['compiled']} "
               f"mp4={mp4_bytes}B", flush=True)
 
-        # hot-swap to subject #2: same-rank runtime factors, pure upload
+        # hot-swap to subject #2 (runtime: factor upload; merge: host
+        # re-merge of the cached base + full-tree upload)
         t0 = time.time()
         r_swap = _request({
             "op": "load_lora", "checkpoint_path": lora2,
-            "lora_alpha": 2.0 * rank, "lora_mode": "runtime",
+            "lora_alpha": 2.0 * rank, "lora_mode": MODE,
         })
         swap_s = time.time() - t0
         assert r_swap["status"] == "ok", r_swap
@@ -295,8 +310,8 @@ def main():
     except Exception as e:
         print(f"# cv2 validation skipped: {e}", file=sys.stderr)
 
-    artifact = {
-        "daemon_flagship": {
+    section_key = "daemon_flagship" if MODE == "runtime" else f"daemon_flagship_{MODE}"
+    section = {
             "geometry": (
                 f"{geom['num_frames']}x{geom['height']}x{geom['width']} "
                 f"@{geom['num_inference_steps']} steps"
@@ -314,7 +329,7 @@ def main():
                 "mp4_bytes": mp4_bytes,
             },
             "lora_hot_swap": {
-                "mode": "runtime", "rank": rank,
+                "mode": MODE, "rank": rank,
                 "seconds": round(swap_s, 2),
                 "compiled_configs_kept": r_swap["compiled_configs_kept"],
             },
@@ -331,14 +346,24 @@ def main():
                 "-> ref VAE encode -> segmented 50-step denoise -> VAE "
                 "decode -> native mp4 mux.  Reference pays model load + "
                 "full compile per clip (src/inference.py main())."),
-        },
-        "carryover_r04": "step_times/clips_per_hour/lora merge-vs-runtime "
-                         "swap sections: bench_runs/r04_serving.json",
-        "smoke": SMOKE,
     }
+    artifact = {}
+    if os.path.exists(JSON_OUT):
+        try:
+            with open(JSON_OUT) as f:
+                prior = json.load(f)
+            if prior.get("smoke") == SMOKE:  # never mix chip + smoke rows
+                artifact = prior
+        except Exception:
+            pass
+    artifact[section_key] = section
+    artifact["carryover_r04"] = ("step_times/clips_per_hour/lora "
+                                 "merge-vs-runtime swap sections: "
+                                 "bench_runs/r04_serving.json")
+    artifact["smoke"] = SMOKE
     with open(JSON_OUT, "w") as f:
         json.dump(artifact, f, indent=1)
-    print(json.dumps({"metric": "flagship daemon warm request",
+    print(json.dumps({"metric": f"flagship daemon warm request ({MODE})",
                       "value": round(warm_s, 1), "unit": "s",
                       "artifact": JSON_OUT}))
 
