@@ -113,11 +113,15 @@ pipe = S2VPipeline(
 if {mode!r} == "merge":
     # merge-mode swaps need the pristine host base (normally cached by
     # from_pretrained's snapshot dir; this pipeline is built in-process,
-    # so export it once at startup)
+    # so export it once at startup).  Bulk device_get FIRST: the per-layer
+    # export would otherwise make ~800 small relay round-trips (observed
+    # >600 s); one 11 GB fetch + numpy slicing takes a couple of minutes.
     print("daemon: exporting host base for merge swaps ...", flush=True)
     from s2v_tpu.loaders.export_hf import transformer_state_dict
 
-    pipe._base_transformer_sd = transformer_state_dict(pipe.transformer_params, tcfg)
+    host_tree = jax.device_get(pipe.transformer_params)
+    pipe._base_transformer_sd = transformer_state_dict(host_tree, tcfg)
+    del host_tree
 print("daemon: serving", flush=True)
 ServingDaemon(pipe, {socket_path!r}).serve_forever(ready_file={ready_file!r})
 """
@@ -230,7 +234,8 @@ def main():
 
     signal.signal(signal.SIGTERM, _kill_daemon_group)
     try:
-        deadline = time.time() + (120 if SMOKE else 600)
+        # merge mode's startup additionally exports the 11 GB host base
+        deadline = time.time() + (120 if SMOKE else (1200 if MODE == "merge" else 600))
         while not os.path.exists(READY_FILE):
             if proc.poll() is not None or time.time() > deadline:
                 raise RuntimeError(
