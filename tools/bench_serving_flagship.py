@@ -110,6 +110,11 @@ pipe = S2VPipeline(
     t5_cfg=t5cfg,
     tokenizer=tok,
 )
+# the pipeline owns the device tree now; a lingering module-level reference
+# would pin the OLD 11 GB tree across a merge swap (load_lora frees
+# pipe.transformer_params before uploading the merged tree — that only
+# works if nothing else references it)
+del tparams
 if {mode!r} == "merge":
     # merge-mode swaps need the pristine host base (normally cached by
     # from_pretrained's snapshot dir; this pipeline is built in-process,
